@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+/** The relational operator library: one named, pure `DataFrame =>
+  * DataFrame` combinator per operator family in SURVEY.md §2. No
+  * session state, no collect(), no driver-side loops — every operator
+  * is a declarative plan fragment that Catalyst can push down, prune,
+  * and reorder, and that scales by partitioning alone.
+  */
+object RelationalOps {
+
+  /** Exact money arithmetic: sum as DECIMAL(18,2) (order-independent,
+    * no float drift at any scale or partition count), surfaced as
+    * DOUBLE for a stable cross-engine column type. The reference keeps
+    * money stringly-typed and lets MySQL coerce
+    * (load_sales_data.py:68-69); we keep it exact instead.
+    */
+  def sumMoney(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Exclusion filter (P1): drop a known bad key during a master load
+    * (reference: sp_code == '000002', load_store_data.py:69-72).
+    */
+  def excludeKey(df: DataFrame, keyCol: String, bad: Any): DataFrame =
+    df.filter(col(keyCol) =!= lit(bad))
+
+  /** Null-or-empty predicate (P2): the reference treats NULL and ''
+    * as the same "missing" state (kicc_to_tb_sales_prod.py:126-131).
+    */
+  def isMissing(c: Column): Column = c.isNull || c === lit("")
+
+  /** Conditional constant fill over an IN-list (P3): reference sets
+    * responsible='직영' for null rows with chain_no in a fixed list
+    * (kicc_to_tb_sales.py:126-134).
+    */
+  def inListNullFill(df: DataFrame, target: String, keyCol: String,
+                     keys: Seq[Any], const: String): DataFrame =
+    df.withColumn(target,
+      when(col(target).isNull && col(keyCol).isin(keys: _*), lit(const))
+        .otherwise(col(target)))
+
+  /** Rename-projection (P5): staging column names → mart business
+    * names (kicc_to_tb_sales.py:73-86). Pure select-as; Catalyst
+    * prunes unreferenced source columns out of the scan.
+    */
+  def renameProject(df: DataFrame, mapping: Seq[(String, String)]): DataFrame =
+    df.select(mapping.map { case (from, to) => col(from).as(to) }: _*)
+
+  /** Cast every column to string, preserving NULL (F4;
+    * load_sales_data.py:68-69).
+    */
+  def castAllString(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).cast("string").as(c)): _*)
+
+  /** yyyyMMdd VARCHAR → DATE (F1; kicc_to_tb_sales.py:72). Malformed
+    * input → null, matching the reference's validate_date None
+    * (load_sales_with_prod_data_spec.py:123-128).
+    */
+  def parseYyyymmdd(c: Column): Column = to_date(c, "yyyyMMdd")
+
+  /** DATE → yyyyMMdd string (F2; load_sales_data.py:146-149). */
+  def formatYyyymmdd(c: Column): Column = date_format(c, "yyyyMMdd")
+
+  /** All dates in [lo, hi] as one column `d` (F6;
+    * load_sales_with_prod_data_period.py:130-133). Generated on the
+    * executors via sequence+explode — no driver loop.
+    */
+  def dateRange(lo: String, hi: String): Column =
+    explode(sequence(to_date(lit(lo)), to_date(lit(hi)), expr("interval 1 day")))
+
+  /** Work-unit generator (J5): every key × every date in the window
+    * (load_sales_data.py:160-164). The date side is tiny so Catalyst
+    * plans a broadcast nested loop — no shuffle of the key side.
+    */
+  def crossJoinWorklist(keys: DataFrame, lo: String, hi: String): DataFrame =
+    keys.crossJoin(keys.sparkSession.range(1).select(dateRange(lo, hi).as("d")))
+
+  /** Latest-wins upsert / MERGE (U1): one shuffle on the key, incoming
+    * beats target, ties impossible because priority is explicit —
+    * never file order (SURVEY.md §7 risk 2). This replaces the
+    * reference's per-row exists-probe + UPDATE/INSERT
+    * (load_sales_data.py:129-134) with a single window over
+    * `target ∪ incoming`; at 100 TB it is one hash-partitioned
+    * exchange instead of 2N round-trips.
+    */
+  def upsertLatestWins(target: DataFrame, incoming: DataFrame,
+                       keys: Seq[String]): DataFrame = {
+    val unioned = target.withColumn("_src_priority", lit(1))
+      .unionByName(incoming.withColumn("_src_priority", lit(0)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_src_priority"))
+    unioned.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_src_priority")
+  }
+
+  /** Insert-if-absent half of the upsert (J3): rows whose key has no
+    * match in target (load_sales_data.py:132-134).
+    */
+  def newRows(incoming: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(target.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Update-if-present half (J4): rows whose key already exists
+    * (load_sales_data.py:129-131).
+    */
+  def existingRows(incoming: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(target.select(keys.map(col): _*).distinct(), keys, "left_semi")
+
+  /** Update-join (J1): MySQL `UPDATE fact JOIN dim SET fact.c = dim.c`
+    * (kicc_to_tb_sales.py:108-125) ≡ broadcast left join + overwrite-
+    * when-matched. `dim` must be (key, value) with value named
+    * `_dim_v` by the caller-supplied column.
+    */
+  def enrichJoinOverwrite(fact: DataFrame, dim: DataFrame, key: String,
+                          factCol: String, dimCol: String): DataFrame =
+    fact.join(broadcast(dim.select(col(key), col(dimCol).as("_dim_v"))),
+        Seq(key), "left")
+      .withColumn(factCol, coalesce(col("_dim_v"), col(factCol)))
+      .drop("_dim_v")
+
+  /** Filtered update-join (J2): fill only where currently NULL/''
+    * (kicc_to_tb_sales_prod.py:119-134). Dim is deduped on its key so
+    * the join can't fan out, then broadcast.
+    */
+  def dimFillWhenEmpty(fact: DataFrame, dim: DataFrame, factKey: String,
+                       dimKey: String, factCol: String, dimCol: String): DataFrame = {
+    val d = dim.groupBy(col(dimKey).as(factKey))
+      .agg(min(col(dimCol)).as("_fill_v"))
+    fact.join(broadcast(d), Seq(factKey), "left")
+      .withColumn(factCol,
+        when(isMissing(col(factCol)), col("_fill_v")).otherwise(col(factCol)))
+      .drop("_fill_v")
+  }
+
+  /** JSON-envelope ingest decode (S1): gate on ret_code=="0000", then
+    * explode the payload array (load_sales_data.py:93-100). `schema`
+    * is the full envelope StructType with a `data` array field; every
+    * payload field is nullable by construction, matching the
+    * reference's dict.get(...) → None semantics
+    * (load_sales_data.py:104-127).
+    */
+  def decodeEnvelope(raw: DataFrame, jsonCol: String, schema: StructType): DataFrame =
+    raw.withColumn("_env", from_json(col(jsonCol), schema))
+      .filter(col("_env.ret_code") === "0000")
+      .select(explode(col("_env.data")).as("_rec"))
+      .select(col("_rec.*"))
+}
