@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star mandate): media (image /
+  * audio / video) travels as opaque `binary` columns with typed
+  * metadata beside it, and decode / feature-extraction runs as a typed
+  * `mapPartitions` over the binary payloads — the Scala analog of a
+  * vectorized Python `mapInPandas` stage. The per-partition iterator is
+  * the unit of batching: a real decoder would initialize its native
+  * library once per partition, then stream records through it; that
+  * partition-lifecycle shape is exactly what is implemented and tested
+  * here.
+  *
+  * The decode itself is a STUB (this container ships no codec
+  * libraries): `FakeDecoded` derives every "decoded" feature
+  * deterministically from the byte payload with pure integer
+  * arithmetic, so the full pipeline — schema, partitioning, batch
+  * iteration, feature extraction — is real and oracle-verifiable, and
+  * swapping in a true JNI/JavaCV decoder changes only `decodeOne`.
+  */
+object MultimodalOps {
+
+  /** Typed record entering the decode stage: id + opaque media bytes. */
+  final case class MediaRecord(media_id: Long, payload: Array[Byte])
+
+  /** Typed "decoded" features leaving the decode stage. */
+  final case class MediaFeatures(media_id: Long, n_bytes: Long,
+                                 width: Long, height: Long, checksum: Long)
+
+  /** STUB decoder — deterministic fake standing in for a codec call.
+    * width/height from byte length; checksum = sum of the first 16
+    * byte values (the "header"). A real implementation would parse the
+    * container format here; nothing outside this function changes.
+    */
+  def decodeOne(r: MediaRecord): MediaFeatures = {
+    val n = r.payload.length.toLong
+    val header = r.payload.take(16).map(b => (b & 0xffL)).sum
+    MediaFeatures(
+      media_id = r.media_id,
+      n_bytes = n,
+      width = 64L + n % 512L,
+      height = 64L + (n / 7L) % 512L,
+      checksum = header % 997L)
+  }
+
+  /** The decode stage: partition-at-a-time iteration over binary
+    * payloads. One (stub) decoder "session" per partition; records
+    * stream through the iterator without materializing the partition.
+    */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real decoder: open codec context here, close on exhaustion
+      it.map(decodeOne)
+    }
+  }
+
+  /** Wire a DataFrame with (idCol: long, binCol: binary) through the
+    * typed decode stage and back to an untyped DataFrame for the
+    * relational layer.
+    */
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val typed = df.select(col(idCol).as("media_id"), col(binCol).as("payload"))
+      .as[MediaRecord]
+    decodeFeatures(typed).toDF()
+  }
+}

@@ -79,18 +79,24 @@ object RelationalOps {
     keys.crossJoin(keys.sparkSession.range(1).select(dateRange(lo, hi).as("d")))
 
   /** Latest-wins upsert / MERGE (U1): one shuffle on the key, incoming
-    * beats target, ties impossible because priority is explicit —
-    * never file order (SURVEY.md §7 risk 2). This replaces the
-    * reference's per-row exists-probe + UPDATE/INSERT
-    * (load_sales_data.py:129-134) with a single window over
-    * `target ∪ incoming`; at 100 TB it is one hash-partitioned
+    * beats target — priority is explicit, never file order (SURVEY.md
+    * §7 risk 2). This replaces the reference's per-row exists-probe +
+    * UPDATE/INSERT (load_sales_data.py:129-134) with a single window
+    * over `target ∪ incoming`; at 100 TB it is one hash-partitioned
     * exchange instead of 2N round-trips.
+    *
+    * Determinism contract: each side must be key-unique (the
+    * reference's tables are, by PK). If a side may carry duplicate
+    * keys, pass `tiebreak` columns that totally order rows within a
+    * key so re-runs are bitwise reproducible at any partition count.
     */
   def upsertLatestWins(target: DataFrame, incoming: DataFrame,
-                       keys: Seq[String]): DataFrame = {
+                       keys: Seq[String],
+                       tiebreak: Seq[Column] = Nil): DataFrame = {
     val unioned = target.withColumn("_src_priority", lit(1))
       .unionByName(incoming.withColumn("_src_priority", lit(0)))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_src_priority"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_src_priority") +: tiebreak: _*)
     unioned.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_src_priority")
@@ -100,25 +106,28 @@ object RelationalOps {
     * match in target (load_sales_data.py:132-134).
     */
   def newRows(incoming: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame =
-    incoming.join(target.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    incoming.join(target.select(keys.map(col): _*), keys, "left_anti")
 
   /** Update-if-present half (J4): rows whose key already exists
     * (load_sales_data.py:129-131).
     */
   def existingRows(incoming: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame =
-    incoming.join(target.select(keys.map(col): _*).distinct(), keys, "left_semi")
+    incoming.join(target.select(keys.map(col): _*), keys, "left_semi")
 
   /** Update-join (J1): MySQL `UPDATE fact JOIN dim SET fact.c = dim.c`
     * (kicc_to_tb_sales.py:108-125) ≡ broadcast left join + overwrite-
-    * when-matched. `dim` must be (key, value) with value named
-    * `_dim_v` by the caller-supplied column.
+    * when-matched. Reads `dimCol` keyed by `key` from `dim`,
+    * overwriting `fact(factCol)` where a non-null dim value matches.
+    * The dim is deduped on its key (min) before the join so duplicate
+    * dim keys can never fan out fact rows.
     */
   def enrichJoinOverwrite(fact: DataFrame, dim: DataFrame, key: String,
-                          factCol: String, dimCol: String): DataFrame =
-    fact.join(broadcast(dim.select(col(key), col(dimCol).as("_dim_v"))),
-        Seq(key), "left")
+                          factCol: String, dimCol: String): DataFrame = {
+    val d = dim.groupBy(col(key)).agg(min(col(dimCol)).as("_dim_v"))
+    fact.join(broadcast(d), Seq(key), "left")
       .withColumn(factCol, coalesce(col("_dim_v"), col(factCol)))
       .drop("_dim_v")
+  }
 
   /** Filtered update-join (J2): fill only where currently NULL/''
     * (kicc_to_tb_sales_prod.py:119-134). Dim is deduped on its key so

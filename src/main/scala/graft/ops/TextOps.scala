@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators for the LLM-training-data
+  * pipeline (north-star mandate; no analog in the reference, whose only
+  * text handling is opaque Korean name strings, e.g.
+  * load_store_data.py:95-137). Everything here is built from codegen'd
+  * `org.apache.spark.sql.functions` — no UDFs — so whole-stage codegen
+  * spans the full pipeline and every op scales by partitioning alone.
+  *
+  * Determinism: ops meant for the DuckDB oracle use only integer
+  * arithmetic or single-division doubles; sketch internals (minhash,
+  * simhash) use xxhash64 + affine transforms mod a 31-bit prime so all
+  * values stay exact in LongType.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. The fixture text is single-space word
+    * soup; a production corpus would use the regex tokenizer below.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Exact-duplicate grouping (q24): content hash → one group per
+    * distinct text, keeper = min doc id, like the reference's
+    * idempotent PK upsert collapsing re-sent rows
+    * (load_sales_data.py:129-134) generalized to content identity.
+    * One hash-partitioned aggregation; at 100 TB this is the standard
+    * exact-dedup shuffle on a 256-bit key.
+    */
+  def exactDedupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles of a token array, joined by a
+    * separator that cannot appear inside a token.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** 31-bit base hash of each shingle: xxhash64 folded into
+    * [0, 2^31-1) so the affine minhash permutations below never
+    * overflow a Long ((2^31)^2 < 2^63).
+    */
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  def shingleHashes(shing: Column): Column =
+    transform(shing, s => pmod(xxhash64(s), lit(MersennePrime)))
+
+  /** k-permutation MinHash signature: min_i((a_j * h_i + b_j) mod p)
+    * per permutation j. a/b are fixed odd constants (deterministic
+    * across runs and partition counts — SURVEY.md §7 risk 2 applies to
+    * sketches too).
+    */
+  def minhashSignature(hashes: Column, k: Int): Column = {
+    val perms = (0 until k).map { j =>
+      val a = 2L * j + 1001L
+      val b = 7L * j + 3079L
+      array_min(transform(hashes, h => pmod(h * a + b, lit(MersennePrime))))
+    }
+    array(perms: _*)
+  }
+
+  /** LSH banding: signature of k minhashes → b bands of r rows each
+    * (k = b*r); each band becomes (band_idx, band_sig) — docs sharing
+    * any band land in the same bucket. Returns one row per (doc, band):
+    * the table to self-join on (band_idx, band_sig) for candidates.
+    * This is the scale path: candidate generation is a hash-partitioned
+    * equi-join on bucket keys, never an all-pairs cross join.
+    */
+  def lshBands(docs: DataFrame, idCol: String, sigCol: String,
+               bands: Int, rows: Int): DataFrame =
+    docs.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_idx"),
+            concat_ws("_", slice(col(sigCol), b * rows + 1, lit(rows))).as("band_sig")))))
+      .select(col(idCol), col("col.band_idx"), col("col.band_sig"))
+
+  /** Candidate pairs from LSH buckets: self-join on the band key with
+    * id< to orient, then distinct (a pair can collide in several
+    * bands). At scale, skewed buckets (boilerplate shingles) should be
+    * capped before the join; unnecessary at fixture scale.
+    */
+  def lshCandidates(banded: DataFrame, idCol: String): DataFrame = {
+    val a = banded.select(col("band_idx"), col("band_sig"), col(idCol).as("id_a"))
+    val b = banded.select(col("band_idx"), col("band_sig"), col(idCol).as("id_b"))
+    a.join(b, Seq("band_idx", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs over distinct
+    * shingle sets, in pure integer arithmetic (intersection and union
+    * sizes) so the ≥-threshold filter is bit-exact in any engine.
+    * Keeps only pairs with J = inter/union >= num/den.
+    */
+  def jaccardVerify(cands: DataFrame, docShingles: DataFrame, idCol: String,
+                    shCol: String, num: Int, den: Int): DataFrame = {
+    val sa = docShingles.select(col(idCol).as("id_a"), col(shCol).as("_sh_a"))
+    val sb = docShingles.select(col(idCol).as("id_b"), col(shCol).as("_sh_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("n_inter", size(array_intersect(col("_sh_a"), col("_sh_b"))))
+      .withColumn("n_union",
+        size(col("_sh_a")) + size(col("_sh_b")) - col("n_inter"))
+      .filter(col("n_union") > 0 && col("n_inter") * den >= col("n_union") * num)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
+  }
+
+  /** 64-bit SimHash over tokens: per-token xxhash64, each bit votes
+    * +1/-1, fingerprint bit = sign of the vote sum. Near-dups differ in
+    * few bits (Hamming distance); grouping on bit-prefixes gives the
+    * banded search analog to MinHash. Sketch internals are not
+    * SQL-portable → verified by unit test, not the DuckDB oracle.
+    */
+  def simhash64(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Language-ID heuristic: count tokens hitting a per-language marker
+    * list; predicted language = best hit ratio above a floor. Integer
+    * counts only — oracle-safe. Real systems use char n-gram profiles;
+    * the shape (per-doc bounded map over a broadcast marker set) is
+    * identical and scale-free.
+    */
+  def langMarkerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Quality signals (integer/single-division only): token count,
+    * distinct-token count, char count, punctuation count, mean token
+    * length. The composite flag mirrors common pretraining-corpus
+    * filters (too short / too repetitive).
+    */
+  def qualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[.,!?;:]", ""))).as("n_punct"))
+      .withColumn("mean_tok_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("quality_flag",
+        when(col("n_tokens") < 10, lit("too_short"))
+          .when(col("n_distinct") * 3 < col("n_tokens"), lit("repetitive"))
+          .otherwise(lit("ok")))
+  }
+
+  /** Token counting (q32): whitespace tokens plus a BPE-ish subword
+    * estimate — alpha/digit/other runs via regexp, and ceil(len/4)
+    * subwords per run (the ~4-chars-per-token rule of thumb). Integer
+    * arithmetic throughout.
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val runs = expr(s"regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")
+    df.select(
+      col(idCol),
+      size(tokens(col(textCol))).as("n_ws_tokens"),
+      size(runs).as("n_runs"),
+      aggregate(runs, lit(0L),
+        (acc, t) => acc + shiftright(length(t) + 3, 2).cast("long"))
+        .as("n_subwords_est"))
+  }
+
+  /** Positional polynomial document fingerprint (q33): a rolling-hash
+    * style content signature Σ_i (i+1)·(ascii(t_i)·131 + len(t_i))
+    * mod p — order-sensitive (unlike a bag-of-words hash) yet exactly
+    * portable to any SQL engine via integer arithmetic.
+    */
+  def docFingerprint(toks: Column): Column =
+    pmod(
+      aggregate(
+        zip_with(toks, sequence(lit(1), size(toks)),
+          (t, i) => i.cast("long") * (ascii(t) * 131L + length(t))),
+        lit(0L), (acc, x) => acc + x),
+      lit(MersennePrime))
+}

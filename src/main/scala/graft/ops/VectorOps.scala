@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding / similarity-search operators (north-star mandate; the
+  * reference has no vector data — closest analog is its dimension
+  * enrichment joins, kicc_to_tb_sales.py:108-125, whose broadcast-probe
+  * shape these ops reuse). All arithmetic is done in DOUBLE via
+  * higher-order functions (`transform`/`zip_with`/`aggregate`) — fully
+  * codegen-compatible, no UDFs, order-deterministic (fold is
+  * left-to-right in array order, so results are identical at any
+  * partition count).
+  */
+object VectorOps {
+
+  /** Elementwise cast to double — float32 parquet values widen exactly. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product via zip_with + left-to-right fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force top-k cosine neighbors of one probe vector (q26): the
+    * exact baseline every ANN variant is measured against. The probe
+    * side is a single row → Catalyst plans a broadcast nested-loop
+    * join; the corpus is scanned once, fully parallel, no shuffle
+    * until the final top-k (a k-row ordered take on the driver).
+    * At 100 TB: identical plan; the scan dominates and partitions
+    * evenly; `limit` after `orderBy` is a per-partition top-k then a
+    * k-sized merge — never a global sort materialization.
+    */
+  def cosineTopK(corpus: DataFrame, probe: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val p = broadcast(probe.select(col(vecCol).as("_probe_vec")))
+    corpus.join(p)
+      .select(col(idCol),
+        round(cosine(toDouble(col(vecCol)), toDouble(col("_probe_vec"))), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Near-duplicate pairs by cosine within a blocking key (q35):
+    * embeddings are compared only inside their block (here: label;
+    * in production: an LSH bucket or IVF cell), so the join is a
+    * hash-partitioned equi-join on the block key — all-pairs only
+    * within a block, never globally. Output is id pairs only
+    * (integers — bit-exact in any engine; the threshold compare
+    * happens on doubles with a wide margin by construction).
+    */
+  def cosineNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                         blockCol: String, threshold: Double): DataFrame = {
+    val a = vecs.select(col(blockCol),
+      col(idCol).as("id_a"), col(vecCol).as("_v_a"))
+    val b = vecs.select(col(blockCol),
+      col(idCol).as("id_b"), col(vecCol).as("_v_b"))
+    a.join(b, Seq(blockCol))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(toDouble(col("_v_a")), toDouble(col("_v_b"))) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** IVF-style ANN (q36): treat `labelCol` as the coarse quantizer's
+    * precomputed cell assignment (in production: k-means cell ids
+    * written at ingest). Search = (1) rank cells by probe↔centroid
+    * similarity, (2) scan only the best `nprobe` cells' vectors.
+    * Centroids are a tiny aggregate (|cells| rows) → broadcast;
+    * the candidate scan is a partition-pruned fraction of the corpus.
+    * This is the 100-TB path: brute force scans everything; IVF scans
+    * nprobe/|cells| of it.
+    */
+  def ivfTopK(vecs: DataFrame, probe: DataFrame, idCol: String, vecCol: String,
+              labelCol: String, nprobe: Int, k: Int): DataFrame = {
+    val dims = vecs.select(col(labelCol), posexplode(toDouble(col(vecCol))))
+    val centroids = dims.groupBy(col(labelCol), col("pos"))
+      .agg(avg(col("col")).as("c"))
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col(labelCol), transform(col("pc"), x => x("c")).as("_centroid"))
+    val p = broadcast(probe.select(toDouble(col(vecCol)).as("_probe_vec")))
+    val best = broadcast(
+      centroids.join(p)
+        .select(col(labelCol),
+          cosine(col("_centroid"), col("_probe_vec")).as("_csim"))
+        .orderBy(col("_csim").desc, col(labelCol))
+        .limit(nprobe)
+        .select(col(labelCol)))
+    vecs.join(best, Seq(labelCol)) // cell pruning: only nprobe cells scanned
+      .join(p)
+      .select(col(idCol),
+        round(cosine(toDouble(col(vecCol)), col("_probe_vec")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,13 +1,366 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.ops.{MultimodalOps, TextOps, VectorOps}
+import graft.ops.RelationalOps.sumMoney
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
-/** q21+ — north-star extensions (SURVEY.md §2d–§2h): json/window/topk,
-  * and the LLM-training-data-pipeline operators (dedup, similarity
-  * search, text analysis, multimodal plumbing). Filled incrementally.
+/** q21–q37: the north-star LLM-data-pipeline operators (BASELINE.md
+  * mandate: dedup, similarity search, multimodal columns, text
+  * analysis) plus window/sketch ops absent from the reference
+  * (SURVEY.md §2d/§2e/§2g/§2h). Reference analogs cited per query
+  * where they exist; the fixture `documents` corpus is all-distinct,
+  * so dedup queries plant duplicates by unioning a deterministic
+  * mutated copy (ids offset by +100000) — the operator then has real
+  * work to find.
+  *
+  * Oracle discipline (SURVEY.md §7 risk 1): outputs are integers,
+  * exact decimals surfaced as double, or doubles rounded well clear of
+  * representation noise; sketch-valued queries (simhash) omit the SQL
+  * oracle → rows-only check.
   */
 object NorthQueries {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracle: Map[String, String] = Map()
+
+  private val DupOffset = 100000L
+
+  /** documents ∪ exact copy of itself with offset ids: the planted
+    * exact-duplicate corpus.
+    */
+  private def docsWithExactDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.select((col("doc_id") + DupOffset).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-duplicate copies (one token appended): the
+    * planted near-dup corpus for MinHash/SimHash.
+    */
+  private def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.select((col("doc_id") + DupOffset).as("doc_id"),
+        concat(col("text"), lit(" graftdup")).as("text")))
+  }
+
+  /** embeddings ∪ slightly-perturbed copies (x → 1.05x + 0.02, exact
+    * double arithmetic in any engine): the planted cosine near-dups.
+    */
+  private def embWithNearDups(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        VectorOps.toDouble(col("embedding")).as("embedding"))
+    e.unionByName(
+      e.select((col("vec_id") + DupOffset).as("vec_id"), col("label"),
+        transform(col("embedding"), x => x * 1.05 + 0.02).as("embedding")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // F8 — typed extraction from a JSON string column. Reference
+    // analog: the API envelope decode (load_sales_data.py:96-100),
+    // its only JSON-typed data. get_json_object is codegen'd; no UDF.
+    "q21_json_extract" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // U3 — running total per key: cumulative daily value per user.
+    // Daily rollup (one shuffle) then a window over days; sums carried
+    // as DECIMAL so the running total is exact at any partition count.
+    "q22_running_total" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("_daily"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(col("user_id"), col("day"),
+        col("_daily").cast("double").as("daily_amt"),
+        sum(col("_daily")).over(w).cast("double").as("running_amt"))
+    }),
+
+    // U2 — top-k per group: top-3 parts per supplier by exact decimal
+    // revenue, ties broken by part key → fully deterministic.
+    "q23_topk" -> ((s, d) => {
+      val price = col("l_extendedprice").cast(DecimalType(18, 2))
+      val disc = col("l_discount").cast(DecimalType(18, 2))
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(price * (lit(1).cast(DecimalType(18, 2)) - disc)).as("_rev"))
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("_rev").desc, col("l_partkey"))
+      rev.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("l_suppkey"), col("l_partkey"),
+          col("_rev").cast("double").as("revenue"), col("rk").cast("long").as("rk"))
+    }),
+
+    // §2h — exact dedup: sha256 content hash → keeper id + copy count.
+    // One hash-partitioned aggregation; the 100-TB exact-dedup shape.
+    "q24_dedup_docs" -> ((s, d) =>
+      TextOps.exactDedupGroups(docsWithExactDups(s, d), "doc_id", "text")),
+
+    // §2f — text stats: token/char/distinct counts, punctuation,
+    // mean token length, and a corpus-quality flag. Integer arithmetic
+    // plus one final division.
+    "q25_text_stats" -> ((s, d) => {
+      val q = TextOps.qualitySignals(Tables.documents(s, d), "doc_id", "text")
+      q.select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        col("n_punct").cast("long").as("n_punct"),
+        col("mean_tok_len"), col("quality_flag"))
+    }),
+
+    // §2h — brute-force cosine top-k vs one probe vector: the exact
+    // ANN baseline. Probe broadcast (1 row), corpus scanned once,
+    // per-partition top-k + k-row merge — no global sort.
+    "q26_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      VectorOps.cosineTopK(e, e.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", 10)
+    }),
+
+    // §2g — event-time sessionization, batch form: tumbling 1-hour
+    // windows × event_type. One shuffle; the Structured Streaming
+    // twin (watermark + dropDuplicates) lives in graft.streaming.
+    "q27_sessionize" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("hour_start"), col("event_type"), col("n"))),
+
+    // §2d — approximate distinct (HLL++): distinct users per event
+    // type. The sketch is merge-associative → identical at any
+    // partition count; rsd 0.005 is exact at fixture cardinalities
+    // (verified against count(distinct) in the oracle) while staying
+    // a constant-memory sketch at 100 TB where exact distinct shuffles
+    // every key.
+    "q28_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.005).as("n_users"))),
+
+    // §2h — MinHash + LSH banding near-dup detection: shingle →
+    // 32-perm minhash → 16 bands × r=2 → bucket self-join →
+    // exact-Jaccard verify (integer ≥ 4/5). Candidate generation is a
+    // hash join on bucket keys — never all-pairs. The oracle computes
+    // ground-truth all-pairs Jaccard (feasible only at fixture scale);
+    // matching it end-to-end certifies both recall and precision of
+    // the banding at this threshold.
+    "q29_minhash_lsh_neardup" -> ((s, d) => {
+      val corpus = docsWithNearDups(s, d)
+      val sh = corpus.select(col("doc_id"),
+        TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      val sig = sh.select(col("doc_id"),
+        TextOps.minhashSignature(TextOps.shingleHashes(col("sh")), 32).as("sig"))
+      val cands = TextOps.lshCandidates(
+        TextOps.lshBands(sig, "doc_id", "sig", 16, 2), "doc_id")
+      TextOps.jaccardVerify(cands, sh, "doc_id", "sh", 4, 5)
+    }),
+
+    // §2h — SimHash fingerprints (rows-only: sketch values are not
+    // SQL-portable; unit-tested in TextOpsSpec instead). Near-dups
+    // differ in few bits; `band` (top 16 bits) is the grouping key a
+    // banded Hamming search would bucket on.
+    "q30_simhash" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.simhash64(TextOps.tokens(col("text"))).as("simhash"))
+        .withColumn("band", shiftright(col("simhash"), 48))),
+
+    // §2f — language-ID heuristic: marker-token hit counts per
+    // language, prediction = arg-max ratio with a floor. Integer
+    // counts → oracle-exact.
+    "q31_lang_id" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val en = Seq("the", "a", "of", "and", "to", "in", "is", "row", "table", "data")
+      val es = Seq("el", "la", "de", "y", "en", "es", "un", "una", "que", "por")
+      val de = Seq("der", "die", "das", "und", "zu", "den", "von", "mit", "ist", "ein")
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          size(toks).cast("long").as("n_tokens"),
+          TextOps.langMarkerHits(toks, en).cast("long").as("en_hits"),
+          TextOps.langMarkerHits(toks, es).cast("long").as("es_hits"),
+          TextOps.langMarkerHits(toks, de).cast("long").as("de_hits"))
+        .withColumn("pred_lang",
+          when(col("en_hits") >= col("es_hits")
+              && col("en_hits") >= col("de_hits")
+              && col("en_hits") * 20 >= col("n_tokens"), lit("en"))
+            .when(col("es_hits") >= col("de_hits")
+              && col("es_hits") * 20 >= col("n_tokens"), lit("es"))
+            .when(col("de_hits") * 20 >= col("n_tokens"), lit("de"))
+            .otherwise(lit("unknown")))
+    }),
+
+    // §2f — token counting: whitespace tokens + BPE-ish subword
+    // estimate (alpha/digit/symbol runs, ceil(len/4) per run).
+    "q32_token_count" -> ((s, d) => {
+      val t = TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+      t.select(col("doc_id"),
+        col("n_ws_tokens").cast("long").as("n_ws_tokens"),
+        col("n_runs").cast("long").as("n_runs"),
+        col("n_subwords_est"))
+    }),
+
+    // §2f — positional polynomial fingerprint: order-sensitive content
+    // signature in exact integer arithmetic (portable to any engine).
+    "q33_doc_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.docFingerprint(TextOps.tokens(col("text"))).as("fingerprint"))),
+
+    // §2h — embedding-cosine near-dup pairs, blocked by label (the
+    // production block is an LSH bucket/IVF cell): planted perturbed
+    // copies sit at cosine ≈ 0.999+, random intra-label pairs ≤ ~0.5 —
+    // threshold 0.9 has a wide margin on both sides.
+    "q34_embed_neardup" -> ((s, d) =>
+      VectorOps.cosineNearDupPairs(embWithNearDups(s, d),
+        "vec_id", "embedding", "label", 0.9)),
+
+    // §2h — IVF-style ANN: label = precomputed coarse-quantizer cell;
+    // rank cells by probe↔centroid cosine, scan only the best nprobe
+    // cells. The 100-TB similarity-search path: scans nprobe/|cells|
+    // of the corpus instead of all of it.
+    "q35_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      VectorOps.ivfTopK(e, e.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", "label", 3, 10)
+    }),
+
+    // §2h (multimodal) — opaque binary payloads through a typed
+    // mapPartitions decode stage (stubbed codec, real plumbing:
+    // schema, partition batching, feature extraction). Features are
+    // integer-derived from the bytes → oracle-exact.
+    "q36_multimodal_features" -> ((s, d) =>
+      MultimodalOps.extractFeatures(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload"))
+  )
+
+  private val dupUnionDocs =
+    s"""SELECT doc_id, text FROM documents
+       | UNION ALL SELECT doc_id + $DupOffset AS doc_id, text FROM documents""".stripMargin
+
+  private val nearDupUnionDocs =
+    s"""SELECT doc_id, text FROM documents
+       | UNION ALL SELECT doc_id + $DupOffset AS doc_id, text || ' graftdup' AS text FROM documents""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q21_json_extract" ->
+      "SELECT event_id, event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events",
+    "q22_running_total" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS d
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, CAST(d AS DOUBLE) AS daily_amt,
+        |       CAST(sum(d) OVER (PARTITION BY user_id ORDER BY day) AS DOUBLE) AS running_amt
+        |FROM daily""".stripMargin,
+    "q23_topk" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, l_partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        |  FROM lineitem GROUP BY 1, 2),
+        | rk AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey ORDER BY r DESC, l_partkey) AS rk FROM rev)
+        |SELECT l_suppkey, l_partkey, CAST(r AS DOUBLE) AS revenue, CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 3""".stripMargin,
+    "q24_dedup_docs" ->
+      s"""SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+         |       count(*) AS n_copies
+         |FROM ($dupUnionDocs) GROUP BY 1""".stripMargin,
+    "q25_text_stats" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        | CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')) AS mean_tok_len,
+        | CASE WHEN len(string_split(text, ' ')) < 10 THEN 'too_short'
+        |      WHEN len(list_distinct(string_split(text, ' '))) * 3 < len(string_split(text, ' ')) THEN 'repetitive'
+        |      ELSE 'ok' END AS quality_flag
+        |FROM documents""".stripMargin,
+    "q26_cosine_topk" ->
+      """SELECT b.vec_id,
+        |       round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a CROSS JOIN embeddings b
+        |WHERE a.vec_id = 0
+        |ORDER BY sim DESC, b.vec_id LIMIT 10""".stripMargin,
+    "q27_sessionize" ->
+      "SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n FROM events GROUP BY 1, 2",
+    "q28_approx_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+    "q29_minhash_lsh_neardup" ->
+      s"""WITH corpus AS ($nearDupUnionDocs),
+         | sh AS (SELECT doc_id,
+         |   list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+         |     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+         |   FROM corpus WHERE len(string_split(text,' ')) >= 3)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS n_inter,
+         |       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INT) AS n_union
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4""".stripMargin,
+    "q31_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        | h AS (SELECT doc_id, lang,
+        |   CAST(len(toks) AS BIGINT) AS n_tokens,
+        |   CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','row','table','data'))) AS BIGINT) AS en_hits,
+        |   CAST(len(list_filter(toks, t -> t IN ('el','la','de','y','en','es','un','una','que','por'))) AS BIGINT) AS es_hits,
+        |   CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','zu','den','von','mit','ist','ein'))) AS BIGINT) AS de_hits
+        |   FROM t)
+        |SELECT *,
+        | CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits * 20 >= n_tokens THEN 'en'
+        |      WHEN es_hits >= de_hits AND es_hits * 20 >= n_tokens THEN 'es'
+        |      WHEN de_hits * 20 >= n_tokens THEN 'de'
+        |      ELSE 'unknown' END AS pred_lang
+        |FROM h""".stripMargin,
+    "q32_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_runs,
+        | CAST(list_sum(list_transform(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'),
+        |      t -> (length(t) + 3) // 4)) AS BIGINT) AS n_subwords_est
+        |FROM documents""".stripMargin,
+    "q33_doc_fingerprint" ->
+      """SELECT doc_id, CAST(sum(ord * (ascii(tok) * 131 + length(tok))) % 2147483647 AS BIGINT) AS fingerprint
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |             generate_subscripts(string_split(text, ' '), 1) AS ord
+        |      FROM documents)
+        |GROUP BY doc_id""".stripMargin,
+    "q34_embed_neardup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + $DupOffset AS vec_id, label,
+         |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.05 + 0.02) AS v
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+    "q35_ann_ivf" ->
+      """WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0),
+        | dims AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |                 generate_subscripts(embedding, 1) AS i FROM embeddings),
+        | cent AS (SELECT label, i, avg(x) AS c FROM dims GROUP BY 1, 2),
+        | pnorm AS (SELECT sqrt(list_sum(list_transform(p, y -> y * y))) AS pn FROM probe),
+        | csim AS (SELECT label, sum(c * p[i]) / (sqrt(sum(c * c)) * any_value(pn)) AS cs
+        |          FROM cent, probe, pnorm GROUP BY label),
+        | best AS (SELECT label FROM csim ORDER BY cs DESC, label LIMIT 3)
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p), 6) AS sim
+        |FROM embeddings e JOIN best USING (label) CROSS JOIN probe
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q36_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | CAST(64 + strlen(text) % 512 AS BIGINT) AS width,
+        | CAST(64 + (strlen(text) // 7) % 512 AS BIGINT) AS height,
+        | CAST(list_sum(list_transform(range(1, 17), i -> ascii(substr(text, CAST(i AS INT), 1)))) % 997 AS BIGINT) AS checksum
+        |FROM documents""".stripMargin
+    // q30_simhash: sketch-valued, not SQL-portable → rows-only check.
+  )
 }

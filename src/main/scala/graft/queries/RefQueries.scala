@@ -143,7 +143,7 @@ object RefQueries {
         .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("sale_dy"))
         .agg(
           count(lit(1)).as("bill_qty"),
-          sum(col("l_quantity")).as("total_qty"),
+          sumMoney(col("l_quantity")).as("total_qty"),
           sumMoney(col("l_extendedprice")).as("chong_maechool"),
           sumMoney(when(col("l_returnflag") === "R", col("l_extendedprice"))
             .otherwise(lit(0))).as("return_amt"))),
@@ -158,7 +158,7 @@ object RefQueries {
       Tables.lineitem(s, d)
         .groupBy(col("l_partkey"), col("l_shipdate").cast("date").as("sale_dy"))
         .agg(
-          sum(col("l_quantity")).as("sale_qty"),
+          sumMoney(col("l_quantity")).as("sale_qty"),
           sum(price).cast("double").as("total_amt"),
           sum(price * (lit(1).cast("decimal(18,2)") - disc)).cast("double")
             .as("net_amt"),
@@ -166,11 +166,17 @@ object RefQueries {
     }),
 
     // S8 — truncate-and-load full refresh (load_prod_data.py:51-53):
-    // the refreshed snapshot; in production written mode("overwrite")
-    // for an atomic job-level replacement of the non-atomic TRUNCATE.
-    "q19_overwrite_refresh" -> ((s, d) =>
-      Tables.part(s, d).select(col("p_partkey"), col("p_name"),
-        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))),
+    // mode("overwrite") is the atomic job-level replacement of the
+    // reference's non-atomic TRUNCATE+insert — readers see either the
+    // old or the new snapshot, never an empty table. The query writes
+    // the refreshed snapshot for real, then returns the re-read.
+    "q19_overwrite_refresh" -> ((s, d) => {
+      val snapshot = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q19_refresh"
+      snapshot.write.mode("overwrite").parquet(sink)
+      s.read.parquet(sink)
+    }),
 
     // A3 / S5 — set-based replacement for per-key COUNT(*) probes
     // (load_sales_data.py:35-40 et al.).
@@ -224,13 +230,13 @@ object RefQueries {
         |LEFT JOIN (SELECT p_partkey, min(p_type) AS fill FROM part GROUP BY p_partkey) d USING (p_partkey)""".stripMargin,
     "q17_store_day_agg" ->
       """SELECT l_suppkey, CAST(l_shipdate AS DATE) AS sale_dy, count(*) AS bill_qty,
-        | sum(l_quantity) AS total_qty,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS chong_maechool,
         | CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS return_amt
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q18_item_day_agg" ->
       """SELECT l_partkey, CAST(l_shipdate AS DATE) AS sale_dy,
-        | sum(l_quantity) AS sale_qty,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sale_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amt,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS net_amt,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount
