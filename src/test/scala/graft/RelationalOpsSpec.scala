@@ -1,0 +1,131 @@
+package graft
+
+import graft.ops.RelationalOps._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Unit coverage per RelationalOps combinator (SURVEY.md §5.2) on
+  * hand-built frames with known outputs — including decodeEnvelope,
+  * which no oracle query exercises.
+  */
+class RelationalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("excludeKey drops exactly the bad key (P1)") {
+    val df = Seq("000001", "000002", "000003").toDF("sp_code")
+    val out = excludeKey(df, "sp_code", "000002").as[String].collect().sorted
+    assert(out.sameElements(Array("000001", "000003")))
+  }
+
+  test("isMissing treats NULL and '' as the same missing state (P2)") {
+    val df = Seq(Some("x"), Some(""), None).toDF("v")
+    assert(df.filter(isMissing($"v")).count() === 2)
+  }
+
+  test("inListNullFill fills only null rows whose key is in the list (P3)") {
+    val df = Seq(
+      ("000003", null.asInstanceOf[String]),
+      ("000003", "kept"),
+      ("999999", null.asInstanceOf[String])).toDF("chain_no", "responsible")
+    val out = inListNullFill(df, "responsible", "chain_no", Seq("000003"), "직영")
+      .orderBy("chain_no", "responsible").as[(String, String)].collect()
+    assert(out.toSeq === Seq(
+      ("000003", "kept"), ("000003", "직영"), ("999999", null)))
+  }
+
+  test("renameProject maps staging names to mart names (P5)") {
+    val df = Seq((1L, 10.0)).toDF("total_amt", "cash_amt")
+    val out = renameProject(df,
+      Seq("total_amt" -> "chong_maechool", "cash_amt" -> "cash_maechool"))
+    assert(out.columns.toSeq === Seq("chong_maechool", "cash_maechool"))
+  }
+
+  test("castAllString preserves NULL (F4)") {
+    val df = Seq((Some(1), Some(2.5)), (None, None)).toDF("a", "b")
+    val out = castAllString(df)
+    assert(out.schema.fields.forall(_.dataType == StringType))
+    assert(out.filter($"a".isNull && $"b".isNull).count() === 1)
+  }
+
+  test("parseYyyymmdd: valid parses, malformed → null (F1)") {
+    val df = Seq("20240131", "2024-01-31", "garbage").toDF("d")
+    val out = df.select(parseYyyymmdd($"d").as("p")).collect().map(_.get(0))
+    assert(out(0) == java.sql.Date.valueOf("2024-01-31"))
+    assert(out(1) == null && out(2) == null)
+  }
+
+  test("formatYyyymmdd round-trips with parse (F2)") {
+    val df = Seq("20231205").toDF("d")
+    val out = df.select(formatYyyymmdd(parseYyyymmdd($"d")).as("r"))
+      .as[String].head()
+    assert(out === "20231205")
+  }
+
+  test("dateRange generates every date inclusive (F6)") {
+    val out = spark.range(1)
+      .select(dateRange("2024-02-27", "2024-03-02").as("d")).count()
+    assert(out === 5) // leap year: 27,28,29,1,2
+  }
+
+  test("crossJoinWorklist = keys × dates (J5)") {
+    val keys = Seq("a", "b", "c").toDF("k")
+    assert(crossJoinWorklist(keys, "2024-01-01", "2024-01-04").count() === 12)
+  }
+
+  test("upsertLatestWins: incoming beats target, new keys appended (U1)") {
+    val target = Seq((1, "old"), (2, "old")).toDF("k", "v")
+    val incoming = Seq((2, "new"), (3, "new")).toDF("k", "v")
+    val out = upsertLatestWins(target, incoming, Seq("k"))
+      .orderBy("k").as[(Int, String)].collect()
+    assert(out.toSeq === Seq((1, "old"), (2, "new"), (3, "new")))
+  }
+
+  test("newRows/existingRows split incoming by key presence (J3/J4)") {
+    val target = Seq(1, 2).toDF("k")
+    val incoming = Seq((2, "x"), (3, "y")).toDF("k", "v")
+    assert(newRows(incoming, target, Seq("k")).as[(Int, String)].head() === ((3, "y")))
+    assert(existingRows(incoming, target, Seq("k")).as[(Int, String)].head() === ((2, "x")))
+  }
+
+  test("enrichJoinOverwrite: dim wins when matched, fact kept otherwise, dup dims no fanout (J1)") {
+    val fact = Seq((1, "keep"), (2, "lose")).toDF("k", "v")
+    val dim = Seq((2, "dimv"), (2, "dimv2")).toDF("k", "dv") // duplicate key
+    val out = enrichJoinOverwrite(fact, dim, "k", "v", "dv")
+      .orderBy("k").as[(Int, String)].collect()
+    assert(out.length === 2) // no fanout
+    assert(out.toSeq === Seq((1, "keep"), (2, "dimv")))
+  }
+
+  test("dimFillWhenEmpty fills NULL and '' only (J2)") {
+    val fact = Seq((1, null.asInstanceOf[String]), (2, ""), (3, "set"))
+      .toDF("k", "v")
+    val dim = Seq((1, "f1"), (2, "f2"), (3, "f3")).toDF("dk", "dv")
+    val out = dimFillWhenEmpty(fact, dim, "k", "dk", "v", "dv")
+      .orderBy("k").as[(Int, String)].collect()
+    assert(out.toSeq === Seq((1, "f1"), (2, "f2"), (3, "set")))
+  }
+
+  test("decodeEnvelope: ret_code gate drops bad batches, payload fields nullable (S1)") {
+    val schema = StructType(Seq(
+      StructField("ret_code", StringType),
+      StructField("data", ArrayType(StructType(Seq(
+        StructField("sp_code", StringType),
+        StructField("total_amt", StringType)))))))
+    val raw = Seq(
+      """{"ret_code":"0000","data":[{"sp_code":"s1","total_amt":"10"},{"sp_code":"s2"}]}""",
+      """{"ret_code":"9999","data":[{"sp_code":"bad","total_amt":"99"}]}""").toDF("body")
+    val out = decodeEnvelope(raw, "body", schema)
+    assert(out.count() === 2) // bad envelope dropped entirely
+    val r = out.orderBy("sp_code").collect()
+    assert(r(0) === Row("s1", "10"))
+    assert(r(1) === Row("s2", null)) // missing field → null (.get semantics)
+  }
+
+  test("sumMoney is exact regardless of partitioning") {
+    val df = spark.range(1000).select((col("id") % 7 * lit(0.01) + 100.0).as("v"))
+    val a = df.repartition(1).agg(sumMoney($"v")).as[Double].head()
+    val b = df.repartition(13).agg(sumMoney($"v")).as[Double].head()
+    assert(a === b)
+  }
+}
