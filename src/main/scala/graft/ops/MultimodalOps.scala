@@ -31,12 +31,17 @@ object MultimodalOps {
 
   /** STUB decoder — deterministic fake standing in for a codec call.
     * width/height from byte length; checksum = sum of the first 16
-    * byte values (the "header"). A real implementation would parse the
-    * container format here; nothing outside this function changes.
+    * code points of the UTF-8-decoded "header". Code points (not raw
+    * bytes) keep the checksum identical to a character-indexed SQL
+    * oracle (`ascii(substr(text,i,1))`) on non-ASCII payloads too;
+    * n_bytes/width/height stay byte-derived (= UTF-8 `strlen`). A real
+    * implementation would parse the container format here; nothing
+    * outside this function changes.
     */
   def decodeOne(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length.toLong
-    val header = r.payload.take(16).map(b => (b & 0xffL)).sum
+    val header = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+      .codePoints().limit(16).asLongStream().sum()
     MediaFeatures(
       media_id = r.media_id,
       n_bytes = n,

@@ -57,9 +57,12 @@ object RelationalOps {
 
   /** yyyyMMdd VARCHAR → DATE (F1; kicc_to_tb_sales.py:72). Malformed
     * input → null, matching the reference's validate_date None
-    * (load_sales_with_prod_data_spec.py:123-128).
+    * (load_sales_with_prod_data_spec.py:123-128) — `try_` because
+    * ANSI mode (Spark 4 default) makes plain to_date THROW on
+    * malformed input, and one bad row must never kill a 100-TB job.
     */
-  def parseYyyymmdd(c: Column): Column = to_date(c, "yyyyMMdd")
+  def parseYyyymmdd(c: Column): Column =
+    try_to_timestamp(c, lit("yyyyMMdd")).cast("date")
 
   /** DATE → yyyyMMdd string (F2; load_sales_data.py:146-149). */
   def formatYyyymmdd(c: Column): Column = date_format(c, "yyyyMMdd")

@@ -52,18 +52,32 @@ object TextOps {
   def shingleHashes(shing: Column): Column =
     transform(shing, s => pmod(xxhash64(s), lit(MersennePrime)))
 
-  /** k-permutation MinHash signature: min_i((a_j * h_i + b_j) mod p)
-    * per permutation j. a/b are fixed odd constants (deterministic
-    * across runs and partition counts — SURVEY.md §7 risk 2 applies to
-    * sketches too).
+  /** k-permutation MinHash signatures: min_i((a_j * h_i + b_j) mod p)
+    * per permutation j, for every row of `df`. a/b are fixed odd
+    * constants (deterministic across runs and partition counts —
+    * SURVEY.md §7 risk 2 applies to sketches too).
+    *
+    * Shape: explode the per-doc hash array, then ONE hash aggregation
+    * with k codegen'd `min` columns. Each shingle hash is computed
+    * once (not once per permutation — the array-expression forms
+    * re-inline the shingle pipeline k× after projection collapse, and
+    * a fold with an array accumulator allocates a k-array per element;
+    * both measured far slower). Partial map-side mins shrink the
+    * shuffle to |docs| rows × k longs regardless of corpus size — the
+    * 100-TB-safe layout. Rows with empty hash arrays (docs below the
+    * shingle width) vanish at the explode, i.e. short docs simply
+    * never reach candidate generation.
     */
-  def minhashSignature(hashes: Column, k: Int): Column = {
-    val perms = (0 until k).map { j =>
-      val a = 2L * j + 1001L
-      val b = 7L * j + 3079L
-      array_min(transform(hashes, h => pmod(h * a + b, lit(MersennePrime))))
+  def minhashSignatures(df: DataFrame, idCol: String, hashesCol: String,
+                        k: Int): DataFrame = {
+    val exploded = df.select(col(idCol), explode(col(hashesCol)).as("_h"))
+    val mins = (0 until k).map { j =>
+      min(pmod(col("_h") * (2L * j + 1001L) + (7L * j + 3079L),
+        lit(MersennePrime))).as(s"_m$j")
     }
-    array(perms: _*)
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until k).map(j => col(s"_m$j")): _*).as("sig"))
   }
 
   /** LSH banding: signature of k minhashes → b bands of r rows each
@@ -177,13 +191,16 @@ object TextOps {
   /** Positional polynomial document fingerprint (q33): a rolling-hash
     * style content signature Σ_i (i+1)·(ascii(t_i)·131 + len(t_i))
     * mod p — order-sensitive (unlike a bag-of-words hash) yet exactly
-    * portable to any SQL engine via integer arithmetic.
+    * portable to any SQL engine via integer arithmetic. The modulus is
+    * applied at every fold step, so the accumulator stays < 2^31 and
+    * the per-step addend < i_max·2^18 — no Long overflow at any
+    * document length (mod is additive-homomorphic, so the result
+    * equals a wide-integer Σ mod p, which is what the oracle computes
+    * in HUGEINT).
     */
   def docFingerprint(toks: Column): Column =
-    pmod(
-      aggregate(
-        zip_with(toks, sequence(lit(1), size(toks)),
-          (t, i) => i.cast("long") * (ascii(t) * 131L + length(t))),
-        lit(0L), (acc, x) => acc + x),
-      lit(MersennePrime))
+    aggregate(
+      zip_with(toks, sequence(lit(1), size(toks)),
+        (t, i) => i.cast("long") * (ascii(t) * 131L + length(t))),
+      lit(0L), (acc, x) => pmod(acc + x, lit(MersennePrime)))
 }

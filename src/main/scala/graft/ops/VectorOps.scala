@@ -53,16 +53,26 @@ object VectorOps {
     * within a block, never globally. Output is id pairs only
     * (integers — bit-exact in any engine; the threshold compare
     * happens on doubles with a wide margin by construction).
+    *
+    * Per-pair cost is one dot product: each side's L2 norm is computed
+    * once per ROW in the pre-join projection (materialized by the join
+    * exchange), and the threshold test `dot ≥ t·|a|·|b|` is exactly
+    * equivalent to `cos ≥ t` for t ≥ 0 — vs the naive per-pair cosine
+    * that re-folds both norms for every candidate pair (3× the flops
+    * on the quadratic stage).
     */
   def cosineNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                          blockCol: String, threshold: Double): DataFrame = {
-    val a = vecs.select(col(blockCol),
-      col(idCol).as("id_a"), col(vecCol).as("_v_a"))
-    val b = vecs.select(col(blockCol),
-      col(idCol).as("id_b"), col(vecCol).as("_v_b"))
+    require(threshold >= 0, "threshold must be non-negative")
+    val v = toDouble(col(vecCol))
+    val a = vecs.select(col(blockCol), col(idCol).as("id_a"),
+      v.as("_v_a"), l2Norm(v).as("_n_a"))
+    val b = vecs.select(col(blockCol), col(idCol).as("id_b"),
+      v.as("_v_b"), l2Norm(v).as("_n_b"))
     a.join(b, Seq(blockCol))
       .filter(col("id_a") < col("id_b"))
-      .filter(cosine(toDouble(col("_v_a")), toDouble(col("_v_b"))) >= threshold)
+      .filter(dot(col("_v_a"), col("_v_b")) >=
+        lit(threshold) * col("_n_a") * col("_n_b"))
       .select(col("id_a"), col("id_b"))
   }
 

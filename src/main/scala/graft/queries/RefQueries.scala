@@ -169,11 +169,15 @@ object RefQueries {
     // mode("overwrite") is the atomic job-level replacement of the
     // reference's non-atomic TRUNCATE+insert — readers see either the
     // old or the new snapshot, never an empty table. The query writes
-    // the refreshed snapshot for real, then returns the re-read.
+    // the refreshed snapshot for real, then returns the re-read. The
+    // sink path is unique per Spark application so concurrent sessions
+    // (Verify ∥ Bench, parallel test runs) can never race on one
+    // directory — parquet overwrite is only atomic within a job.
     "q19_overwrite_refresh" -> ((s, d) => {
       val snapshot = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
         col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
-      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q19_refresh"
+      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q19_refresh_" +
+        s.sparkContext.applicationId
       snapshot.write.mode("overwrite").parquet(sink)
       s.read.parquet(sink)
     }),
