@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.RelationalOps._
-import graft.queries.{NorthQueries, RefQueries}
+import graft.queries.{ExtQueries, NorthQueries, RefQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -39,12 +39,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.queries ++ NorthQueries.queries
+    RefQueries.queries ++ NorthQueries.queries ++ ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (approx sketches, LSH internals) → driver records rows-only.
     */
   def oracleSql: Map[String, String] =
-    RefQueries.oracle ++ NorthQueries.oracle
+    RefQueries.oracle ++ NorthQueries.oracle ++ ExtQueries.oracle
 }

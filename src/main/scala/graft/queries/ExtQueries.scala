@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{RelationalOps, TextOps}
+import graft.ops.RelationalOps.sumMoney
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructType}
+
+/** q37–q42: second-wave coverage — the exact similarity join that
+  * completes the dedup family (SURVEY.md §2h), the S1 ingest-envelope
+  * path finally exercised through the oracle, and the analytic
+  * operators a mart user reaches for next (rollup, lag deltas, exact
+  * percentiles, partitioned-write pruning; SURVEY.md §2d/§2e absences
+  * called out as engine additions).
+  */
+object ExtQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DupOffset = 100000L
+
+  /** Same planted near-dup corpus as NorthQueries (ids offset, one
+    * token appended) so q37's exhaustive oracle is shared with q29's.
+    */
+  private def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.select((col("doc_id") + DupOffset).as("doc_id"),
+        concat(col("text"), lit(" graftdup")).as("text")))
+  }
+
+  /** S1 envelope schema: {ret_code, data:[{id,k}]} —
+    * load_sales_data.py:96-100 shape with a typed payload record.
+    */
+  private val envSchema: StructType = new StructType()
+    .add("ret_code", StringType)
+    .add("data", ArrayType(new StructType()
+      .add("id", LongType)
+      .add("k", LongType)))
+
+  val queries: Map[String, Q] = Map(
+    // §2h — EXACT n-gram Jaccard similarity join: prefix-filtered
+    // candidates (deterministic, provably complete at the threshold —
+    // TextOps.prefixFilterCandidates) + exact verify. The
+    // deterministic sibling of q29's MinHash-LSH: same output
+    // contract, guaranteed recall, index ~(1-t) of the shingles.
+    "q37_ngram_jaccard_join" -> ((s, d) => {
+      val sh = docsWithNearDups(s, d).select(col("doc_id"),
+        TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      val cands = TextOps.prefixFilterCandidates(sh, "doc_id", "sh", 4, 5)
+      TextOps.jaccardVerify(cands, sh, "doc_id", "sh", 4, 5)
+    }),
+
+    // S1 — the ingest path end-to-end: per-user JSON envelopes are
+    // assembled (collect_list batching — the API returns one envelope
+    // per request with a data array, load_sales_data.py:93-100), then
+    // decodeEnvelope gates ret_code=="0000" (drop the whole batch
+    // otherwise, :97-99) and explodes data[] into typed rows. Record
+    // order inside an envelope is nondeterministic (collect_list), but
+    // the decoded ROW SET is order-free — exactly why the oracle can
+    // check it.
+    "q38_envelope_decode" -> ((s, d) => {
+      val recs = Tables.events(s, d).select(col("user_id"),
+        concat(lit("{\"id\":"), col("event_id").cast("string"),
+          lit(",\"k\":"),
+          coalesce(get_json_object(col("props"), "$.k"), lit("null")),
+          lit("}")).as("rec"))
+      val env = recs.groupBy(col("user_id"))
+        .agg(concat_ws(",", collect_list(col("rec"))).as("_recs"))
+        .select(concat(lit("{\"ret_code\":\""),
+          when(col("user_id") % 50 === 0, lit("9999")).otherwise(lit("0000")),
+          lit("\",\"data\":["), col("_recs"), lit("]}")).as("payload"))
+      RelationalOps.decodeEnvelope(env, "payload", envSchema)
+    }),
+
+    // §2d — hierarchical rollup: (returnflag, linestatus) → flag
+    // subtotals → grand total in ONE pass (partial aggregation per
+    // grouping set, no union of three scans). gid disambiguates
+    // levels exactly as GROUPING_ID does everywhere.
+    "q39_rollup_sales" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sumMoney(col("l_extendedprice")).as("total_amt"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("total_amt"), col("n"), col("gid"))),
+
+    // §2e — day-over-day delta per supplier: daily rollup (one
+    // shuffle) then lag over days. The mart-consumer query the
+    // reference leaves to downstream BI.
+    "q40_dod_delta" -> ((s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
+        .agg(sumMoney(col("l_extendedprice")).as("amt"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
+      daily.select(col("l_suppkey"), col("day"), col("amt"),
+        (col("amt") - lag(col("amt"), 1, 0.0).over(w)).as("dod_delta"))
+    }),
+
+    // S7/S8 at scale — DATE-PARTITIONED overwrite write + read-back
+    // with a partition-column filter: the write lays out one directory
+    // per month, the read-back filter prunes to a single partition
+    // (directory-level pruning, no data-file reads outside it). This
+    // is what makes q03's BETWEEN cheap at 100 TB. Unique sink path
+    // per application — no cross-session overwrite race.
+    "q41_partitioned_write" -> ((s, d) => {
+      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q41_part_" +
+        s.sparkContext.applicationId
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .write.partitionBy("order_month").mode("overwrite").parquet(sink)
+      s.read.parquet(sink)
+        .filter(col("order_month") === "1995-03")
+        .select(col("o_orderkey"), col("o_totalprice"), col("order_month"))
+    }),
+
+    // §2d — exact percentiles (median / p90) per group: Spark's exact
+    // `percentile` agg (sort-based within group) vs DuckDB
+    // quantile_cont — identical linear interpolation. Surfaced rounded
+    // well clear of representation noise.
+    "q42_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med_price")))
+  )
+
+  private val nearDupUnionDocs =
+    s"""SELECT doc_id, text FROM documents
+       | UNION ALL SELECT doc_id + $DupOffset AS doc_id, text || ' graftdup' AS text FROM documents""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // Exhaustive all-pairs ground truth (fixture-scale only) — q37's
+    // prefix filtering must reproduce it EXACTLY (complete recall by
+    // construction, unlike q29's probabilistic banding).
+    "q37_ngram_jaccard_join" ->
+      s"""WITH corpus AS ($nearDupUnionDocs),
+         | sh AS (SELECT doc_id,
+         |   list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+         |     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+         |   FROM corpus WHERE len(string_split(text,' ')) >= 3)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS n_inter,
+         |       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INT) AS n_union
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4""".stripMargin,
+    "q38_envelope_decode" ->
+      """SELECT event_id AS id, CAST(props->>'$.k' AS BIGINT) AS k
+        |FROM events WHERE user_id % 50 <> 0""".stripMargin,
+    "q39_rollup_sales" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amt,
+        | count(*) AS n,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q40_dod_delta" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS amt
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, day, amt,
+        |       amt - COALESCE(lag(amt) OVER (PARTITION BY l_suppkey ORDER BY day), 0.0) AS dod_delta
+        |FROM daily""".stripMargin,
+    "q41_partitioned_write" ->
+      """SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m') AS order_month
+        |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'""".stripMargin,
+    "q42_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+        | round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        | round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price
+        |FROM lineitem GROUP BY 1""".stripMargin
+  )
+}
