@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.MultimodalOps
+import org.apache.spark.sql.functions._
+
+/** Coverage for the multimodal decode plumbing (north-star mandate):
+  * the stub codec's contract (byte-derived dims, code-point checksum —
+  * oracle-portable on non-ASCII), and partition-count invariance of
+  * the typed mapPartitions stage.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeOne: byte-derived dims, code-point checksum, ASCII") {
+    val payload = "hello world, this is a header and more".getBytes("UTF-8")
+    val f = MultimodalOps.decodeOne(MultimodalOps.MediaRecord(7L, payload))
+    assert(f.media_id === 7L)
+    assert(f.n_bytes === payload.length.toLong)
+    assert(f.width === 64L + payload.length % 512L)
+    assert(f.height === 64L + (payload.length / 7L) % 512L)
+    val expect = "hello world, thi".map(_.toLong).sum % 997L
+    assert(f.checksum === expect)
+  }
+
+  test("decodeOne: non-ASCII payload — checksum over code points, size over bytes") {
+    val text = "한글 텍스트 metadata follows here ok"
+    val payload = text.getBytes("UTF-8")
+    val f = MultimodalOps.decodeOne(MultimodalOps.MediaRecord(1L, payload))
+    assert(f.n_bytes === payload.length.toLong) // 3 bytes per Hangul char
+    assert(f.n_bytes > text.length)
+    val expect = text.codePoints().limit(16).asLongStream().sum() % 997L
+    assert(f.checksum === expect)
+  }
+
+  test("extractFeatures: matches decodeOne row-wise at any partition count") {
+    val rows = Seq((1L, "short"), (2L, "a somewhat longer payload body"),
+      (3L, "третий документ с юникодом"))
+    val df = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val expect = rows.map { case (id, t) =>
+      val f = MultimodalOps.decodeOne(
+        MultimodalOps.MediaRecord(id, t.getBytes("UTF-8")))
+      (f.media_id, f.n_bytes, f.width, f.height, f.checksum)
+    }.toSet
+    Seq(1, 4).foreach { parts =>
+      val out = MultimodalOps.extractFeatures(df.repartition(parts), "doc_id", "payload")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(out === expect, s"mismatch at $parts partitions")
+    }
+  }
+}

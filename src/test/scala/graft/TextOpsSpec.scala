@@ -1,0 +1,143 @@
+package graft
+
+import graft.ops.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unit + recall coverage for the text/dedup operators (SURVEY.md §2f/
+  * §2h). The LSH recall test is the ADVICE.md follow-up for q29: the
+  * banding pipeline is checked against exhaustive all-pairs ground
+  * truth on the real sf0.001 corpus + planted near-dups — recall must
+  * be 1.0 there, and the corpus must have no organic pairs hovering at
+  * the threshold (the two facts that make q29's bitwise oracle safe).
+  */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("exactDedupGroups: one group per distinct text, keeper = min id") {
+    val d = docs(1L -> "a b c", 2L -> "x y", 7L -> "a b c", 5L -> "a b c")
+    val out = TextOps.exactDedupGroups(d, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 3L), (2L, 1L)))
+  }
+
+  test("shingles: n-grams of tokens, distinct, empty below width") {
+    val out = docs(1L -> "a b c d", 2L -> "a b")
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L).toSet === Set("a b c", "b c d"))
+    assert(out(2L) === Seq.empty)
+  }
+
+  test("minhashSignatures: deterministic and partition-count independent") {
+    val d = docs(1L -> "w1 w2 w3 w4 w5 w6", 2L -> "z1 z2 z3 z4 z5")
+      .select(col("doc_id"),
+        TextOps.shingleHashes(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("hs"))
+    def sigs(parts: Int): Map[Long, Seq[Long]] =
+      TextOps.minhashSignatures(d.repartition(parts), "doc_id", "hs", 8)
+        .as[(Long, Seq[Long])].collect().toMap
+    val s1 = sigs(1)
+    assert(s1 === sigs(5))
+    assert(s1(1L).length === 8)
+    assert(s1(1L).forall(v => v >= 0L && v < 2147483647L))
+  }
+
+  test("docFingerprint: bounded accumulator — no overflow on huge docs") {
+    val hugeDoc = ("tok " * 200000).trim // 200k tokens: naive Σ overflows Long
+    val out = docs(1L -> hugeDoc, 2L -> "a b c")
+      .select(col("doc_id"), TextOps.docFingerprint(TextOps.tokens(col("text"))).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val p = 2147483647L
+    assert(out.values.forall(v => v >= 0L && v < p))
+    // independent scala reference for the small doc: Σ i·(ascii·131+len) mod p
+    val toks = Seq("a", "b", "c")
+    val expect = toks.zipWithIndex.map { case (t, i) =>
+      (i + 1L) * (t.head.toLong * 131L + t.length)
+    }.sum % p
+    assert(out(2L) === expect)
+  }
+
+  test("simhash64: identical text ⇒ equal; near-dup ⇒ small Hamming; unrelated ⇒ large") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base + " extra"
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val out = docs(1L -> base, 2L -> base, 3L -> near, 4L -> other)
+      .select(col("doc_id"), TextOps.simhash64(TextOps.tokens(col("text"))).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(out(1L) === out(2L))
+    assert(hamming(out(1L), out(3L)) <= 8,
+      s"near-dup hamming ${hamming(out(1L), out(3L))}")
+    assert(hamming(out(1L), out(4L)) >= 16,
+      s"unrelated hamming ${hamming(out(1L), out(4L))}")
+  }
+
+  /** Exhaustive all-pairs Jaccard ≥ num/den ground truth with the
+    * exact J per pair, computed in Spark (fine at test scale only).
+    */
+  private def groundTruthJ(sh: DataFrame, num: Int, den: Int): Map[(Long, Long), Double] = {
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("_sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("_sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("ni", size(array_intersect(col("_sh_a"), col("_sh_b"))))
+      .withColumn("nu", size(col("_sh_a")) + size(col("_sh_b")) - col("ni"))
+      .filter(col("nu") > 0 && col("ni") * den >= col("nu") * num)
+      .select(col("id_a"), col("id_b"),
+        (col("ni").cast("double") / col("nu")).as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (x, y, j) => (x, y) -> j }.toMap
+  }
+
+  private def groundTruth(sh: DataFrame, num: Int, den: Int): Set[(Long, Long)] =
+    groundTruthJ(sh, num, den).keySet
+
+  private def corpusWithNearDups: DataFrame = {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" graftdup")).as("text")))
+  }
+
+  test("LSH banding pipeline: recall 1.0 vs exhaustive ground truth on the real corpus") {
+    val sh = corpusWithNearDups.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val sig = TextOps.minhashSignatures(
+      sh.select(col("doc_id"), TextOps.shingleHashes(col("sh")).as("hs")),
+      "doc_id", "hs", 32)
+    val cands = TextOps.lshCandidates(
+      TextOps.lshBands(sig, "doc_id", "sig", 16, 2), "doc_id")
+    val found = TextOps.jaccardVerify(cands, sh, "doc_id", "sh", 4, 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val truthJ = groundTruthJ(sh, 4, 5)
+    val truth = truthJ.keySet
+    assert(truth.nonEmpty, "planted near-dups must be above threshold")
+    assert(found === truth,
+      s"missed=${(truth -- found).take(5)} extra=${(found -- truth).take(5)}")
+    // the bitwise-gate safety budget: with b=16 bands of r=2, a true
+    // pair at Jaccard J evades every band with prob (1-J²)^16 — the
+    // worst pair in the corpus must still be overwhelmingly safe.
+    // (Pairs BELOW the threshold are irrelevant: exact verify rejects
+    // them whether or not banding surfaces them as candidates.)
+    val worstMiss = truthJ.values.map(j => math.pow(1 - j * j, 16)).max
+    assert(worstMiss < 1e-5,
+      f"q29 gate at risk: worst per-pair band-miss probability $worstMiss%.2e")
+  }
+
+  test("prefixFilterCandidates: complete at the threshold (⊇ ground-truth pairs)") {
+    val sh = corpusWithNearDups.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val cands = TextOps.prefixFilterCandidates(sh, "doc_id", "sh", 4, 5)
+      .as[(Long, Long)].collect().toSet
+    val truth = groundTruth(sh, 4, 5)
+    assert(truth.subsetOf(cands),
+      s"prefix filter lost true pairs: ${(truth -- cands).take(5)}")
+    val verified = TextOps.jaccardVerify(
+      TextOps.prefixFilterCandidates(sh, "doc_id", "sh", 4, 5),
+      sh, "doc_id", "sh", 4, 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified === truth)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the similarity-search operators (SURVEY.md §2h):
+  * cosine algebra against hand-computed values, top-k ordering and
+  * tie-breaks, blocked near-dup pairs vs brute force, and IVF cell
+  * pruning actually restricting the scan.
+  */
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Double], Int)*): DataFrame =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("cosine: hand-computed values") {
+    val d = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)),
+      (Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
+    val out = d.select(VectorOps.cosine(col("a"), col("b")).as("c"))
+      .as[Double].collect()
+    assert(math.abs(out(0) - 0.0) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+    assert(math.abs(out(2) - 24.0 / 25.0) < 1e-12)
+  }
+
+  test("cosineTopK: descending similarity, ties broken by id, k respected") {
+    val corpus = vecs(
+      (1L, Seq(1.0, 0.0), 0), (2L, Seq(0.0, 1.0), 0),
+      (3L, Seq(1.0, 1.0), 0), (4L, Seq(-1.0, 0.0), 0),
+      (5L, Seq(1.0, 0.0), 0))
+    val probe = corpus.filter(col("vec_id") === 1L)
+    val out = VectorOps.cosineTopK(corpus, probe, "vec_id", "embedding", 3)
+      .select("vec_id").as[Long].collect().toSeq
+    // sims: 1→1.0, 5→1.0 (tie: id order), 3→0.707, 2→0, 4→-1
+    assert(out === Seq(1L, 5L, 3L))
+  }
+
+  test("cosineNearDupPairs: equals brute force within blocks, respects blocking") {
+    val d = vecs(
+      (1L, Seq(1.0, 0.0, 0.0), 0), (2L, Seq(0.999, 0.01, 0.0), 0),
+      (3L, Seq(0.0, 1.0, 0.0), 0), (4L, Seq(1.0, 0.0, 0.0), 1),
+      (5L, Seq(1.0, 0.001, 0.0), 1), (6L, Seq(0.5, 0.5, 0.7), 1))
+    val out = VectorOps.cosineNearDupPairs(d, "vec_id", "embedding", "label", 0.9)
+      .as[(Long, Long)].collect().toSet
+    // (1,2) same block ≈0.9999; (4,5) same block ≈1.0; (1,4) identical
+    // vectors but DIFFERENT blocks — must NOT appear.
+    assert(out === Set((1L, 2L), (4L, 5L)))
+  }
+
+  test("ivfTopK: scans only best nprobe cells, probe's own cell wins") {
+    // three tight clusters along axes; probe = x-axis
+    val d = vecs(
+      (1L, Seq(1.0, 0.0, 0.0), 0), (2L, Seq(0.9, 0.1, 0.0), 0),
+      (3L, Seq(0.0, 1.0, 0.0), 1), (4L, Seq(0.1, 0.9, 0.0), 1),
+      (5L, Seq(0.0, 0.0, 1.0), 2), (6L, Seq(0.0, 0.1, 0.9), 2))
+    val probe = d.filter(col("vec_id") === 1L)
+    val out = VectorOps.ivfTopK(d, probe, "vec_id", "embedding", "label",
+      nprobe = 1, k = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    // nprobe=1 → only label 0 scanned: ids 1,2 and nothing else
+    assert(out === Seq(1L, 2L))
+  }
+
+  test("toDouble widens float arrays exactly") {
+    val d = Seq(Seq(1.5f, -2.25f)).toDF("v")
+    val out = d.select(VectorOps.toDouble(col("v")).as("d"))
+      .as[Seq[Double]].collect().head
+    assert(out === Seq(1.5, -2.25))
+  }
+}
