@@ -52,6 +52,42 @@ object TextOps {
   def shingleHashes(shing: Column): Column =
     transform(shing, s => pmod(xxhash64(s), lit(MersennePrime)))
 
+  /** Full-width 64-bit shingle hashes: the representation the
+    * candidate-generation joins and exact-Jaccard verify run on.
+    * Longs shuffle and hash-intersect far cheaper than 3-word shingle
+    * strings, and set arithmetic on them equals set arithmetic on the
+    * strings up to a 64-bit collision (~|shingles|²/2⁶⁵ per corpus —
+    * ~1e-6 even at 10M distinct shingles; the 31-bit fold above is for
+    * minhash permutation inputs only, never for set identity).
+    */
+  def shingleHashes64(shing: Column): Column = transform(shing, s => xxhash64(s))
+
+  /** Distinct 64-bit word-n-gram hashes computed NUMERICALLY: each
+    * token is hashed once, then consecutive token hashes combine by
+    * rotate-XOR (position i contributes rot₇₍ₙ₋ᵢ₎(hᵢ) — order-
+    * sensitive, bitwise only, so no ANSI overflow and no n-gram string
+    * is ever materialized). Set-equivalent to hashing the concatenated
+    * shingle strings (64-bit collision odds as above) at a fraction of
+    * the cost: the string path slices + concats + re-hashes ~20 bytes
+    * per shingle. Built as a zip_with chain over shifted slices —
+    * NOT a lambda referencing the token-hash array (a nested reference
+    * would re-evaluate the whole inner transform per element, O(n²)).
+    * zip_with pads the shorter side with null, which nulls out the
+    * incomplete tail windows; the final slice drops them.
+    */
+  def ngramHashes64(toks: Column, n: Int): Column = {
+    val th = transform(toks, t => xxhash64(t))
+    def rot7(c: Column): Column =
+      shiftleft(c, 7).bitwiseOR(shiftrightunsigned(c, 57))
+    val combined = (2 to n).foldLeft(th) { (acc, j) =>
+      zip_with(acc, slice(th, lit(j), greatest(size(th) - (j - 1), lit(0))),
+        (a, b) => rot7(a).bitwiseXOR(b))
+    }
+    when(size(toks) >= n,
+      array_distinct(slice(combined, lit(1), size(toks) - (n - 1))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** k-permutation MinHash signatures: min_i((a_j * h_i + b_j) mod p)
     * per permutation j, for every row of `df`. a/b are fixed odd
     * constants (deterministic across runs and partition counts —

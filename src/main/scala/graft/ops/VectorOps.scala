@@ -17,14 +17,29 @@ object VectorOps {
   /** Elementwise cast to double — float32 parquet values widen exactly. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product via zip_with + left-to-right fold. */
+  /** Dot product via zip_with + left-to-right fold. Portable to any
+    * session; the lambda runs interpreted per element — prefer
+    * [[nativeDot]] on hot paths.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity of two double arrays. */
+  /** Cosine similarity of two double arrays (portable HOF form). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Native codegen'd dot product / fused one-pass cosine
+    * (graft.plans.VectorExpressions), resolved by name — requires the
+    * session to register [[graft.plans.GraftExtensions]] via
+    * spark.sql.extensions, as every engine entry point (Verify, Bench,
+    * Smoke, tests) does. Bit-identical to the HOF forms (same IEEE
+    * accumulation order, left to right).
+    */
+  def nativeDot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def nativeCosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 
   /** Brute-force top-k cosine neighbors of one probe vector (q26): the
     * exact baseline every ANN variant is measured against. The probe
@@ -40,7 +55,7 @@ object VectorOps {
     val p = broadcast(probe.select(col(vecCol).as("_probe_vec")))
     corpus.join(p)
       .select(col(idCol),
-        round(cosine(toDouble(col(vecCol)), toDouble(col("_probe_vec"))), 6)
+        round(nativeCosine(toDouble(col(vecCol)), toDouble(col("_probe_vec"))), 6)
           .as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
@@ -71,7 +86,7 @@ object VectorOps {
       v.as("_v_b"), l2Norm(v).as("_n_b"))
     a.join(b, Seq(blockCol))
       .filter(col("id_a") < col("id_b"))
-      .filter(dot(col("_v_a"), col("_v_b")) >=
+      .filter(nativeDot(col("_v_a"), col("_v_b")) >=
         lit(threshold) * col("_n_a") * col("_n_b"))
       .select(col("id_a"), col("id_b"))
   }
@@ -97,14 +112,14 @@ object VectorOps {
     val best = broadcast(
       centroids.join(p)
         .select(col(labelCol),
-          cosine(col("_centroid"), col("_probe_vec")).as("_csim"))
+          nativeCosine(col("_centroid"), col("_probe_vec")).as("_csim"))
         .orderBy(col("_csim").desc, col(labelCol))
         .limit(nprobe)
         .select(col(labelCol)))
     vecs.join(best, Seq(labelCol)) // cell pruning: only nprobe cells scanned
       .join(p)
       .select(col(idCol),
-        round(cosine(toDouble(col(vecCol)), col("_probe_vec")), 6).as("sim"))
+        round(nativeCosine(toDouble(col(vecCol)), col("_probe_vec")), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }

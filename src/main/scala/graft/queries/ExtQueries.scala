@@ -46,8 +46,11 @@ object ExtQueries {
     // deterministic sibling of q29's MinHash-LSH: same output
     // contract, guaranteed recall, index ~(1-t) of the shingles.
     "q37_ngram_jaccard_join" -> ((s, d) => {
+      // candidates + verify on numeric 64-bit shingle hashes (longs,
+      // no n-gram strings — TextOps.ngramHashes64); the hash order
+      // serves as the prefix filter's global total order
       val sh = docsWithNearDups(s, d).select(col("doc_id"),
-        TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+        TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh"))
       val cands = TextOps.prefixFilterCandidates(sh, "doc_id", "sh", 4, 5)
       TextOps.jaccardVerify(cands, sh, "doc_id", "sh", 4, 5)
     }),

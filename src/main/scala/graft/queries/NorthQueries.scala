@@ -169,10 +169,14 @@ object NorthQueries {
     // the bitwise gate holds by a ~1e-12 margin, not by luck.
     "q29_minhash_lsh_neardup" -> ((s, d) => {
       val corpus = docsWithNearDups(s, d)
+      // all downstream set work runs on numeric 64-bit shingle hashes
+      // (cheap longs, no n-gram strings — TextOps.ngramHashes64); the
+      // 31-bit fold for minhash permutations derives from them
       val sh = corpus.select(col("doc_id"),
-        TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+        TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh"))
       val sig = TextOps.minhashSignatures(
-        sh.select(col("doc_id"), TextOps.shingleHashes(col("sh")).as("hs")),
+        sh.select(col("doc_id"),
+          transform(col("sh"), h => pmod(h, lit(2147483647L))).as("hs")),
         "doc_id", "hs", 32)
       val cands = TextOps.lshCandidates(
         TextOps.lshBands(sig, "doc_id", "sig", 16, 2), "doc_id")

@@ -32,6 +32,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) === Seq.empty)
   }
 
+  test("ngramHashes64 ≡ string shingles as a set (sizes, intersections, order-sensitivity)") {
+    val d = docs(1L -> "a b c d e", 2L -> "e d c b a", 3L -> "a b c d e",
+      4L -> "a b", 5L -> "x y z a b c d e")
+    val out = d.select(col("doc_id"),
+      size(TextOps.ngramHashes64(TextOps.tokens(col("text")), 3)).as("n_num"),
+      size(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("n_str"),
+      TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("h"))
+      .as[(Long, Int, Int, Seq[Long])].collect().map(r => r._1 -> r).toMap
+    out.values.foreach { case (id, nNum, nStr, _) =>
+      assert(nNum === nStr, s"set size diverged for doc $id")
+    }
+    // order sensitivity: reversed token order ⇒ disjoint shingle sets
+    assert(out(1L)._4.toSet.intersect(out(2L)._4.toSet).isEmpty)
+    // identical docs ⇒ identical hash sets; sub-document ⇒ subset
+    assert(out(1L)._4 === out(3L)._4)
+    assert(out(1L)._4.toSet.subsetOf(out(5L)._4.toSet))
+  }
+
   test("minhashSignatures: deterministic and partition-count independent") {
     val d = docs(1L -> "w1 w2 w3 w4 w5 w6", 2L -> "z1 z2 z3 z4 z5")
       .select(col("doc_id"),

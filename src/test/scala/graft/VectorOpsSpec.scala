@@ -63,6 +63,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(out === Seq(1L, 2L))
   }
 
+  test("native codegen'd dot/cosine ≡ HOF forms bit-for-bit, and SQL-addressable") {
+    val rnd = new scala.util.Random(42)
+    val d = (1 to 50).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextDouble() - 0.5), Seq.fill(64)(rnd.nextDouble() - 0.5))
+    }.toDF("id", "a", "b")
+    val out = d.select(
+      VectorOps.dot(col("a"), col("b")).as("hof_dot"),
+      VectorOps.nativeDot(col("a"), col("b")).as("nat_dot"),
+      VectorOps.cosine(col("a"), col("b")).as("hof_cos"),
+      VectorOps.nativeCosine(col("a"), col("b")).as("nat_cos"))
+      .as[(Double, Double, Double, Double)].collect()
+    out.foreach { case (hd, nd, hc, nc) =>
+      assert(hd === nd) // identical left-to-right IEEE accumulation
+      assert(hc === nc)
+    }
+    d.createOrReplaceTempView("vec_parity")
+    val sql = spark.sql(
+      "SELECT graft_cosine(a, b) AS c, graft_dot(a, b) AS p FROM vec_parity")
+      .as[(Double, Double)].collect()
+    assert(sql.length === 50 && sql.forall { case (c, p) => !c.isNaN && !p.isNaN })
+  }
+
   test("toDouble widens float arrays exactly") {
     val d = Seq(Seq(1.5f, -2.25f)).toDF("v")
     val out = d.select(VectorOps.toDouble(col("v")).as("d"))
