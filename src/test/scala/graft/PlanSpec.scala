@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan quality gates (SURVEY.md §4): the properties that make
+  * these plans survive a 100×/1000× scale-up are asserted here, so a
+  * refactor that silently drops a pushdown, un-broadcasts a dim, or
+  * adds an exchange fails CI — not a production run. Each test renders
+  * the formatted plan of a REGISTERED graded query (the exact plan the
+  * driver benches) and greps the load-bearing lines.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q01 scan: column pruning reaches the parquet reader (5 of 11 columns)") {
+    val p = plan("q01_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("q03 range filter: predicate pushed to parquet scan") {
+    val p = plan("q03_filter_date_between")
+    assert(p.contains("PushedFilters: ["),
+      "no pushed filters section in scan")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("o_orderdate"),
+      s"date range not pushed to the scan: $pushed")
+  }
+
+  test("q15 dim enrichment: broadcast join, no shuffle of the fact side") {
+    val p = plan("q15_enrich_join_update")
+    assert(p.contains("BroadcastHashJoin"), "dim join is not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "fact side is being sort-merge shuffled for a dim join")
+  }
+
+  test("q13/q14 anti/semi probes: single join, no avoidable distinct exchange") {
+    Seq("q13_anti_join_new", "q14_semi_join_existing").foreach { q =>
+      val p = plan(q)
+      val aggs = p.linesIterator.count(_.trim.startsWith("(")) // stable ops count proxy
+      assert(!p.contains("HashAggregate"),
+        s"$q re-aggregates the probe side (the round-1 distinct regression)")
+    }
+  }
+
+  test("q12 upsert: exactly one exchange (the merge window), none after") {
+    val p = plan("q12_upsert_latest_wins")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, // hashpartitioning exchange appears once per explain section
+      s"merge should shuffle once, found $exchanges exchange mentions:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "latest-wins window missing")
+  }
+
+  test("q17 aggregation: partial (map-side) aggregation before the exchange") {
+    val p = plan("q17_store_day_agg")
+    assert(p.contains("HashAggregate"), "no hash aggregation")
+    // partial + final pairs: HashAggregate appears at least twice
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "map-side partial aggregation missing — full rows would shuffle")
+  }
+
+  test("q26 cosine top-k: probe broadcast + TakeOrderedAndProject (no global sort)") {
+    val p = plan("q26_cosine_topk")
+    assert(p.contains("Broadcast"), "probe not broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k fell back to a full global Sort + Limit")
+    assert(p.contains("graft_cosine"),
+      "native cosine expression not in the plan — HOF fallback in use")
+  }
+
+  test("q34 near-dup pairs: equi-join on the block key, not a cartesian product") {
+    val p = plan("q34_embed_neardup")
+    assert(!p.contains("CartesianProduct"),
+      "blocked near-dup join degenerated to an all-pairs cartesian")
+    assert(p.contains("graft_dot"), "native dot expression not in the plan")
+  }
+
+  test("q29 LSH: candidate join is an equi hash/merge join, not nested-loop") {
+    val p = plan("q29_minhash_lsh_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "LSH candidate generation must be an equi-join on bucket keys")
+  }
+
+  test("q41 partitioned read-back: partition filter prunes at directory level") {
+    val p = plan("q41_partitioned_write")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("order_month")),
+      s"partition filter not applied: ${pf.getOrElse("<missing>")}")
+  }
+
+  test("whole-stage codegen covers the scan→filter→project spine of q02") {
+    val p = plan("q02_filter_exclude_store")
+    // formatted mode marks codegen stages with a "* " operator prefix;
+    // the projection itself folds into the scan (ReadSchema), so the
+    // codegen spine to check is the filter
+    assert(p.contains("* Filter") && p.contains("codegen id"),
+      s"filter pipeline fell out of whole-stage codegen:\n$p")
+  }
+}
