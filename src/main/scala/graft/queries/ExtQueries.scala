@@ -6,7 +6,7 @@ import graft.ops.RelationalOps.sumMoney
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, LongType, StringType, StructType}
 
 /** q37–q42: second-wave coverage — the exact similarity join that
   * completes the dedup family (SURVEY.md §2h), the S1 ingest-envelope
@@ -129,7 +129,37 @@ object ExtQueries {
         .agg(
           round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med_price")))
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med_price"))),
+
+    // S-family breadth — CSV source/sink round trip with an EXPLICIT
+    // read schema (schema-on-read discipline: the engine never trusts
+    // inference, mirroring the reference's fixed DB schema as the only
+    // typed boundary). Unique path per application.
+    "q43_csv_roundtrip" -> ((s, d) => {
+      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q43_csv_" +
+        s.sparkContext.applicationId
+      Tables.nation(s, d).write.mode("overwrite")
+        .option("header", "true").csv(sink)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true").csv(sink)
+    }),
+
+    // Skew pattern — salted two-stage aggregation: a deterministic
+    // salt widens the hot keys (events has a handful of event_types →
+    // at 100 TB each type is one giant reducer) across 16 partial
+    // groups, then the tiny partial table re-aggregates. DECIMAL sums
+    // are associative, so the two-stage result is bit-equal to the
+    // direct one the oracle computes.
+    "q44_salted_agg" -> ((s, d) => {
+      val partial = Tables.events(s, d)
+        .withColumn("_salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("_salt"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("_s"),
+          count(lit(1)).as("_n"))
+      partial.groupBy(col("event_type"))
+        .agg(sum(col("_s")).cast("double").as("total_value"),
+          sum(col("_n")).as("n_events"))
+    })
   )
 
   private val nearDupUnionDocs =
@@ -177,6 +207,13 @@ object ExtQueries {
         | round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
         | round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
         | round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price
-        |FROM lineitem GROUP BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q43_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q44_salted_agg" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        | count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

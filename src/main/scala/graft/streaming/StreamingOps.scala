@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
 
 /** Structured Streaming twins of the batch pipeline (SURVEY.md §2g).
   * The reference is cron-batch — its incremental-window + idempotent
@@ -49,4 +51,52 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(sum(col(valCol)).as("total"))
       .select(col("window.start").as("window_start"), col(keyCol), col("total"))
+
+  /** Typed event for gap-timeout sessionization. */
+  final case class UserEvent(user_id: Long, ts: Timestamp)
+
+  /** Per-user open-session state (epoch millis bounds). */
+  final case class SessionState(start: Long, end: Long, n: Long)
+
+  /** A closed session, emitted when the gap timeout fires. */
+  final case class ClosedSession(user_id: Long, session_start: Timestamp,
+                                 session_end: Timestamp, n_events: Long)
+
+  /** CUSTOM STATE: gap-based sessionization via
+    * `flatMapGroupsWithState` — the operator tumbling windows cannot
+    * express (a session ends `gap` after the LAST event, not on a
+    * fixed boundary). State is one (start, end, n) triple per live
+    * user; the event-time timeout (watermark-driven) both closes
+    * sessions and bounds state size — the 100-TB-stream requirement.
+    * Batches may arrive unordered within the watermark; events inside
+    * one open state window always extend it (intra-batch gap splitting
+    * is deliberately not re-derived — the timeout is the gap
+    * authority).
+    */
+  def sessionizeWithState(events: Dataset[UserEvent], gapMs: Long,
+                          delay: String): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evts: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user,
+              new Timestamp(s.start), new Timestamp(s.end), s.n))
+          } else {
+            val times = evts.map(_.ts.getTime).toVector
+            val merged = state.getOption match {
+              case Some(s) => SessionState(math.min(s.start, times.min),
+                math.max(s.end, times.max), s.n + times.length)
+              case None => SessionState(times.min, times.max, times.length.toLong)
+            }
+            state.update(merged)
+            state.setTimeoutTimestamp(merged.end + gapMs)
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -59,6 +59,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeWithState: gap timeout closes sessions as the watermark passes") {
+    import graft.streaming.StreamingOps.{ClosedSession, UserEvent}
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val out = StreamingOps.sessionizeWithState(mem.toDS(),
+      gapMs = 10 * 60 * 1000L, delay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 09:00/09:05 → open session, timeout 09:15
+      mem.addData(UserEvent(1L, ts("2024-01-01 09:00:00")),
+        UserEvent(1L, ts("2024-01-01 09:05:00")))
+      q.processAllAvailable()
+      // advance the watermark past user 1's timeout (10:00 - 5m = 09:55)
+      mem.addData(UserEvent(2L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // timeouts fire on the trigger AFTER the watermark advances
+      mem.addData(UserEvent(2L, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_test").as[ClosedSession].collect()
+      assert(sessions.map(_.user_id).toSeq === Seq(1L))
+      val s = sessions.head
+      assert(s.session_start === ts("2024-01-01 09:00:00"))
+      assert(s.session_end === ts("2024-01-01 09:05:00"))
+      assert(s.n_events === 2L)
+    } finally q.stop()
+  }
+
   test("windowedSums: per-key per-window totals on a stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
