@@ -144,6 +144,33 @@ object ExtQueries {
         .option("header", "true").csv(sink)
     }),
 
+    // Co-location — BUCKETED join: both sides written bucketed+sorted
+    // by the join key (8 buckets), so the sort-merge join needs NO
+    // exchange and NO sort — at 100 TB this is the difference between
+    // re-shuffling the fact table on every nightly join and reading
+    // co-located buckets. Broadcast is disabled via hint to force the
+    // co-located SMJ path visibly (PlanSpec asserts zero pre-join
+    // exchanges). Session-scoped catalog + per-application database
+    // name: concurrent sessions never collide.
+    "q45_bucketed_join" -> ((s, d) => {
+      val db = "g_" + s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(s"$db.orders_b")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(s"$db.customer_b")
+      val o = s.table(s"$db.orders_b")
+      val c = s.table(s"$db.customer_b").hint("merge")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sumMoney(col("o_totalprice")).as("total"),
+          count(lit(1)).as("n"))
+    }),
+
     // Skew pattern — salted two-stage aggregation: a deterministic
     // salt widens the hot keys (events has a handful of event_types →
     // at 100 TB each type is one giant reducer) across 16 partial
@@ -210,6 +237,11 @@ object ExtQueries {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q43_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q45_bucketed_join" ->
+      """SELECT c_mktsegment,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
     "q44_salted_agg" ->
       """SELECT event_type,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

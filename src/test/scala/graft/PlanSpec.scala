@@ -98,6 +98,24 @@ class PlanSpec extends SparkSpec {
       s"partition filter not applied: ${pf.getOrElse("<missing>")}")
   }
 
+  test("q45 bucketed join: sort-merge with ZERO exchanges before the join") {
+    val p = plan("q45_bucketed_join")
+    assert(p.contains("SortMergeJoin"), "bucketed join did not plan as SMJ")
+    val joinIdx = p.indexOf("== Physical Plan ==")
+    val tree = p.substring(joinIdx, p.indexOf("(1)", joinIdx).max(joinIdx + 1))
+    // the only exchange allowed is the final groupBy (ABOVE the join in
+    // the tree); the join inputs must read co-located buckets directly
+    assert(!tree.linesIterator.exists(l =>
+      l.contains("Exchange") && p.indexOf(l) > p.indexOf("SortMergeJoin")),
+      s"exchange below the bucketed join:\n$tree")
+  }
+
+  test("q23 top-k: rank filter becomes a WindowGroupLimit (partial top-k before the sort)") {
+    val p = plan("q23_topk")
+    assert(p.contains("WindowGroupLimit"),
+      "rk<=3 filter did not push a group limit — full groups sort at the window")
+  }
+
   test("whole-stage codegen covers the scan→filter→project spine of q02") {
     val p = plan("q02_filter_exclude_store")
     // formatted mode marks codegen stages with a "* " operator prefix;
