@@ -171,6 +171,16 @@ object ExtQueries {
           count(lit(1)).as("n"))
     }),
 
+    // §2g — streaming/batch parity: the EXACT StreamingOps transform
+    // (watermark + tumbling window + count) executed as a batch plan —
+    // Structured Streaming's core promise is that the declarative plan
+    // is mode-portable, and this puts the streaming operator library
+    // under the DuckDB oracle gate (the watermark is a no-op on a
+    // bounded input).
+    "q46_stream_batch_parity" -> ((s, d) =>
+      graft.streaming.StreamingOps.windowedCounts(
+        Tables.events(s, d), "ts", "event_type", "1 hour", "10 minutes")),
+
     // Skew pattern — salted two-stage aggregation: a deterministic
     // salt widens the hot keys (events has a handful of event_types →
     // at 100 TB each type is one giant reducer) across 16 partial
@@ -246,6 +256,8 @@ object ExtQueries {
       """SELECT event_type,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | count(*) AS n_events
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "q46_stream_batch_parity" ->
+      "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n FROM events GROUP BY 1, 2"
   )
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.TextOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage profiler (test scope, not part of the library):
+  * `sbt "Test/runMain graft.DevProfile"` — times the similarity-join
+  * stages separately so optimization targets the real cost.
+  */
+object DevProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def docsWithNearDups = {
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      docs.unionByName(docs.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" graftdup")).as("text")))
+    }
+    def sh = docsWithNearDups.select(col("doc_id"),
+      TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh"))
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2fs  rows=$n")
+    }
+
+    // warm-up
+    Tables.documents(spark, sfDir).count()
+    sh.count()
+
+    time("sh (ngram hashes)")(sh.count())
+    val cands = TextOps.prefixFilterCandidates(sh, "doc_id", "sh", 4, 5)
+    time("prefix candidates")(cands.count())
+    time("verify (full q37)")(
+      TextOps.jaccardVerify(cands, sh, "doc_id", "sh", 4, 5).count())
+    val sig = TextOps.minhashSignatures(
+      sh.select(col("doc_id"),
+        transform(col("sh"), h => pmod(h, lit(2147483647L))).as("hs")),
+      "doc_id", "hs", 32)
+    time("minhash signatures")(sig.count())
+    val lshCands = TextOps.lshCandidates(
+      TextOps.lshBands(sig, "doc_id", "sig", 16, 2), "doc_id")
+    time("lsh candidates")(lshCands.count())
+    time("verify (full q29)")(
+      TextOps.jaccardVerify(lshCands, sh, "doc_id", "sh", 4, 5).count())
+    spark.stop()
+  }
+}
