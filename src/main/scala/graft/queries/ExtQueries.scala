@@ -181,6 +181,18 @@ object ExtQueries {
       graft.streaming.StreamingOps.windowedCounts(
         Tables.events(s, d), "ts", "event_type", "1 hour", "10 minutes")),
 
+    // S4/J5 at the source tier — the work-unit generator as a custom
+    // DataSource V2 TableProvider (graft.sources.WorklistSource):
+    // stores × dates enumerated partition-parallel on the executors,
+    // never materialized on the driver (the reference's Python nested
+    // loop, load_sales_data.py:155-164, as a first-class batch source).
+    "q47_dsv2_worklist" -> ((s, d) =>
+      s.read.format("graft.sources.WorklistSource")
+        .option("stores", "100")
+        .option("lo", "1995-01-01").option("hi", "1995-01-07")
+        .option("numPartitions", "8")
+        .load()),
+
     // Skew pattern — salted two-stage aggregation: a deterministic
     // salt widens the hot keys (events has a handful of event_types →
     // at 100 TB each type is one giant reducer) across 16 partial
@@ -258,6 +270,10 @@ object ExtQueries {
         | count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
     "q46_stream_batch_parity" ->
-      "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n FROM events GROUP BY 1, 2"
+      "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n FROM events GROUP BY 1, 2",
+    "q47_dsv2_worklist" ->
+      """SELECT CAST(s.range AS BIGINT) AS store_id, d.d
+        |FROM range(0, 100) s CROSS JOIN
+        | (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-01-07', INTERVAL 1 DAY)) AS DATE) AS d) d""".stripMargin
   )
 }

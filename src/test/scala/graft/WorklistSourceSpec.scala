@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the DataSource V2 work-unit generator
+  * (graft.sources.WorklistSource): completeness and distinctness of
+  * store×date units across uneven partition splits, and the partition
+  * count actually honoring the option.
+  */
+class WorklistSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def load(stores: Int, lo: String, hi: String, parts: Int) =
+    spark.read.format("graft.sources.WorklistSource")
+      .option("stores", stores.toString)
+      .option("lo", lo).option("hi", hi)
+      .option("numPartitions", parts.toString)
+      .load()
+
+  test("generates exactly stores × days distinct units") {
+    val df = load(7, "2024-01-01", "2024-01-05", 3) // 7 stores, uneven split
+    assert(df.count() === 7L * 5L)
+    assert(df.distinct().count() === 7L * 5L)
+    val ids = df.select("store_id").distinct().as[Long].collect().sorted
+    assert(ids === (0L until 7L).toArray)
+    val days = df.select(col("d").cast("string")).distinct().as[String].collect().sorted
+    assert(days.head === "2024-01-01" && days.last === "2024-01-05")
+  }
+
+  test("partition count honors numPartitions, capped by stores") {
+    assert(load(100, "2024-01-01", "2024-01-02", 8).rdd.getNumPartitions === 8)
+    assert(load(3, "2024-01-01", "2024-01-02", 8).rdd.getNumPartitions === 3)
+  }
+
+  test("single-day window and single store still produce their unit") {
+    val df = load(1, "2024-06-15", "2024-06-15", 4)
+    assert(df.as[(Long, java.sql.Date)].collect().toSeq ===
+      Seq((0L, java.sql.Date.valueOf("2024-06-15"))))
+  }
+}
