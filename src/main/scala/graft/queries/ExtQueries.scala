@@ -193,6 +193,27 @@ object ExtQueries {
         .option("numPartitions", "8")
         .load()),
 
+    // The SQL front door — the same engine drives ANSI SQL through
+    // spark.sql over registered views: a join + aggregate + window
+    // pipeline in one statement, planned by the same Catalyst rules as
+    // the DataFrame queries (they are one API). Mirrors how a mart
+    // consumer would actually query the warehouse.
+    "q48_sql_pipeline" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      Tables.customer(s, d).createOrReplaceTempView("g_customer")
+      s.sql(
+        """SELECT c_mktsegment, order_year, total, n_orders,
+          |       CAST(rank() OVER (PARTITION BY order_year ORDER BY total DESC, c_mktsegment) AS BIGINT) AS rnk
+          |FROM (
+          |  SELECT c.c_mktsegment,
+          |         year(o.o_orderdate) AS order_year,
+          |         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          |         count(*) AS n_orders
+          |  FROM g_orders o JOIN g_customer c ON o.o_custkey = c.c_custkey
+          |  GROUP BY 1, 2
+          |)""".stripMargin)
+    }),
+
     // Skew pattern — salted two-stage aggregation: a deterministic
     // salt widens the hot keys (events has a handful of event_types →
     // at 100 TB each type is one giant reducer) across 16 partial
@@ -274,6 +295,17 @@ object ExtQueries {
     "q47_dsv2_worklist" ->
       """SELECT CAST(s.range AS BIGINT) AS store_id, d.d
         |FROM range(0, 100) s CROSS JOIN
-        | (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-01-07', INTERVAL 1 DAY)) AS DATE) AS d) d""".stripMargin
+        | (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-01-07', INTERVAL 1 DAY)) AS DATE) AS d) d""".stripMargin,
+    "q48_sql_pipeline" ->
+      """SELECT c_mktsegment, order_year, total, n_orders,
+        |       rank() OVER (PARTITION BY order_year ORDER BY total DESC, c_mktsegment) AS rnk
+        |FROM (
+        |  SELECT c.c_mktsegment,
+        |         CAST(year(o.o_orderdate) AS INT) AS order_year,
+        |         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |         count(*) AS n_orders
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2
+        |)""".stripMargin
   )
 }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DateType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -65,26 +66,79 @@ private[sources] class WorklistTable(options: CaseInsensitiveStringMap)
 }
 
 /** One object plays ScanBuilder/Scan/Batch — the source is simple
-  * enough that the three planning stages carry the same four values.
+  * enough that the three planning stages carry the same values.
+  *
+  * Filter pushdown: range predicates on `store_id` and `d` NARROW the
+  * generation ranges before partition planning (a `store_id < 10`
+  * filter over a million-store worklist plans 10 stores, not 1M — and
+  * shrinks the partition count observably). All filters are also
+  * returned as residuals, so Spark re-applies them post-scan: the
+  * pushdown is a strict optimization, never a correctness dependency —
+  * the same contract parquet scans follow.
   */
 private[sources] class WorklistScan(stores: Long, lo: LocalDate, hi: LocalDate,
                                     parts: Int)
-    extends ScanBuilder with Scan with Batch with Serializable {
+    extends ScanBuilder with SupportsPushDownFilters with Scan with Batch
+    with Serializable {
+  private var storeLo = 0L
+  private var storeHi = stores
+  private var dayLo = lo.toEpochDay.toInt
+  private var dayHi = hi.toEpochDay.toInt
+  private var pushed: Array[Filter] = Array.empty
+
+  private def toDay(v: Any): Option[Int] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
+    case d: LocalDate => Some(d.toEpochDay.toInt)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("store_id", v: Long) =>
+        storeLo = math.max(storeLo, v); storeHi = math.min(storeHi, v + 1); true
+      case GreaterThanOrEqual("store_id", v: Long) =>
+        storeLo = math.max(storeLo, v); true
+      case GreaterThan("store_id", v: Long) =>
+        storeLo = math.max(storeLo, v + 1); true
+      case LessThan("store_id", v: Long) =>
+        storeHi = math.min(storeHi, v); true
+      case LessThanOrEqual("store_id", v: Long) =>
+        storeHi = math.min(storeHi, v + 1); true
+      case EqualTo("d", v) => toDay(v).exists { x =>
+        dayLo = math.max(dayLo, x); dayHi = math.min(dayHi, x); true }
+      case GreaterThanOrEqual("d", v) => toDay(v).exists { x =>
+        dayLo = math.max(dayLo, x); true }
+      case GreaterThan("d", v) => toDay(v).exists { x =>
+        dayLo = math.max(dayLo, x + 1); true }
+      case LessThan("d", v) => toDay(v).exists { x =>
+        dayHi = math.min(dayHi, x - 1); true }
+      case LessThanOrEqual("d", v) => toDay(v).exists { x =>
+        dayHi = math.min(dayHi, x); true }
+      case _ => false
+    }
+    filters // all residual: Spark re-applies, pushdown is optimization-only
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = this
   override def readSchema(): StructType = WorklistSource.schema
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_worklist stores=[$storeLo,$storeHi) days=[$dayLo,$dayHi]"
 
   /** Split the STORE range, not the date range: stores is the large
     * axis (the reference loops stores outer, dates inner) and an even
     * store split keeps partitions balanced for any window length.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, math.min(parts.toLong, stores)).toInt
+    val span = math.max(0L, storeHi - storeLo)
+    if (span == 0L || dayLo > dayHi) return Array.empty
+    val n = math.max(1, math.min(parts.toLong, span)).toInt
     (0 until n).map { i =>
-      val start = stores * i / n
-      val end = stores * (i + 1) / n
-      WorklistPartition(start, end, lo.toEpochDay.toInt, hi.toEpochDay.toInt)
-        .asInstanceOf[InputPartition]
+      val start = storeLo + span * i / n
+      val end = storeLo + span * (i + 1) / n
+      WorklistPartition(start, end, dayLo, dayHi).asInstanceOf[InputPartition]
     }.toArray
   }
 

@@ -32,6 +32,20 @@ class WorklistSourceSpec extends SparkSpec {
     assert(load(3, "2024-01-01", "2024-01-02", 8).rdd.getNumPartitions === 3)
   }
 
+  test("filter pushdown narrows generation: fewer partitions, same answer") {
+    val base = load(1000, "2024-01-01", "2024-01-10", 8)
+    val filtered = base.filter(col("store_id") < 4)
+    // the pushed store range shrinks the partition plan itself
+    assert(filtered.rdd.getNumPartitions === 4)
+    assert(filtered.count() === 4L * 10L)
+    // date pushdown narrows too, and residual re-application keeps
+    // results exact for any predicate mix
+    val dated = base.filter(col("d") === to_date(lit("2024-01-03"))
+      && col("store_id") >= 998)
+    assert(dated.count() === 2L)
+    assert(dated.rdd.getNumPartitions === 2)
+  }
+
   test("single-day window and single store still produce their unit") {
     val df = load(1, "2024-06-15", "2024-06-15", 4)
     assert(df.as[(Long, java.sql.Date)].collect().toSeq ===
