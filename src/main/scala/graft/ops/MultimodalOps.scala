@@ -72,4 +72,40 @@ object MultimodalOps {
       .as[MediaRecord]
     decodeFeatures(typed).toDF()
   }
+
+  /** One sampled "frame" of a media payload (stub decode). */
+  final case class Frame(media_id: Long, frame_idx: Long, frame_checksum: Long)
+
+  /** Frame sampling — the ONE-TO-MANY decode shape (a video payload
+    * yields N sampled frames; the Scala analog of a UDTF / exploding
+    * mapInPandas stage): typed `flatMap`, one stub "demux" per record,
+    * at most `maxFrames` frames of `chunk` code points each. Frame
+    * checksum = Σ code points of the frame window mod 997 — decoded
+    * characters (not bytes) so a character-indexed SQL oracle
+    * reproduces it on any UTF-8 payload. A real implementation would
+    * seek keyframes in the container here; the fan-out plumbing (row
+    * multiplication inside the partition iterator, no driver
+    * involvement) is exactly what production needs.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+                   chunk: Int, maxFrames: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).as("media_id"), col(binCol).as("payload"))
+      .as[MediaRecord]
+      .flatMap { r =>
+        val cps = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+          .codePoints().toArray
+        val nFrames = math.min(maxFrames.toLong,
+          (cps.length + chunk - 1L) / chunk)
+        (0L until nFrames).map { fi =>
+          val from = (fi * chunk).toInt
+          val until = math.min(from + chunk, cps.length)
+          var s = 0L
+          var i = from
+          while (i < until) { s += cps(i); i += 1 }
+          Frame(r.media_id, fi, s % 997L)
+        }
+      }
+      .toDF()
+  }
 }

@@ -214,6 +214,15 @@ object ExtQueries {
           |)""".stripMargin)
     }),
 
+    // §2h multimodal — frame sampling: the one-to-many decode (video →
+    // N sampled frames) through the typed flatMap stage; fan-out
+    // happens inside the partition iterator, never on the driver.
+    "q49_multimodal_frames" -> ((s, d) =>
+      graft.ops.MultimodalOps.sampleFrames(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload", chunk = 32, maxFrames = 4)),
+
     // Skew pattern — salted two-stage aggregation: a deterministic
     // salt widens the hot keys (events has a handful of event_types →
     // at 100 TB each type is one giant reducer) across 16 partial
@@ -306,6 +315,11 @@ object ExtQueries {
         |         count(*) AS n_orders
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |  GROUP BY 1, 2
-        |)""".stripMargin
+        |)""".stripMargin,
+    "q49_multimodal_frames" ->
+      """SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+        | CAST(list_sum(list_transform(range(1, 33), j -> ascii(substr(text, CAST(fi*32 + j AS INT), 1)))) % 997 AS BIGINT) AS frame_checksum
+        |FROM documents, (SELECT unnest(range(0, 4)) AS fi) f
+        |WHERE fi*32 < length(text)""".stripMargin
   )
 }

@@ -32,6 +32,22 @@ class MultimodalSpec extends SparkSpec {
     assert(f.checksum === expect)
   }
 
+  test("sampleFrames: one-to-many fan-out, chunked checksums, maxFrames cap") {
+    val text = "a" * 70 // 70 chars → ceil(70/32) = 3 frames (cap 4)
+    val df = Seq((5L, text)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = MultimodalOps.sampleFrames(df, "doc_id", "payload", 32, 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(out.map(_._2).toSeq === Seq(0L, 1L, 2L))
+    assert(out(0)._3 === (32L * 'a') % 997L)
+    assert(out(2)._3 === (6L * 'a') % 997L) // short tail frame
+    // cap: a long payload yields exactly maxFrames
+    val long = Seq((6L, "b" * 1000)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    assert(MultimodalOps.sampleFrames(long, "doc_id", "payload", 32, 4)
+      .count() === 4L)
+  }
+
   test("extractFeatures: matches decodeOne row-wise at any partition count") {
     val rows = Seq((1L, "short"), (2L, "a somewhat longer payload body"),
       (3L, "третий документ с юникодом"))
