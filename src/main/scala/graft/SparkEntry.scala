@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.RelationalOps._
-import graft.queries.{ExtQueries, NorthQueries, RefQueries}
+import graft.queries.{ExtQueries, HardenQueries, NorthQueries, RefQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,7 +31,9 @@ object SparkEntry {
     * is partition-parallel — the plan a 1000-executor cluster wants.
     */
   def entry(spark: SparkSession): DataFrame = {
-    val d = "/root/testdata/sf0.001"
+    // honor the driver-passed scale dir (same env contract as
+    // Verify/Bench); sf0.001 is the documented smoke-check default
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
     def storeDayMart(df: DataFrame): DataFrame = {
       val daily = df
@@ -76,12 +78,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.queries ++ NorthQueries.queries ++ ExtQueries.queries
+    RefQueries.queries ++ NorthQueries.queries ++ ExtQueries.queries ++
+      HardenQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (approx sketches, LSH internals) → driver records rows-only.
     */
   def oracleSql: Map[String, String] =
-    RefQueries.oracle ++ NorthQueries.oracle ++ ExtQueries.oracle
+    RefQueries.oracle ++ NorthQueries.oracle ++ ExtQueries.oracle ++
+      HardenQueries.oracle
 }

@@ -158,4 +158,31 @@ object RelationalOps {
       .filter(col("_env.ret_code") === "0000")
       .select(explode(col("_env.data")).as("_rec"))
       .select(col("_rec.*"))
+
+  /** Malformed-record quarantine: PERMISSIVE parse of a JSON string
+    * column where rows that fail to parse are KEPT, with the raw text
+    * captured in `quarantine_raw` — the engine's version of the
+    * reference's catch-log-continue per batch
+    * (kicc_to_tb_sales.py:97-98): one bad record must never kill (or
+    * silently vanish from) a 100-TB job. Returns the parsed columns
+    * plus `quarantine_raw` (null ⇔ row parsed cleanly); callers split
+    * good/bad with one filter each. `schema` must NOT already contain
+    * the quarantine column.
+    *
+    * from_json semantics under PERMISSIVE: a syntactically broken
+    * document yields a fully-null struct; a parseable document with a
+    * wrong-typed field yields nulls for the bad fields only. Both
+    * surface here — the first as quarantined rows, the second as
+    * null-defaulted fields (P7) — matching the reference's per-row
+    * dict.get(...) → None tolerance.
+    */
+  def parseWithQuarantine(raw: DataFrame, jsonCol: String,
+                          schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    raw.withColumn("_rec", from_json(col(jsonCol), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .select(col("_rec.*"))
+      .withColumnRenamed("_corrupt_record", "quarantine_raw")
+  }
 }

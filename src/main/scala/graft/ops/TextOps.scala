@@ -134,12 +134,33 @@ object TextOps {
 
   /** Candidate pairs from LSH buckets: self-join on the band key with
     * id< to orient, then distinct (a pair can collide in several
-    * bands). At scale, skewed buckets (boilerplate shingles) should be
-    * capped before the join; unnecessary at fixture scale.
+    * bands).
+    *
+    * Skew cap: a hot bucket (shared boilerplate collapsing many docs
+    * onto one band_sig) makes the self-join quadratic in that bucket —
+    * the classic 100-TB LSH failure. Buckets above `maxBucket` rows are
+    * DROPPED before the join via a broadcast anti-join (the hot-bucket
+    * list is tiny by construction — at most |banded|/maxBucket rows).
+    * Recall trade, documented: a true pair colliding ONLY in over-cap
+    * buckets is missed. With b independent bands a J-similar pair
+    * collides per band with p = J^r, so the pair survives unless ALL
+    * its colliding bands are hot — for near-dup thresholds (J ≥ 0.8,
+    * 16 bands → ≥ 10 expected collisions) the residual miss rate is
+    * negligible, and a bucket with > maxBucket members is boilerplate,
+    * not near-duplication, at any corpus size. Verified in TextOpsSpec
+    * (planted hot bucket + planted near-dups: cap drops the former,
+    * keeps the latter).
     */
-  def lshCandidates(banded: DataFrame, idCol: String): DataFrame = {
-    val a = banded.select(col("band_idx"), col("band_sig"), col(idCol).as("id_a"))
-    val b = banded.select(col("band_idx"), col("band_sig"), col(idCol).as("id_b"))
+  def lshCandidates(banded: DataFrame, idCol: String,
+                    maxBucket: Int = 64): DataFrame = {
+    val hot = banded.groupBy(col("band_idx"), col("band_sig"))
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > maxBucket)
+      .select(col("band_idx"), col("band_sig"))
+    val capped = banded.join(broadcast(hot),
+      Seq("band_idx", "band_sig"), "left_anti")
+    val a = capped.select(col("band_idx"), col("band_sig"), col(idCol).as("id_a"))
+    val b = capped.select(col("band_idx"), col("band_sig"), col(idCol).as("id_b"))
     a.join(b, Seq("band_idx", "band_sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -170,7 +191,13 @@ object TextOps {
                              shCol: String, num: Int, den: Int): DataFrame = {
     val idx = docShingles.select(col(idCol), size(col(shCol)).as("_sz"),
       explode(col(shCol)).as("_tok"))
-    val dfreq = idx.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    // dfreq is |distinct shingles| rows of two longs — broadcast it so
+    // the inverted index is NOT shuffled+sorted for a sort-merge join
+    // (measured: the SMJ here dominated q37). At 100-TB corpus scale,
+    // where dfreq outgrows broadcast, swap the hint for "shuffle_hash";
+    // the prep stays one agg shuffle either way.
+    val dfreq = broadcast(
+      idx.groupBy(col("_tok")).agg(count(lit(1)).as("_df")))
     val ranked = idx.join(dfreq, "_tok")
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("_df"), col("_tok"))))
@@ -220,6 +247,45 @@ object TextOps {
       when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Banded Hamming-ball candidate pairs over a 64-bit SimHash column:
+    * the fingerprint splits into `bands` contiguous bit-slices; docs
+    * sharing ANY slice land in the same bucket, and by pigeonhole every
+    * pair within Hamming distance `bands − 1` shares at least one
+    * slice — so a `maxHam ≤ bands − 1` search has PROVABLY complete
+    * recall (the standard simhash index layout, e.g. 4×16-bit bands for
+    * a Hamming-≤3 search). Candidate generation is a hash-partitioned
+    * equi-join on (band_idx, band_val) — never all-pairs — and the
+    * final filter recomputes exact Hamming distance via bit_count(XOR),
+    * so precision is exact. Returns (id_a, id_b, ham).
+    */
+  def simhashBandedPairs(docs: DataFrame, idCol: String, hashCol: String,
+                         bands: Int, maxHam: Int): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxHam <= bands - 1,
+      s"banded search is only complete for maxHam <= bands-1 (= ${bands - 1})")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val slices = (0 until bands).map { i =>
+      struct(lit(i).as("band_idx"),
+        shiftrightunsigned(col(hashCol), i * width).bitwiseAND(lit(mask))
+          .as("band_val"))
+    }
+    val banded = docs.select(col(idCol), col(hashCol),
+        explode(array(slices: _*)).as("_bv"))
+      .select(col(idCol), col(hashCol), col("_bv.band_idx").as("band_idx"),
+        col("_bv.band_val").as("band_val"))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col(idCol).as("id_a"), col(hashCol).as("_h_a"))
+    val b = banded.select(col("band_idx"), col("band_val"),
+      col(idCol).as("id_b"), col(hashCol).as("_h_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_h_a").bitwiseXOR(col("_h_b"))).cast("long").as("ham"))
+      .filter(col("ham") <= maxHam)
+      .distinct()
   }
 
   /** Language-ID heuristic: count tokens hitting a per-language marker

@@ -91,23 +91,34 @@ object VectorOps {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** IVF-style ANN (q36): treat `labelCol` as the coarse quantizer's
-    * precomputed cell assignment (in production: k-means cell ids
-    * written at ingest). Search = (1) rank cells by probe↔centroid
-    * similarity, (2) scan only the best `nprobe` cells' vectors.
-    * Centroids are a tiny aggregate (|cells| rows) → broadcast;
-    * the candidate scan is a partition-pruned fraction of the corpus.
-    * This is the 100-TB path: brute force scans everything; IVF scans
-    * nprobe/|cells| of it.
+  /** IVF quantizer BUILD: per-cell mean vector (|cells| rows) from the
+    * cell assignments in `labelCol`. This is the INGEST-TIME step — it
+    * scans the full corpus once, so it must run when vectors are
+    * loaded and be persisted (parquet) for every query to read;
+    * recomputing it per query would nullify IVF's pruning win (the
+    * round-3 q35 defect: the quantizer build was inlined in the search
+    * plan, making every "pruned" query a full scan).
     */
-  def ivfTopK(vecs: DataFrame, probe: DataFrame, idCol: String, vecCol: String,
-              labelCol: String, nprobe: Int, k: Int): DataFrame = {
-    val dims = vecs.select(col(labelCol), posexplode(toDouble(col(vecCol))))
-    val centroids = dims.groupBy(col(labelCol), col("pos"))
+  def ivfCentroids(vecs: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    vecs.select(col(labelCol), posexplode(toDouble(col(vecCol))))
+      .groupBy(col(labelCol), col("pos"))
       .agg(avg(col("col")).as("c"))
       .groupBy(col(labelCol))
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col(labelCol), transform(col("pc"), x => x("c")).as("_centroid"))
+
+  /** IVF-style ANN SEARCH (q35): `labelCol` is the coarse quantizer's
+    * cell assignment and `centroids` the PREBUILT [[ivfCentroids]]
+    * table. Search = (1) rank centroids by probe similarity (|cells|
+    * rows → broadcast), (2) scan only the best `nprobe` cells'
+    * vectors. The query-time plan touches the corpus exactly once,
+    * restricted by the broadcast cell list — no full-corpus aggregate
+    * anywhere (PlanSpec-asserted). This is the 100-TB path: brute
+    * force scans everything; IVF scans nprobe/|cells| of it.
+    */
+  def ivfTopK(vecs: DataFrame, centroids: DataFrame, probe: DataFrame,
+              idCol: String, vecCol: String, labelCol: String,
+              nprobe: Int, k: Int): DataFrame = {
     val p = broadcast(probe.select(toDouble(col(vecCol)).as("_probe_vec")))
     val best = broadcast(
       centroids.join(p)

@@ -49,8 +49,12 @@ object ExtQueries {
       // candidates + verify on numeric 64-bit shingle hashes (longs,
       // no n-gram strings — TextOps.ngramHashes64); the hash order
       // serves as the prefix filter's global total order
+      // localCheckpoint: sh feeds the prefix index AND both verify
+      // sides — materialize the tokenize/shingle/hash pipeline once
+      // per invocation instead of 3× (the round-3 q37 hot spot).
       val sh = docsWithNearDups(s, d).select(col("doc_id"),
         TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh"))
+        .localCheckpoint()
       val cands = TextOps.prefixFilterCandidates(sh, "doc_id", "sh", 4, 5)
       TextOps.jaccardVerify(cands, sh, "doc_id", "sh", 4, 5)
     }),

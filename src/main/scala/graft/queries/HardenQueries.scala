@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.TextOps
+import graft.ops.RelationalOps.sumMoney
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q50–q53: round-4 hardening — the SimHash search path finally under
+  * the DuckDB oracle, the reference's current-date-relative nightly
+  * window (SURVEY.md §2f F3), the DSv2 WRITE tier (keyed upsert sink,
+  * S6/S9), and the JDBC storage tier the reference actually runs on.
+  */
+object HardenQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DupOffset = 100000L
+
+  val queries: Map[String, Q] = Map(
+    // §2h — SimHash banded near-dup search, end-to-end under the
+    // oracle: 64-bit simhash → 4×16-bit bands → bucket equi-join →
+    // Hamming ≤ 3 → exact verify. Near-dups are planted by REVERSING
+    // token order (ids +100000): genuinely different text whose token
+    // BAG is identical, so its simhash distance is exactly 0 — inside
+    // any banded guarantee radius. (Measured on this fixture: a
+    // one-token edit flips up to 13/64 bits — the low-entropy
+    // vocabulary leaves near-zero vote margins — so CONTENT-perturbed
+    // planted pairs sit outside every discriminative banding radius;
+    // order-perturbed pairs are the semantics simhash-over-tokens
+    // certifiably catches, and the recall proof is pigeonhole-exact:
+    // bag equal ⇒ simhash equal ⇒ all 4 bands collide.) The verify
+    // predicate (token bags equal, compared as sorted arrays) is
+    // SQL-expressible, so the full pipeline is oracle-graded — the gap
+    // VERDICT r3 flagged for q30. Precision is exact (every candidate
+    // verified); organic bag-equal pairs would be found symmetrically
+    // by both engines (the fixture has none — measured).
+    "q50_simhash_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + DupOffset).as("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+      // simhash + token bag computed once per doc, reused by the band
+      // join and both verify sides
+      val h = corpus.select(col("doc_id"),
+          sort_array(TextOps.tokens(col("text"))).as("_bag"),
+          TextOps.simhash64(TextOps.tokens(col("text"))).as("_h"))
+        .localCheckpoint()
+      val cands = TextOps.simhashBandedPairs(h, "doc_id", "_h", 4, 3)
+      val a = h.select(col("doc_id").as("id_a"), col("_bag").as("_bag_a"))
+      val b = h.select(col("doc_id").as("id_b"), col("_bag").as("_bag_b"))
+      cands.join(a, "id_a").join(b, "id_b")
+        .filter(col("_bag_a") === col("_bag_b"))
+        .select(col("id_a"), col("id_b"), col("ham"))
+    }),
+
+    // F3 — the reference's ACTUAL entry condition: a current-date-
+    // relative window (nightly: [today−1, today), load_sales_data.py:
+    // 146-147; period backfill: [today−N, today), load_sales_with_
+    // prod_data_period.py:130-133). Derived with current_date()/
+    // date_sub — the operator under test — anchored by a deterministic
+    // offset to the fixture era (datediff(anchor, current_date())
+    // cancels algebraically to a constant window, so the oracle is
+    // reproducible on any day). Catalyst folds current_date() at plan
+    // time, so the bounds reach the parquet scan as pushed literals —
+    // the nightly job never rescans history (PlanSpec-asserted).
+    "q51_nightly_window" -> ((s, d) => {
+      val anchor = to_date(lit("1995-03-16"))
+      val today = date_add(current_date(), datediff(anchor, current_date()))
+      val lo = date_sub(today, 7).cast("timestamp")
+      val hi = today.cast("timestamp")
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("sale_dy"))
+        .agg(sumMoney(col("o_totalprice")).as("amt"), count(lit(1)).as("n"))
+    }),
+
+    // S6/S9 — the DSv2 WRITE tier: store×day mart rows go through the
+    // keyed-upsert sink's two-phase commit, then the SAME batch is
+    // re-sent — the read-back must show no duplicates (the reference's
+    // re-runnable nightly, load_sales_data.py:129-134: per-key UPDATE-
+    // or-INSERT ⇒ idempotent re-runs). The oracle computes the agg
+    // directly; any duplication or partial commit breaks the hash.
+    "q52_dsv2_sink_upsert" -> ((s, d) => {
+      val table = "mart_" + s.sparkContext.applicationId + "_" +
+        math.abs(d.hashCode).toString
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("day"))
+        .agg(sumMoney(col("o_totalprice")).as("amt"), count(lit(1)).as("n"))
+      def send(): Unit = daily.write.format("graft.sources.UpsertSinkSource")
+        .option("table", table).option("keys", "o_custkey,day")
+        .mode("append").save()
+      send(); send() // idempotent re-send: keyed merge must not duplicate
+      s.read.format("graft.sources.UpsertSinkSource")
+        .option("table", table).load()
+    }),
+
+    // The reference's storage tier IS a SQL database over JDBC
+    // (pymysql, load_sales_data.py:89,151): round-trip a dimension
+    // through an embedded Derby DB via spark.write.jdbc /
+    // spark.read.jdbc — the same API lines that would hit MySQL in
+    // production, minus the network. Overwrite mode = the reference's
+    // TRUNCATE-and-load refresh (load_store_data.py:77-84).
+    "q53_jdbc_roundtrip" -> ((s, d) => {
+      System.setProperty("derby.system.home",
+        System.getProperty("java.io.tmpdir"))
+      System.setProperty("derby.stream.error.file",
+        System.getProperty("java.io.tmpdir") + "/derby.log")
+      val url = "jdbc:derby:memory:graft_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_") +
+        ";create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      Tables.nation(s, d).write.mode("overwrite")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        // Derby maps StringType to CLOB by default; VARCHAR keeps the
+        // column comparable/indexable like the reference's DDL
+        .option("createTableColumnTypes", "n_name VARCHAR(128)")
+        .jdbc(url, "nation_rt", props)
+      s.read.option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .jdbc(url, "nation_rt", props)
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q50_simhash_neardup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $DupOffset AS doc_id,
+         |         list_reverse(string_split(text, ' ')) AS toks FROM documents),
+         | s AS (SELECT doc_id, list_sort(toks) AS bag FROM corpus)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS ham
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.bag = b.bag""".stripMargin,
+    "q51_nightly_window" ->
+      """SELECT o_custkey, CAST(o_orderdate AS DATE) AS sale_dy,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+        | count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-03-09 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1995-03-16 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "q52_dsv2_sink_upsert" ->
+      """SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+        | count(*) AS n
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q53_jdbc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.util.Properties
+
+import org.apache.spark.sql.functions._
+
+/** JDBC storage tier (the reference's actual sink: MySQL over pymysql,
+  * load_sales_data.py:89,151) demonstrated against embedded Derby —
+  * the same spark.read.jdbc / write.jdbc lines production would point
+  * at MySQL. Covers: overwrite (truncate-and-load, S8), append,
+  * predicate pushdown into the DB, and partitioned parallel reads.
+  */
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+  System.setProperty("derby.stream.error.file",
+    System.getProperty("java.io.tmpdir") + "/derby.log")
+
+  private val url = "jdbc:derby:memory:graft_spec;create=true"
+  private val props = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  test("write.jdbc overwrite + read.jdbc round trip preserves rows and types") {
+    val d = Seq((1L, "apple", 1.5), (2L, "pear", 2.5), (3L, "plum", 0.0))
+      .toDF("id", "name", "price")
+    d.write.mode("overwrite")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("createTableColumnTypes", "name VARCHAR(64)")
+      .jdbc(url, "fruits", props)
+    val back = spark.read.jdbc(url, "fruits", props)
+      .as[(Long, String, Double)].collect().toSet
+    assert(back === Set((1L, "apple", 1.5), (2L, "pear", 2.5), (3L, "plum", 0.0)))
+  }
+
+  test("append accumulates; overwrite is the truncate-and-load refresh") {
+    Seq((10L, "kiwi", 9.0)).toDF("id", "name", "price")
+      .write.mode("append").jdbc(url, "fruits", props)
+    assert(spark.read.jdbc(url, "fruits", props).count() === 4L)
+    Seq((99L, "fig", 3.0)).toDF("id", "name", "price")
+      .write.mode("overwrite")
+      .option("createTableColumnTypes", "name VARCHAR(64)")
+      .jdbc(url, "fruits", props)
+    assert(spark.read.jdbc(url, "fruits", props).count() === 1L)
+  }
+
+  test("filter pushes into the database scan (PushedFilters on the JDBC relation)") {
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "name", "price")
+      .write.mode("overwrite")
+      .option("createTableColumnTypes", "name VARCHAR(64)")
+      .jdbc(url, "pushdown_t", props)
+    val q = spark.read.jdbc(url, "pushdown_t", props).filter(col("id") > 1L)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      s"filter not pushed into the JDBC scan:\n$plan")
+    assert(q.count() === 2L)
+  }
+
+  test("partitioned parallel read: partition column splits the table scan") {
+    (1L to 40L).map(i => (i, s"r$i", i * 1.0)).toDF("id", "name", "price")
+      .write.mode("overwrite")
+      .option("createTableColumnTypes", "name VARCHAR(64)")
+      .jdbc(url, "parts_t", props)
+    val df = spark.read.jdbc(url, "parts_t", "id", 1L, 41L, 4, props)
+    assert(df.rdd.getNumPartitions === 4)
+    assert(df.count() === 40L)
+  }
+}

@@ -116,6 +116,33 @@ class PlanSpec extends SparkSpec {
       "rk<=3 filter did not push a group limit — full groups sort at the window")
   }
 
+  test("q35 IVF search: NO full-corpus aggregation at query time (centroids prebuilt)") {
+    val p = plan("q35_ann_ivf")
+    // the round-3 defect: the quantizer build (posexplode + two aggs
+    // over every vector) was inlined in the search plan, turning the
+    // "pruned" query into a full scan. Post-split the query must only
+    // read the persisted centroid table + the pruned corpus cells.
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate")
+      && !p.contains("SortAggregate"),
+      s"query-time plan re-aggregates the corpus (quantizer build leaked in):\n$p")
+    assert(!p.contains("Generate"),
+      "posexplode in the search plan — centroid build is inlined, not persisted")
+    assert(p.contains("TakeOrderedAndProject"), "top-k fell back to global sort")
+  }
+
+  test("q50 simhash search: equi-join candidates, no cartesian, no nested loop on pairs") {
+    val p = plan("q50_simhash_neardup")
+    assert(!p.contains("CartesianProduct"),
+      "banded simhash candidate generation degenerated to all-pairs")
+  }
+
+  test("q51 nightly window: current-date-relative bounds fold to pushed scan filters") {
+    val p = plan("q51_nightly_window")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("o_orderdate"),
+      s"the nightly [today-N, today) window must prune the scan: $pushed")
+  }
+
   test("whole-stage codegen covers the scan→filter→project spine of q02") {
     val p = plan("q02_filter_exclude_store")
     // formatted mode marks codegen stages with a "* " operator prefix;

@@ -122,6 +122,26 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r(1) === Row("s2", null)) // missing field → null (.get semantics)
   }
 
+  test("parseWithQuarantine: bad rows quarantined with raw text, good rows survive") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("amt", StringType)))
+    val raw = Seq(
+      """{"id":1,"amt":"10"}""",
+      """{"id":2,"amt":"20"""",          // truncated JSON → quarantine
+      """not json at all""",             // garbage → quarantine
+      """{"id":4}""").toDF("body")       // missing field → null, NOT quarantined
+    val out = parseWithQuarantine(raw, "body", schema)
+    val good = out.filter(col("quarantine_raw").isNull)
+      .select("id", "amt").collect().toSet
+    val bad = out.filter(col("quarantine_raw").isNotNull)
+      .select("quarantine_raw").as[String].collect().toSet
+    assert(out.count() === 4, "no row may vanish — quarantine, don't drop")
+    assert(good === Set(Row(1L, "10"), Row(4L, null)))
+    assert(bad === Set("""{"id":2,"amt":"20"""", "not json at all"),
+      s"quarantine must carry the raw text for replay: $bad")
+  }
+
   test("sumMoney is exact regardless of partitioning") {
     val df = spark.range(1000).select((col("id") % 7 * lit(0.01) + 100.0).as("v"))
     val a = df.repartition(1).agg(sumMoney($"v")).as[Double].head()

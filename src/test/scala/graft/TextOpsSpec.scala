@@ -144,6 +144,41 @@ class TextOpsSpec extends SparkSpec {
       f"q29 gate at risk: worst per-pair band-miss probability $worstMiss%.2e")
   }
 
+  test("lshCandidates: hot buckets above the cap are dropped, normal buckets kept") {
+    // a boilerplate bucket with 80 docs (quadratic: 3160 pairs) plus a
+    // genuine near-dup pair in its own bucket; the near-dup pair also
+    // collides in a SECOND band — like real near-dups, which share
+    // most bands — so the cap must not cost it.
+    val hot = (0L until 80L).map(i => (0, "HOT", i))
+    val pair = Seq((1, "AB", 200L), (1, "AB", 201L), (2, "CD", 200L), (2, "CD", 201L))
+    val banded = (hot ++ pair).toDF("band_idx", "band_sig", "doc_id")
+    val capped = TextOps.lshCandidates(banded, "doc_id", maxBucket = 64)
+      .as[(Long, Long)].collect().toSet
+    assert(capped === Set((200L, 201L)),
+      s"cap must drop the 3160 hot-bucket pairs, keep the real pair: $capped")
+    val uncapped = TextOps.lshCandidates(banded, "doc_id", maxBucket = 10000)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 80 * 79 / 2 + 1)
+  }
+
+  test("simhashBandedPairs: pigeonhole recall within maxHam, exact Hamming filter") {
+    // bands=4 (16-bit slices), maxHam=3. h2 differs from h1 in 3 bits
+    // of one band → found (other 3 bands collide), ham=3 exact.
+    // h3 differs in 4 bits spread over ALL bands → no band collides.
+    // h4 differs from h1 in 4 bits of ONE band → candidate via 3 equal
+    // bands, but ham=4 > maxHam → filtered. (h2,h4) differ in 1 bit →
+    // legitimately found at ham=1.
+    val h1 = 0L
+    val h2 = 7L                                      // bits 0,1,2
+    val h3 = 1L | (1L << 16) | (1L << 32) | (1L << 48)
+    val h4 = 15L                                     // bits 0..3
+    val d = Seq((1L, h1), (2L, h2), (3L, h3), (4L, h4)).toDF("doc_id", "h")
+    val out = TextOps.simhashBandedPairs(d, "doc_id", "h", 4, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 3L), (2L, 4L, 1L)),
+      s"expected (1,2)@ham3 and (2,4)@ham1 only: $out")
+  }
+
   test("prefixFilterCandidates: complete at the threshold (⊇ ground-truth pairs)") {
     val sh = corpusWithNearDups.select(col("doc_id"),
       TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))

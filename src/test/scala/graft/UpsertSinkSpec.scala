@@ -1,0 +1,76 @@
+package graft
+
+import graft.sources.UpsertSinkSource
+import org.apache.spark.sql.functions._
+
+/** DSv2 write-tier semantics (SURVEY.md S6/S8/S9): keyed-upsert merge,
+  * idempotent re-send, truncate-and-load, and the schema guard — the
+  * reference's re-runnable nightly sink (load_sales_data.py:129-134)
+  * as a first-class SupportsWrite table.
+  */
+class UpsertSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fmt = "graft.sources.UpsertSinkSource"
+
+  private def readBack(table: String): Set[(Long, String, Double)] =
+    spark.read.format(fmt).option("table", table).load()
+      .as[(Long, String, Double)].collect().toSet
+
+  test("keyed append: merge by key, idempotent re-send, latest wins") {
+    val t = "t_upsert_" + System.nanoTime()
+    val b1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
+    b1.write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save()
+    b1.write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save() // re-send: must not duplicate
+    assert(readBack(t) === Set((1L, "a", 10.0), (2L, "b", 20.0)))
+
+    // partial update batch: key 2 overwritten, key 3 inserted, key 1 kept
+    Seq((2L, "b2", 25.0), (3L, "c", 30.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save()
+    assert(readBack(t) ===
+      Set((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0)))
+    UpsertSinkSource.drop(t)
+  }
+
+  test("overwrite: truncate-and-load replaces all previous state") {
+    val t = "t_trunc_" + System.nanoTime()
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save()
+    Seq((9L, "z", 9.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k")
+      .mode("overwrite").save()
+    assert(readBack(t) === Set((9L, "z", 9.0)))
+    UpsertSinkSource.drop(t)
+  }
+
+  test("schema guard: appending a different schema fails, state survives") {
+    val t = "t_schema_" + System.nanoTime()
+    Seq((1L, "a", 1.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save()
+    val bad = intercept[Exception] {
+      Seq((1L, 5L)).toDF("k", "other")
+        .write.format(fmt).option("table", t).option("keys", "k")
+        .mode("append").save()
+    }
+    assert(bad.getMessage != null)
+    assert(readBack(t) === Set((1L, "a", 1.0)), "failed write mutated state")
+    UpsertSinkSource.drop(t)
+  }
+
+  test("read-back scan partitions the committed rows") {
+    val t = "t_parts_" + System.nanoTime()
+    (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save()
+    val df = spark.read.format(fmt).option("table", t)
+      .option("numPartitions", "4").load()
+    assert(df.rdd.getNumPartitions === 4)
+    assert(df.count() === 100L)
+    UpsertSinkSource.drop(t)
+  }
+}

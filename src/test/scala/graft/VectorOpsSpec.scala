@@ -56,8 +56,9 @@ class VectorOpsSpec extends SparkSpec {
       (3L, Seq(0.0, 1.0, 0.0), 1), (4L, Seq(0.1, 0.9, 0.0), 1),
       (5L, Seq(0.0, 0.0, 1.0), 2), (6L, Seq(0.0, 0.1, 0.9), 2))
     val probe = d.filter(col("vec_id") === 1L)
-    val out = VectorOps.ivfTopK(d, probe, "vec_id", "embedding", "label",
-      nprobe = 1, k = 4)
+    val out = VectorOps.ivfTopK(d,
+      VectorOps.ivfCentroids(d, "embedding", "label"), probe,
+      "vec_id", "embedding", "label", nprobe = 1, k = 4)
       .select("vec_id").as[Long].collect().toSeq
     // nprobe=1 → only label 0 scanned: ids 1,2 and nothing else
     assert(out === Seq(1L, 2L))
