@@ -26,8 +26,12 @@ object DevProfile {
       docs.unionByName(docs.select((col("doc_id") + 100000L).as("doc_id"),
         concat(col("text"), lit(" graftdup")).as("text")))
     }
-    def sh = docsWithNearDups.select(col("doc_id"),
+    // localCheckpoint like the real q29/q37 call sites — the profiler
+    // must measure the shipped plan shape, not a strawman that
+    // recomputes the shingle pipeline per consumer
+    lazy val sh = docsWithNearDups.select(col("doc_id"),
       TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh"))
+      .localCheckpoint()
 
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -44,13 +48,11 @@ object DevProfile {
     time("prefix candidates")(cands.count())
     time("verify (full q37)")(
       TextOps.jaccardVerify(cands, sh, "doc_id", "sh", 4, 5).count())
-    val sig = TextOps.minhashSignatures(
-      sh.select(col("doc_id"),
-        transform(col("sh"), h => pmod(h, lit(2147483647L))).as("hs")),
-      "doc_id", "hs", 32)
+    val sig = TextOps.minhashSignatures(sh, "doc_id", "sh", 32)
     time("minhash signatures")(sig.count())
     val lshCands = TextOps.lshCandidates(
-      TextOps.lshBands(sig, "doc_id", "sig", 16, 2), "doc_id")
+      TextOps.lshBands(sig, "doc_id", "sig", 16, 2), "doc_id",
+      maxBucket = 64)
     time("lsh candidates")(lshCands.count())
     time("verify (full q29)")(
       TextOps.jaccardVerify(lshCands, sh, "doc_id", "sh", 4, 5).count())

@@ -126,7 +126,8 @@ class TextOpsSpec extends SparkSpec {
       sh.select(col("doc_id"), TextOps.shingleHashes(col("sh")).as("hs")),
       "doc_id", "hs", 32)
     val cands = TextOps.lshCandidates(
-      TextOps.lshBands(sig, "doc_id", "sig", 16, 2), "doc_id")
+      TextOps.lshBands(sig, "doc_id", "sig", 16, 2), "doc_id",
+      maxBucket = 64)
     val found = TextOps.jaccardVerify(cands, sh, "doc_id", "sh", 4, 5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val truthJ = groundTruthJ(sh, 4, 5)
