@@ -175,6 +175,15 @@ object RelationalOps {
     * surface here — the first as quarantined rows, the second as
     * null-defaulted fields (P7) — matching the reference's per-row
     * dict.get(...) → None tolerance.
+    *
+    * Rows whose parse produces NO struct at all — a NULL input string,
+    * or the JSON text `null` — are ALSO quarantined (from_json returns
+    * a null struct for both, with no corrupt record set, so without
+    * this rule they would masquerade as clean all-null rows, breaking
+    * the "null quarantine_raw ⇔ parsed cleanly" replay contract).
+    * Their quarantine_raw is the input text, with NULL input recorded
+    * as the JSON text `null` — the replay text that reproduces the
+    * same non-struct outcome.
     */
   def parseWithQuarantine(raw: DataFrame, jsonCol: String,
                           schema: StructType): DataFrame = {
@@ -182,7 +191,11 @@ object RelationalOps {
     raw.withColumn("_rec", from_json(col(jsonCol), withCorrupt,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> "_corrupt_record")))
-      .select(col("_rec.*"))
-      .withColumnRenamed("_corrupt_record", "quarantine_raw")
+      .withColumn("_qraw",
+        when(col("_rec").isNull, coalesce(col(jsonCol), lit("null")))
+          .otherwise(col("_rec._corrupt_record")))
+      .select(col("_rec.*"), col("_qraw"))
+      .drop("_corrupt_record")
+      .withColumnRenamed("_qraw", "quarantine_raw")
   }
 }

@@ -67,13 +67,25 @@ object ExtQueries {
     // order inside an envelope is nondeterministic (collect_list), but
     // the decoded ROW SET is order-free — exactly why the oracle can
     // check it.
+    //
+    // BOUNDED envelopes: a per-user collect_list is unbounded — one
+    // hot user_id OOMs the aggregation buffer at corpus scale. Records
+    // are bucketed to ≤500 per envelope first (row_number over the
+    // same user_id partitioning the groupBy shuffles on, so the window
+    // adds no exchange), i.e. one user emits ceil(n/500) envelopes.
+    // The decode gates on the envelope's ret_code exactly as before —
+    // every bucket of a user carries the same code — so the decoded
+    // row set is unchanged and the oracle still certifies it.
     "q38_envelope_decode" -> ((s, d) => {
-      val recs = Tables.events(s, d).select(col("user_id"),
+      val recs = Tables.events(s, d).select(col("user_id"), col("event_id"),
         concat(lit("{\"id\":"), col("event_id").cast("string"),
           lit(",\"k\":"),
           coalesce(get_json_object(col("props"), "$.k"), lit("null")),
           lit("}")).as("rec"))
-      val env = recs.groupBy(col("user_id"))
+      val wb = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val env = recs
+        .withColumn("_bkt", floor((row_number().over(wb) - 1) / lit(500)))
+        .groupBy(col("user_id"), col("_bkt"))
         .agg(concat_ws(",", collect_list(col("rec"))).as("_recs"))
         .select(concat(lit("{\"ret_code\":\""),
           when(col("user_id") % 50 === 0, lit("9999")).otherwise(lit("0000")),

@@ -194,18 +194,26 @@ private[sources] class SinkScan(state: UpsertSinkSource.StoreState, parts: Int)
     }.toArray
   }
 
+  // A standalone factory object, NOT an inner/anonymous class: an
+  // anonymous factory captures `this` (the whole SinkScan, including
+  // the full committed-row map), so every task serialized the entire
+  // table in addition to its own slice — the "task of very large size"
+  // warning in the round-4 bench. Each task now carries only its
+  // SinkPartition rows.
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val rows = p.asInstanceOf[SinkPartition].rows
-        new PartitionReader[InternalRow] {
-          private var i = -1
-          override def next(): Boolean = { i += 1; i < rows.length }
-          override def get(): InternalRow = rows(i)
-          override def close(): Unit = ()
-        }
-      }
+    SinkReaderFactory
+}
+
+private[sources] object SinkReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rows = p.asInstanceOf[SinkPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = rows(i)
+      override def close(): Unit = ()
     }
+  }
 }
 
 private[sources] case class SinkPartition(rows: Array[InternalRow])

@@ -142,6 +142,20 @@ class RelationalOpsSpec extends SparkSpec {
       s"quarantine must carry the raw text for replay: $bad")
   }
 
+  test("parseWithQuarantine: NULL input and JSON null are quarantined, not clean all-null rows") {
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val raw = Seq(Some("""{"id":1}"""), None, Some("null"))
+      .toDF("body")
+    val out = parseWithQuarantine(raw, "body", schema)
+    assert(out.count() === 3)
+    // the replay contract: quarantine_raw null ⇔ a struct was parsed
+    assert(out.filter(col("quarantine_raw").isNull).count() === 1)
+    val bad = out.filter(col("quarantine_raw").isNotNull)
+      .select("quarantine_raw").as[String].collect().toSet
+    assert(bad === Set("null"),
+      s"non-struct parses must quarantine as replayable JSON text: $bad")
+  }
+
   test("sumMoney is exact regardless of partitioning") {
     val df = spark.range(1000).select((col("id") % 7 * lit(0.01) + 100.0).as("v"))
     val a = df.repartition(1).agg(sumMoney($"v")).as[Double].head()

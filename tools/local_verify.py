@@ -1,8 +1,13 @@
 #!/usr/bin/env python3
-"""Dev-loop replica of the driver's correctness gate: reads the
-Verify.scala dump (parquet per query + oracle_sql.json), runs each
-oracle in DuckDB over the same testdata, and compares rows / schema /
-value-hash. Dev tool only — the engine itself is pure Scala/Spark.
+"""THE dev-loop replica of the driver's correctness gate (the former
+dev/check_oracle.py and tools/check_oracle.py replicas disagreed on
+float normalization — 9-sig-digit rounding vs exact — and were removed
+in round 5; this single checker compares exactly, via pandas equals
+with dtype alignment, which matched the driver's verdict on every
+round-4 dump). Reads the Verify.scala dump (parquet per query +
+oracle_sql.json), runs each oracle in DuckDB over the same testdata,
+and compares rows / schema / value-hash. Dev tool only — the engine
+itself is pure Scala/Spark.
 
 Usage: python3 tools/local_verify.py <outDir> <sfDir>
 """
