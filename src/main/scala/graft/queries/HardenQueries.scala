@@ -6,10 +6,11 @@ import graft.ops.RelationalOps.sumMoney
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** q50–q53: round-4 hardening — the SimHash search path finally under
-  * the DuckDB oracle, the reference's current-date-relative nightly
-  * window (SURVEY.md §2f F3), the DSv2 WRITE tier (keyed upsert sink,
-  * S6/S9), and the JDBC storage tier the reference actually runs on.
+/** q50–q54: round-4/5 hardening — the SimHash search path under the
+  * DuckDB oracle, the reference's current-date-relative nightly window
+  * (SURVEY.md §2f F3), the DSv2 WRITE tier (keyed upsert sink, S6/S9),
+  * and the JDBC storage tier the reference actually runs on — both the
+  * truncate-and-load refresh (q53) and the keyed MERGE upsert (q54).
   */
 object HardenQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -120,6 +121,42 @@ object HardenQueries {
         .jdbc(url, "nation_rt", props)
         .select(col("n_nationkey").cast("int").as("n_nationkey"),
           col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+    }),
+
+    // S6/S9 over JDBC — the reference's ACTUAL write: keyed upsert
+    // into a SQL database (per-row UPDATE-else-INSERT against MySQL,
+    // load_sales_data.py:129-134), done the set-based way: stage the
+    // batch with write.jdbc, then ONE transactional MERGE INTO on the
+    // database (JdbcUpsert.mergeInto). Two sends: first a STALE batch
+    // (amt zeroed — exercises the INSERT arm for every key), then the
+    // true batch (exercises the UPDATE arm for every key). The oracle
+    // computes the final aggregate directly, so a failed update, a
+    // duplicate insert, or a half-applied merge all break the hash.
+    // The in-JVM q52 sink and this query share semantics by design —
+    // same contract, two storage tiers.
+    "q54_jdbc_upsert" -> ((s, d) => {
+      System.setProperty("derby.system.home",
+        System.getProperty("java.io.tmpdir"))
+      System.setProperty("derby.stream.error.file",
+        System.getProperty("java.io.tmpdir") + "/derby.log")
+      val url = "jdbc:derby:memory:graft_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_") +
+        ";create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val table = "mart_jdbc_" + math.abs(d.hashCode).toString
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("day"))
+        .agg(sumMoney(col("o_totalprice")).as("amt"), count(lit(1)).as("n"))
+      graft.sources.JdbcUpsert.mergeInto(
+        daily.withColumn("amt", lit(0.0)), url, table,
+        Seq("o_custkey", "day"), props)
+      graft.sources.JdbcUpsert.mergeInto(
+        daily, url, table, Seq("o_custkey", "day"), props)
+      s.read.option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .jdbc(url, table, props)
+        .select(col("o_custkey").cast("long").as("o_custkey"), col("day"),
+          col("amt"), col("n").cast("long").as("n"))
     })
   )
 
@@ -147,6 +184,11 @@ object HardenQueries {
         | count(*) AS n
         |FROM orders GROUP BY 1, 2""".stripMargin,
     "q53_jdbc_roundtrip" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q54_jdbc_upsert" ->
+      """SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+        | count(*) AS n
+        |FROM orders GROUP BY 1, 2""".stripMargin
   )
 }

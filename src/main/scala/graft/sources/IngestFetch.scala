@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** One ingest work unit: the (store, date) coordinates the reference
+  * substitutes into its POS-API request body (load_sales_data.py:84-93
+  * builds `{s_code, sp_code, sale_date}` per unit before
+  * `requests.post`, :93). Exactly one fetch per work unit.
+  */
+final case class FetchRequest(storeId: Long, date: LocalDate)
+
+/** The ingest transport seam — the one reference boundary a sandbox
+  * cannot exercise for real (`requests.post(url, json=...)`,
+  * load_sales_data.py:93, load_store_data.py:58-66; zero egress here).
+  * The engine therefore pins the SHAPE of the boundary and leaves the
+  * wire call pluggable:
+  *
+  *   - PARTITION lifecycle, not row lifecycle: `fetchPartition`
+  *     receives the whole partition's work units, so an implementation
+  *     opens one HTTP client/connection pool per partition (the
+  *     executor-side analog of the reference's per-run session),
+  *     issues one call per unit, and releases the client when the
+  *     iterator is exhausted — the same discipline as
+  *     [[graft.ops.MultimodalOps]]' per-partition codec.
+  *   - Returns RAW envelope strings (one per request, the API's
+  *     `{"ret_code":…,"data":[…]}` response body). Parsing/gating is
+  *     NOT the transport's job — the typed boundary stays in
+  *     [[graft.ops.RelationalOps.decodeEnvelope]], so a transport swap
+  *     can never change decode semantics.
+  *   - Must be Serializable: the transport ships to executors inside
+  *     the mapPartitions closure. Keep implementations stateless at
+  *     construction (open clients lazily inside fetchPartition).
+  */
+trait EnvelopeTransport extends Serializable {
+  def fetchPartition(requests: Iterator[FetchRequest]): Iterator[String]
+}
+
+/** Deterministic in-JVM stand-in for the POS API: answers every
+  * request with a well-formed envelope whose payload derives from the
+  * request coordinates. This is what the sandbox wires in where a
+  * deployment would wire an HTTP client; it also gives specs a stable
+  * fixture for the worklist → fetch → decode path.
+  */
+final class StubTransport extends EnvelopeTransport {
+  override def fetchPartition(requests: Iterator[FetchRequest]): Iterator[String] =
+    requests.map { r =>
+      val day = r.date.toEpochDay
+      // one record per request, id/k derived from the coordinates;
+      // every 50th store answers with a non-OK code like the real
+      // API's error envelopes (load_sales_data.py:97-99 gate)
+      val code = if (r.storeId % 50 == 0) "9999" else "0000"
+      s"""{"ret_code":"$code","data":[{"id":${r.storeId * 100000 + day},"k":${day % 7}}]}"""
+    }
+}
+
+object IngestFetch {
+  /** Drive the transport over a worklist (store_id LONG, d DATE — the
+    * [[WorklistSource]] schema): one raw envelope string per work
+    * unit, fetched partition-parallel on the executors. The output is
+    * a one-column `payload` DataFrame shaped exactly for
+    * `RelationalOps.decodeEnvelope` — the full reference ingest chain
+    * is then worklist → fetchEnvelopes → decodeEnvelope, with the
+    * wire call swappable behind [[EnvelopeTransport]].
+    */
+  def fetchEnvelopes(worklist: DataFrame, transport: EnvelopeTransport): DataFrame = {
+    val spark = worklist.sparkSession
+    import spark.implicits._
+    worklist.select(col("store_id"), col("d"))
+      .as[(Long, java.sql.Date)]
+      .mapPartitions { it =>
+        transport.fetchPartition(
+          it.map { case (s, dt) => FetchRequest(s, dt.toLocalDate) })
+      }
+      .toDF("payload")
+  }
+}

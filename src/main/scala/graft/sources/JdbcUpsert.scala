@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.DataFrame
+
+/** Keyed upsert into a JDBC table — the reference's ACTUAL write path
+  * (per-row "UPDATE … if no match INSERT …" against MySQL,
+  * load_sales_data.py:129-134, load_store_data.py:77-141), re-expressed
+  * the way a set-based engine should write it:
+  *
+  *   1. the batch lands in a STAGING table via `df.write.jdbc`
+  *      (executor-parallel, the only data movement), then
+  *   2. ONE `MERGE INTO target USING stage` statement runs on the
+  *      database — a single set-based, transactional operation instead
+  *      of the reference's one round trip per row.
+  *
+  * Batch atomicity (SURVEY S9) falls out of the transaction: the MERGE
+  * either commits wholly or not at all, and re-sending the same batch
+  * is idempotent (matched keys update to identical values). This is
+  * the JDBC twin of [[UpsertSinkSource]]'s two-phase commit — same
+  * semantics, real database. Works against any MERGE-capable backend
+  * (MySQL 8 via ON DUPLICATE KEY would be dialect-swapped); exercised
+  * here on embedded Derby, the sandbox's stand-in DB.
+  *
+  * Identifier handling: Spark's JDBC writer quotes COLUMN names
+  * (case-preserved) but passes the TABLE name through unquoted — the
+  * MERGE below follows exactly that convention so it composes with
+  * tables Spark created. Column names must not contain double quotes.
+  */
+object JdbcUpsert {
+
+  /** Merge `df` into `table` by `keys`. Creates the target (empty,
+    * stage-shaped) on first use. The staging table `<table>_stage` is
+    * overwritten per call. String KEY columns must be given a VARCHAR
+    * width via `createTableColumnTypes` (e.g. "dy VARCHAR(32)") —
+    * Spark's default Derby mapping is CLOB, which SQL engines refuse
+    * as an equality/merge key (the reference's DDL types its keys
+    * VARCHAR for the same reason).
+    */
+  def mergeInto(df: DataFrame, url: String, table: String,
+                keys: Seq[String], props: Properties,
+                createTableColumnTypes: Option[String] = None): Unit = {
+    require(keys.nonEmpty, "keyed upsert requires at least one key column")
+    val cols = df.columns.toSeq
+    require(keys.forall(cols.contains), s"keys $keys must all be in ${cols}")
+    val stage = table + "_stage"
+    val w = df.write.mode("overwrite")
+      .option("driver", props.getProperty("driver", ""))
+    createTableColumnTypes.foreach(t => w.option("createTableColumnTypes", t))
+    w.jdbc(url, stage, props)
+
+    def q(c: String) = "\"" + c + "\""
+    val nonKeys = cols.filterNot(keys.contains)
+    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val setClause =
+      if (nonKeys.isEmpty) ""
+      else nonKeys.map(c => s"${q(c)} = s.${q(c)}")
+        .mkString(" WHEN MATCHED THEN UPDATE SET ", ", ", "")
+    val insertCols = cols.map(q).mkString(", ")
+    val insertVals = cols.map(c => s"s.${q(c)}").mkString(", ")
+
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        val exists = {
+          val rs = conn.getMetaData.getTables(null, null,
+            table.toUpperCase, null)
+          try rs.next() finally rs.close()
+        }
+        if (!exists)
+          st.executeUpdate(
+            s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+        st.executeUpdate(
+          s"""MERGE INTO $table t USING $stage s ON $on$setClause
+             | WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"""
+            .stripMargin)
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally st.close()
+    } finally conn.close()
+  }
+}

@@ -68,4 +68,33 @@ class JdbcSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions === 4)
     assert(df.count() === 40L)
   }
+
+  test("JdbcUpsert.mergeInto: insert + update arms, idempotent re-send (S6/S9 over JDBC)") {
+    import graft.sources.JdbcUpsert
+    def state: Set[(Long, String, Double)] =
+      spark.read.jdbc(url, "upsert_t", props)
+        .as[(Long, String, Double)].collect().toSet
+
+    // string keys need a VARCHAR width — Spark's Derby default (CLOB)
+    // is not a legal merge key
+    val vtype = Some("dy VARCHAR(32)")
+    // first send creates the table and inserts every key
+    val v1 = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0))
+      .toDF("chain", "dy", "amt")
+    JdbcUpsert.mergeInto(v1, url, "upsert_t", Seq("chain", "dy"), props, vtype)
+    assert(state === Set((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0)))
+
+    // mixed batch: key 2 updated, key 3 inserted, key 1 untouched
+    val v2 = Seq((2L, "2024-01-01", 25.0), (3L, "2024-01-02", 30.0))
+      .toDF("chain", "dy", "amt")
+    JdbcUpsert.mergeInto(v2, url, "upsert_t", Seq("chain", "dy"), props, vtype)
+    assert(state === Set((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 25.0),
+      (3L, "2024-01-02", 30.0)))
+
+    // re-sending the same batch is a no-op (the reference's
+    // re-runnable nightly, load_sales_data.py:129-134)
+    JdbcUpsert.mergeInto(v2, url, "upsert_t", Seq("chain", "dy"), props, vtype)
+    assert(state === Set((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 25.0),
+      (3L, "2024-01-02", 30.0)))
+  }
 }

@@ -51,4 +51,27 @@ class WorklistSourceSpec extends SparkSpec {
     assert(df.as[(Long, java.sql.Date)].collect().toSeq ===
       Seq((0L, java.sql.Date.valueOf("2024-06-15"))))
   }
+
+  test("ingest seam: worklist → transport fetch → decodeEnvelope end to end") {
+    import graft.ops.RelationalOps
+    import graft.sources.{IngestFetch, StubTransport}
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructType}
+    // 120 stores × 2 days through the full reference ingest chain with
+    // the stub transport standing in for requests.post
+    val worklist = load(120, "2024-03-01", "2024-03-02", 5)
+    val raw = IngestFetch.fetchEnvelopes(worklist, new StubTransport)
+    assert(raw.count() === 240L, "one envelope per work unit")
+    val schema = new StructType()
+      .add("ret_code", StringType)
+      .add("data", ArrayType(new StructType()
+        .add("id", LongType).add("k", LongType)))
+    val decoded = RelationalOps.decodeEnvelope(raw, "payload", schema)
+    // stores 0, 50, 100 answer ret_code=9999 → both their days gated out
+    assert(decoded.count() === (120L - 3L) * 2L)
+    // typed payload round-trips the coordinates the stub encoded
+    val day = java.time.LocalDate.parse("2024-03-01").toEpochDay
+    val row = decoded.filter(col("id") === 7L * 100000L + day)
+      .as[(Long, Long)].collect().toSeq
+    assert(row === Seq((7L * 100000L + day, day % 7)))
+  }
 }
