@@ -410,12 +410,23 @@ object TextOps {
   def langMarkerHits(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(markers)))
 
-  /** Quality signals (integer/single-division only): token count,
-    * distinct-token count, char count, punctuation count, mean token
-    * length. The composite flag mirrors common pretraining-corpus
-    * filters (too short / too repetitive).
+  /** Standard small English stopword set for quality scoring — a
+    * production pipeline swaps in per-language lists; the shape (a
+    * broadcast-literal IN-set scanned per token) is what matters.
     */
-  def qualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "are", "was",
+    "it", "that", "this", "for", "on", "with", "as", "at", "by", "be")
+
+  /** Quality signals (integer/single-division only): token count,
+    * distinct-token count, char count, punctuation count, stopword
+    * count, mean token length, stopword ratio. The composite flag
+    * mirrors common pretraining-corpus filters (too short / too
+    * repetitive / unnatural stopword density — real text carries
+    * function words; keyword soup and boilerplate don't).
+    */
+  def qualitySignals(df: DataFrame, idCol: String, textCol: String,
+                     stopwords: Seq[String] = EnglishStopwords): DataFrame = {
     val toks = tokens(col(textCol))
     df.select(
       col(idCol),
@@ -423,9 +434,12 @@ object TextOps {
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_distinct"),
       (length(col(textCol)) -
-        length(regexp_replace(col(textCol), "[.,!?;:]", ""))).as("n_punct"))
+        length(regexp_replace(col(textCol), "[.,!?;:]", ""))).as("n_punct"),
+      size(filter(toks, t => t.isInCollection(stopwords))).as("n_stopwords"))
       .withColumn("mean_tok_len",
         (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens"))
       .withColumn("quality_flag",
         when(col("n_tokens") < 10, lit("too_short"))
           .when(col("n_distinct") * 3 < col("n_tokens"), lit("repetitive"))

@@ -107,6 +107,53 @@ object VectorOps {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col(labelCol), transform(col("pc"), x => x("c")).as("_centroid"))
 
+  /** Random-hyperplane LSH bucket (signed random projections — the
+    * SimHash construction applied to vectors): bit i = sign(v · hᵢ),
+    * with DETERMINISTIC integer-grid hyperplanes
+    * hᵢ[j] = ((1009·i + 9176·j + 7) mod 193) − 96 ∈ [−96, 96].
+    * Two vectors at angle θ collide per bit with prob 1 − θ/π, so an
+    * 8-bit bucket keeps near-neighbors together with the standard
+    * SRP-LSH guarantee. The integer formula (instead of seeded
+    * Gaussians) is what makes the bucket EXACTLY reproducible in any
+    * SQL engine: each product is a float-derived double × small int —
+    * exact in IEEE double — and both engines fold the sum left to
+    * right, so the q55 oracle can recompute identical buckets.
+    * Computable row-local (no training pass, no corpus statistics) —
+    * assign at ingest, store as a column, partition by it.
+    */
+  def rhpBucket(vec: Column, bits: Int): Column = {
+    val planes = (0 until bits).map { i =>
+      val d = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x * ((lit(1009 * i) + j * 9176 + 7) % 193 - 96).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    planes.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed ANN search (q55) — the data-INDEPENDENT sibling of
+    * [[ivfTopK]]: the corpus is bucketed by [[rhpBucket]] (8 bits →
+    * 256 buckets) and the search scans only the probe's bucket, ranked
+    * by exact cosine. Same 1/|buckets| scan-pruning story as IVF, but
+    * the quantizer needs no build pass and never staleness-drifts —
+    * the right trade when the corpus changes faster than a quantizer
+    * retrain cycle. (Multi-probe — flipping low-|margin| bits — is the
+    * standard recall knob; single-probe here.)
+    */
+  def lshAnnTopK(corpus: DataFrame, probe: DataFrame, idCol: String,
+                 vecCol: String, bits: Int, k: Int): DataFrame = {
+    val bucketed = corpus.select(col(idCol), toDouble(col(vecCol)).as("_v"))
+      .withColumn("_bucket", rhpBucket(col("_v"), bits))
+    val p = broadcast(probe.select(toDouble(col(vecCol)).as("_probe_vec"))
+      .withColumn("_bucket", rhpBucket(col("_probe_vec"), bits)))
+    bucketed.join(p, "_bucket") // bucket pruning: one bucket scanned
+      .select(col(idCol),
+        round(nativeCosine(col("_v"), col("_probe_vec")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF-style ANN SEARCH (q35): `labelCol` is the coarse quantizer's
     * cell assignment and `centroids` the PREBUILT [[ivfCentroids]]
     * table. Search = (1) rank centroids by probe similarity (|cells|

@@ -6,11 +6,12 @@ import graft.ops.RelationalOps.sumMoney
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** q50–q54: round-4/5 hardening — the SimHash search path under the
+/** q50–q55: round-4/5 hardening — the SimHash search path under the
   * DuckDB oracle, the reference's current-date-relative nightly window
   * (SURVEY.md §2f F3), the DSv2 WRITE tier (keyed upsert sink, S6/S9),
-  * and the JDBC storage tier the reference actually runs on — both the
-  * truncate-and-load refresh (q53) and the keyed MERGE upsert (q54).
+  * the JDBC storage tier the reference actually runs on — both the
+  * truncate-and-load refresh (q53) and the keyed MERGE upsert (q54) —
+  * and the LSH-bucketed ANN variant beside q35's IVF (q55).
   */
 object HardenQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -132,8 +133,11 @@ object HardenQueries {
     // true batch (exercises the UPDATE arm for every key). The oracle
     // computes the final aggregate directly, so a failed update, a
     // duplicate insert, or a half-applied merge all break the hash.
-    // The in-JVM q52 sink and this query share semantics by design —
-    // same contract, two storage tiers.
+    // Granularity: PER CUSTOMER (|customer| keys), not store×day —
+    // q52 already certifies the full-volume upsert through the DSv2
+    // sink; this query certifies the JDBC MERGE tier, and a single-
+    // node embedded DB ingesting the full fact volume per bench rep
+    // would measure Derby's insert path, not the engine.
     "q54_jdbc_upsert" -> ((s, d) => {
       System.setProperty("derby.system.home",
         System.getProperty("java.io.tmpdir"))
@@ -144,19 +148,33 @@ object HardenQueries {
         ";create=true"
       val props = new java.util.Properties()
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      props.setProperty("batchsize", "10000")
       val table = "mart_jdbc_" + math.abs(d.hashCode).toString
       val daily = Tables.orders(s, d)
-        .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("day"))
+        .groupBy(col("o_custkey"))
         .agg(sumMoney(col("o_totalprice")).as("amt"), count(lit(1)).as("n"))
       graft.sources.JdbcUpsert.mergeInto(
         daily.withColumn("amt", lit(0.0)), url, table,
-        Seq("o_custkey", "day"), props)
+        Seq("o_custkey"), props)
       graft.sources.JdbcUpsert.mergeInto(
-        daily, url, table, Seq("o_custkey", "day"), props)
+        daily, url, table, Seq("o_custkey"), props)
       s.read.option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         .jdbc(url, table, props)
-        .select(col("o_custkey").cast("long").as("o_custkey"), col("day"),
+        .select(col("o_custkey").cast("long").as("o_custkey"),
           col("amt"), col("n").cast("long").as("n"))
+    }),
+
+    // §2h — LSH-bucketed ANN (the data-independent scale path beside
+    // q35's IVF): deterministic random-hyperplane buckets (8 bits →
+    // 256), search scans the probe's bucket only, exact cosine rank
+    // within it. The integer-grid hyperplanes make the bucketing
+    // bit-reproducible in DuckDB, so — unlike typical seeded-Gaussian
+    // LSH — the whole approximate search is hash-graded, not
+    // rows-only.
+    "q55_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.ops.VectorOps.lshAnnTopK(e, e.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", 8, 10)
     })
   )
 
@@ -186,9 +204,24 @@ object HardenQueries {
     "q53_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q54_jdbc_upsert" ->
-      """SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+      """SELECT o_custkey,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
         | count(*) AS n
-        |FROM orders GROUP BY 1, 2""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q55_ann_lsh" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | dots AS (
+        |   SELECT vec_id, i.i AS i,
+        |          list_sum(list_transform(range(1, len(v) + 1),
+        |            j -> v[j] * CAST((1009*i.i + 9176*(j-1) + 7) % 193 - 96 AS DOUBLE))) AS d
+        |   FROM v, (SELECT unnest(range(0, 8)) AS i) i),
+        | b AS (SELECT vec_id,
+        |              sum(CASE WHEN d > 0 THEN 1 << i ELSE 0 END) AS bucket
+        |       FROM dots GROUP BY vec_id)
+        |SELECT e.vec_id, round(list_cosine_similarity(ev.v, pv.v), 6) AS sim
+        |FROM b e JOIN b p ON p.vec_id = 0 AND e.bucket = p.bucket
+        |JOIN v ev ON ev.vec_id = e.vec_id
+        |JOIN v pv ON pv.vec_id = 0
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin
   )
 }

@@ -114,8 +114,8 @@ object NorthQueries {
       TextOps.exactDedupGroups(docsWithExactDups(s, d), "doc_id", "text")),
 
     // §2f — text stats: token/char/distinct counts, punctuation,
-    // mean token length, and a corpus-quality flag. Integer arithmetic
-    // plus one final division.
+    // stopword count + ratio, mean token length, and a corpus-quality
+    // flag. Integer arithmetic plus two final divisions.
     "q25_text_stats" -> ((s, d) => {
       val q = TextOps.qualitySignals(Tables.documents(s, d), "doc_id", "text")
       q.select(col("doc_id"),
@@ -123,7 +123,8 @@ object NorthQueries {
         col("n_tokens").cast("long").as("n_tokens"),
         col("n_distinct").cast("long").as("n_distinct"),
         col("n_punct").cast("long").as("n_punct"),
-        col("mean_tok_len"), col("quality_flag"))
+        col("n_stopwords").cast("long").as("n_stopwords"),
+        col("mean_tok_len"), col("stopword_ratio"), col("quality_flag"))
     }),
 
     // §2h — brute-force cosine top-k vs one probe vector: the exact
@@ -339,7 +340,14 @@ object NorthQueries {
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
         | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        | CAST(len(list_filter(string_split(text, ' '),
+        |   t -> t IN ('the','a','an','of','and','or','to','in','is','are','was',
+        |              'it','that','this','for','on','with','as','at','by','be'))) AS BIGINT) AS n_stopwords,
         | CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')) AS mean_tok_len,
+        | CAST(len(list_filter(string_split(text, ' '),
+        |   t -> t IN ('the','a','an','of','and','or','to','in','is','are','was',
+        |              'it','that','this','for','on','with','as','at','by','be'))) AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS stopword_ratio,
         | CASE WHEN len(string_split(text, ' ')) < 10 THEN 'too_short'
         |      WHEN len(list_distinct(string_split(text, ' '))) * 3 < len(string_split(text, ' ')) THEN 'repetitive'
         |      ELSE 'ok' END AS quality_flag

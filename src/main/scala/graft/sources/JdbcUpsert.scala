@@ -71,9 +71,19 @@ object JdbcUpsert {
             table.toUpperCase, null)
           try rs.next() finally rs.close()
         }
-        if (!exists)
+        if (!exists) {
           st.executeUpdate(
             s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+          // UNIQUE index on the merge keys — the reference's tables
+          // all carry a PK on exactly these columns (load_sales_data
+          // .py:37, load_store_data.py:42-46) and MERGE without it
+          // degenerates to a nested-loop of full scans (measured:
+          // ~150k×150k row probes at sf0.1 — hours). With the index
+          // the merge is |stage| index lookups.
+          st.executeUpdate(
+            s"CREATE UNIQUE INDEX ${table}_pk ON $table " +
+              keys.map(q).mkString("(", ", ", ")"))
+        }
         st.executeUpdate(
           s"""MERGE INTO $table t USING $stage s ON $on$setClause
              | WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"""

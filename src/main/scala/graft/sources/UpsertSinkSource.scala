@@ -174,8 +174,18 @@ private[sources] class SinkDataWriter extends DataWriter[InternalRow] {
 }
 
 /** Read-back scan: the committed row set split into `parts` even
-  * slices, each partition carrying its rows (local-mode stand-in for
-  * a storage read; the DSv2 surface is identical).
+  * RANGE slices (local-mode stand-in for a storage read; the DSv2
+  * surface is identical).
+  *
+  * Row transport is a Spark BROADCAST, not task closures: a partition
+  * that carries its rows inside the serialized plan ships the data
+  * through the driver's task-launch path (the "task of very large
+  * size" warning the round-4 bench tail showed — 2 MiB per task at
+  * 150k rows, growing linearly with the table). Each InputPartition
+  * here is just a (start, end) range; the reader factory holds one
+  * torrent-broadcast of the committed array, fetched once per executor
+  * like any broadcast variable. Same fix a real source gets by reading
+  * from storage instead of the plan.
   */
 private[sources] class SinkScan(state: UpsertSinkSource.StoreState, parts: Int)
     extends ScanBuilder with Scan with Batch with Serializable {
@@ -184,37 +194,39 @@ private[sources] class SinkScan(state: UpsertSinkSource.StoreState, parts: Int)
   override def toBatch: Batch = this
   override def description(): String = "graft_upsert_sink_scan"
 
+  @transient private lazy val committed: Array[InternalRow] =
+    state.rows.values.toArray
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val rows = state.rows.values.toArray
-    val n = math.max(1, math.min(parts, rows.length))
+    val len = committed.length
+    val n = math.max(1, math.min(parts, math.max(1, len)))
     (0 until n).map { i =>
-      val start = rows.length.toLong * i / n
-      val end = rows.length.toLong * (i + 1) / n
-      SinkPartition(rows.slice(start.toInt, end.toInt)): InputPartition
+      val start = (len.toLong * i / n).toInt
+      val end = (len.toLong * (i + 1) / n).toInt
+      SinkRangePartition(start, end): InputPartition
     }.toArray
   }
 
-  // A standalone factory object, NOT an inner/anonymous class: an
-  // anonymous factory captures `this` (the whole SinkScan, including
-  // the full committed-row map), so every task serialized the entire
-  // table in addition to its own slice — the "task of very large size"
-  // warning in the round-4 bench. Each task now carries only its
-  // SinkPartition rows.
-  override def createReaderFactory(): PartitionReaderFactory =
-    SinkReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    new SinkReaderFactory(sc.broadcast(committed))
+  }
 }
 
-private[sources] object SinkReaderFactory extends PartitionReaderFactory {
+private[sources] class SinkReaderFactory(
+    bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]])
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val rows = p.asInstanceOf[SinkPartition].rows
+    val range = p.asInstanceOf[SinkRangePartition]
+    val rows = bc.value
     new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
+      private var i = range.start - 1
+      override def next(): Boolean = { i += 1; i < range.end }
       override def get(): InternalRow = rows(i)
       override def close(): Unit = ()
     }
   }
 }
 
-private[sources] case class SinkPartition(rows: Array[InternalRow])
+private[sources] case class SinkRangePartition(start: Int, end: Int)
     extends InputPartition

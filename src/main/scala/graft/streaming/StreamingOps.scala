@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import java.sql.Timestamp
 
 /** Structured Streaming twins of the batch pipeline (SURVEY.md §2g).
@@ -51,6 +51,26 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(sum(col(valCol)).as("total"))
       .select(col("window.start").as("window_start"), col(keyCol), col("total"))
+
+  /** Streaming keyed upsert — the reference's re-runnable nightly
+    * MERGE (load_sales_data.py:129-134) as a continuous pipeline: each
+    * micro-batch flows through the DSv2 keyed-upsert sink's two-phase
+    * commit via `foreachBatch` (Spark's idiomatic bridge from a stream
+    * to any batch writer). At-least-once delivery composed with a
+    * keyed idempotent merge yields effectively-once table state — a
+    * redelivered micro-batch re-merges to identical rows. The same
+    * line pointed at [[graft.sources.JdbcUpsert]] upserts into a real
+    * database instead.
+    */
+  def upsertEachBatch(df: DataFrame, table: String, keys: Seq[String]): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.format("graft.sources.UpsertSinkSource")
+          .option("table", table).option("keys", keys.mkString(","))
+          .mode("append").save()
+      }
+      .start()
 
   /** Typed event for gap-timeout sessionization. */
   final case class UserEvent(user_id: Long, ts: Timestamp)

@@ -52,6 +52,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q37 similarity join: equi-joins only — no cartesian, no nested loop; dfreq broadcast") {
+    val p = plan("q37_ngram_jaccard_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation/verify must never be all-pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      "document-frequency table should broadcast to the inverted index")
+  }
+
   test("q12 upsert: exactly one exchange (the merge window), none after") {
     val p = plan("q12_upsert_latest_wins")
     val exchanges = p.linesIterator.count(_.contains("Exchange"))

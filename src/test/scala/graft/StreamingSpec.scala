@@ -87,6 +87,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest: envelope stream → decodeEnvelope → keyed upsert, redelivery-safe") {
+    import graft.ops.RelationalOps
+    import graft.sources.UpsertSinkSource
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructType}
+    implicit val sq = spark.sqlContext
+    val schema = new StructType()
+      .add("ret_code", StringType)
+      .add("data", ArrayType(new StructType()
+        .add("id", LongType).add("k", LongType)))
+    val table = "stream_ingest_test"
+    UpsertSinkSource.drop(table)
+    val mem = MemoryStream[String]
+    val decoded = RelationalOps.decodeEnvelope(
+      mem.toDF().toDF("payload"), "payload", schema)
+    val q = StreamingOps.upsertEachBatch(decoded, table, Seq("id"))
+    try {
+      mem.addData(
+        """{"ret_code":"0000","data":[{"id":1,"k":10},{"id":2,"k":20}]}""",
+        """{"ret_code":"9999","data":[{"id":9,"k":90}]}""") // gated out
+      q.processAllAvailable()
+      // redelivery of id 1 (updated k — latest wins) + a new id 3
+      mem.addData(
+        """{"ret_code":"0000","data":[{"id":1,"k":11},{"id":3,"k":30}]}""")
+      q.processAllAvailable()
+      val state = spark.read.format("graft.sources.UpsertSinkSource")
+        .option("table", table).load()
+        .as[(Long, Long)].collect().toSet
+      assert(state === Set((1L, 11L), (2L, 20L), (3L, 30L)),
+        s"keyed stream upsert must gate bad envelopes and merge redelivery: $state")
+    } finally q.stop()
+  }
+
   test("windowedSums: per-key per-window totals on a stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]

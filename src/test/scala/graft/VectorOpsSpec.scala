@@ -86,6 +86,40 @@ class VectorOpsSpec extends SparkSpec {
     assert(sql.length === 50 && sql.forall { case (c, p) => !c.isNaN && !p.isNaN })
   }
 
+  test("lshAnnTopK: identical vectors share a bucket; search ≡ brute force within the bucket") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 200L).map { i =>
+      (i, Seq.fill(32)(rnd.nextDouble() - 0.5), 0)
+    } :+ ((999L, Seq.tabulate(32)(j => if (j == 0) 1.0 else 0.0), 0))
+    val d = vecs(corpus: _*)
+    val probe = d.filter(col("vec_id") === 1L)
+
+    // determinism + self-bucket: the probe itself must always be hit #1
+    val out = VectorOps.lshAnnTopK(d, probe, "vec_id", "embedding", 8, 5)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+    assert(out.head._1 === 1L && out.head._2 === 1.0)
+
+    // the search result equals brute-force cosine top-k restricted to
+    // the probe's bucket (pruning changes WHAT is scanned, not the
+    // ranking semantics)
+    val withBucket = d.select(col("vec_id"), col("embedding"),
+      VectorOps.rhpBucket(VectorOps.toDouble(col("embedding")), 8).as("b"))
+    val probeBucket = withBucket.filter(col("vec_id") === 1L)
+      .select("b").as[Long].head()
+    val sameBucket = withBucket.filter(col("b") === probeBucket)
+      .select("vec_id", "embedding")
+    val brute = VectorOps.cosineTopK(sameBucket, probe, "vec_id", "embedding", 5)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+    assert(out === brute)
+
+    // bucket stability across partition counts (ingest-time property)
+    val b1 = withBucket.repartition(1).select("vec_id", "b")
+      .as[(Long, Long)].collect().toMap
+    val b13 = withBucket.repartition(13).select("vec_id", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(b1 === b13)
+  }
+
   test("toDouble widens float arrays exactly") {
     val d = Seq(Seq(1.5f, -2.25f)).toDF("v")
     val out = d.select(VectorOps.toDouble(col("v")).as("d"))
