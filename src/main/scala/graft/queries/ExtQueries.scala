@@ -130,6 +130,11 @@ object ExtQueries {
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"),
           date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        // co-partition by the partition column BEFORE the write: without
+        // it every task writes a file into every month directory —
+        // tasks×months small files, the classic partitioned-write
+        // killer at scale. One shuffle buys one file per partition dir.
+        .repartition(col("order_month"))
         .write.partitionBy("order_month").mode("overwrite").parquet(sink)
       s.read.parquet(sink)
         .filter(col("order_month") === "1995-03")
