@@ -351,6 +351,14 @@ object TextOps {
     * few bits (Hamming distance); grouping on bit-prefixes gives the
     * banded search analog to MinHash. Sketch internals are not
     * SQL-portable → verified by unit test, not the DuckDB oracle.
+    *
+    * Column form — convenient for inline use, but the 64 `aggregate`
+    * HOFs each re-walk the token array with interpreted lambdas.
+    * Query-scale call sites use [[simhashSignatures]] below (explode +
+    * one hash aggregation, all 64 vote sums codegen'd with map-side
+    * partials — the minhashSignatures layout). Values are IDENTICAL:
+    * vote sums are commutative integer additions, so the two forms
+    * agree bit for bit at any partition count.
     */
   def simhash64(toks: Column): Column = {
     val hashes = transform(toks, t => xxhash64(t))
@@ -360,6 +368,30 @@ object TextOps {
       when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Dataframe-level SimHash (the fast path): explode tokens, hash
+    * each ONCE, then one hash aggregation with 64 codegen'd ±1 vote
+    * sums folded into the fingerprint. Partial aggregation shrinks the
+    * shuffle to |docs| rows × 64 ints regardless of corpus size.
+    * Returns (idCol, simhashCol). Bit-identical to [[simhash64]] (vote
+    * addition is commutative). Docs whose token array is empty vanish
+    * at the explode — `tokens()` never yields an empty array for
+    * non-null text, so every document row survives.
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, toksCol: String,
+                        out: String): DataFrame = {
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("_h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"_v$i")
+    }
+    df.select(col(idCol), explode(col(toksCol)).as("_t"))
+      .select(col(idCol), xxhash64(col("_t")).as("_h"))
+      .groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map { i =>
+          when(col(s"_v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_)).as(out))
   }
 
   /** Banded Hamming-ball candidate pairs over a 64-bit SimHash column:

@@ -41,15 +41,18 @@ object HardenQueries {
       val corpus = docs.unionByName(
         docs.select((col("doc_id") + DupOffset).as("doc_id"),
           concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
-      // simhash + token bag computed once per doc, reused by the band
-      // join and both verify sides
-      val h = corpus.select(col("doc_id"),
-          sort_array(TextOps.tokens(col("text"))).as("_bag"),
-          TextOps.simhash64(TextOps.tokens(col("text"))).as("_h"))
+      // tokens materialized once (three consumers: the simhash agg and
+      // both verify sides); fingerprints via the explode+agg fast path
+      // — one codegen'd pass, not 64 interpreted array folds per doc
+      // (was the round-5 bench's slowest stage).
+      val toks = corpus.select(col("doc_id"),
+          TextOps.tokens(col("text")).as("_toks"))
         .localCheckpoint()
-      val cands = TextOps.simhashBandedPairs(h, "doc_id", "_h", 4, 3)
-      val a = h.select(col("doc_id").as("id_a"), col("_bag").as("_bag_a"))
-      val b = h.select(col("doc_id").as("id_b"), col("_bag").as("_bag_b"))
+      val sig = TextOps.simhashSignatures(toks, "doc_id", "_toks", "_h")
+      val bags = toks.select(col("doc_id"), sort_array(col("_toks")).as("_bag"))
+      val cands = TextOps.simhashBandedPairs(sig, "doc_id", "_h", 4, 3)
+      val a = bags.select(col("doc_id").as("id_a"), col("_bag").as("_bag_a"))
+      val b = bags.select(col("doc_id").as("id_b"), col("_bag").as("_bag_b"))
       cands.join(a, "id_a").join(b, "id_b")
         .filter(col("_bag_a") === col("_bag_b"))
         .select(col("id_a"), col("id_b"), col("ham"))

@@ -211,10 +211,13 @@ object NorthQueries {
     // §2h — SimHash fingerprints (rows-only: sketch values are not
     // SQL-portable; unit-tested in TextOpsSpec instead). Near-dups
     // differ in few bits; `band` (top 16 bits) is the grouping key a
-    // banded Hamming search would bucket on.
+    // banded Hamming search would bucket on. Explode+agg form: one
+    // codegen'd pass, not 64 interpreted array folds.
     "q30_simhash" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        TextOps.simhash64(TextOps.tokens(col("text"))).as("simhash"))
+      TextOps.simhashSignatures(
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks")),
+        "doc_id", "_toks", "simhash")
         .withColumn("band", shiftright(col("simhash"), 48))),
 
     // §2f — language-ID heuristic: marker-token hit counts per

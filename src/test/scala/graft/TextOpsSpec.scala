@@ -93,6 +93,21 @@ class TextOpsSpec extends SparkSpec {
       s"unrelated hamming ${hamming(out(1L), out(4L))}")
   }
 
+  test("simhashSignatures ≡ simhash64 bit-for-bit, partition-independent") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val colForm = d.select(col("doc_id"),
+      TextOps.simhash64(TextOps.tokens(col("text"))).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def aggForm(parts: Int): Map[Long, Long] = TextOps.simhashSignatures(
+      d.repartition(parts)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks")),
+      "doc_id", "_toks", "h")
+      .as[(Long, Long)].collect().toMap
+    assert(aggForm(1) === colForm)
+    assert(aggForm(7) === colForm) // vote sums commute across partials
+  }
+
   /** Exhaustive all-pairs Jaccard ≥ num/den ground truth with the
     * exact J per pair, computed in Spark (fine at test scale only).
     */
