@@ -22,6 +22,12 @@ object DevHammingMeasure {
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    // the +100000 planted-dup offset (shared with the graded queries)
+    // only tags pairs correctly if ids never reach it — assert, don't
+    // assume (ADVICE round 4)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 100000L,
+      s"planted-dup offset collides: max(doc_id)=$maxId >= 100000")
     val dup = docs.select((col("doc_id") + 100000L).as("doc_id"),
       concat(col("text"), lit(" graftdup")).as("text"))
     val corpus = docs.unionByName(dup)

@@ -134,6 +134,17 @@ class TextOpsSpec extends SparkSpec {
       concat(col("text"), lit(" graftdup")).as("text")))
   }
 
+  test("planted-dup id offset cannot collide with fixture ids (guards every dedup oracle)") {
+    // every dedup query and dev tool plants duplicates at +100000; a
+    // fixture regeneration with larger ids would silently corrupt the
+    // planted/organic distinction — fail loudly here instead
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val m = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .agg(max(col("doc_id"))).head().getLong(0)
+      assert(m < 100000L, s"$sf max(doc_id)=$m collides with the dup offset")
+    }
+  }
+
   test("LSH banding pipeline: recall 1.0 vs exhaustive ground truth on the real corpus") {
     val sh = corpusWithNearDups.select(col("doc_id"),
       TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
