@@ -39,9 +39,15 @@ object Bench {
     // not in the median.
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to reps).map { _ =>
+      val samples = (1 to reps).map { i =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            // never silent: a broken query must be visible in the
+            // driver's stderr, not just a suspiciously fast median
+            System.err.println(s"[bench] $name rep$i FAILED: ${e.getMessage}")
+            -1L
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> median(samples)
