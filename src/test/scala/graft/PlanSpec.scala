@@ -60,6 +60,15 @@ class PlanSpec extends SparkSpec {
       "document-frequency table should broadcast to the inverted index")
   }
 
+  test("q55 LSH ANN: broadcast probe bucket join, no cartesian, top-k without global sort") {
+    val p = plan("q55_ann_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bucket pruning must be an equi-join, never all-pairs")
+    assert(p.contains("BroadcastHashJoin"), "probe bucket should broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be a per-partition take + k-row merge, not a global sort")
+  }
+
   test("q12 upsert: exactly one exchange (the merge window), none after") {
     val p = plan("q12_upsert_latest_wins")
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
