@@ -46,8 +46,15 @@ object DevProfile {
     time("sh (ngram hashes)")(sh.count())
     val cands = TextOps.prefixFilterCandidates(sh, "doc_id", "sh", 4, 5)
     time("prefix candidates")(cands.count())
-    time("verify (full q37)")(
-      TextOps.jaccardVerify(cands, sh, "doc_id", "sh", 4, 5).count())
+    val nCands = cands.count()
+    var nTrue = 0L
+    time("verify (full q37)") {
+      nTrue = TextOps.jaccardVerify(cands, sh, "doc_id", "sh", 4, 5).count()
+      nTrue
+    }
+    println(f"[q37] candidates=$nCands true_pairs=$nTrue " +
+      f"overgeneration=${nCands.toDouble / math.max(1L, nTrue)}%.2fx " +
+      "(round-4 baseline: 175,420 for 6,002 = 29.2x)")
     val sig = TextOps.minhashSignatures(sh, "doc_id", "sh", 32)
     time("minhash signatures")(sig.count())
     val lshCands = TextOps.lshCandidates(
