@@ -87,6 +87,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupByContent: same text across micro-batches deduped, distinct texts kept") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingOps.dedupByContent(df, "text", "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("cdedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha beta", ts("2024-01-01 00:00:01")),
+        (2L, "gamma delta", ts("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      // batch 2: doc 3 repeats doc 1's exact content → dropped;
+      // doc 4 is new content → kept
+      mem.addData((3L, "alpha beta", ts("2024-01-01 00:00:03")),
+        (4L, "epsilon", ts("2024-01-01 00:00:04")))
+      q.processAllAvailable()
+      val ids = spark.table("cdedup_test").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming ingest: envelope stream → decodeEnvelope → keyed upsert, redelivery-safe") {
     import graft.ops.RelationalOps
     import graft.sources.UpsertSinkSource
