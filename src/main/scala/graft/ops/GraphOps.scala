@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pair-graph operators: the step that turns near-duplicate PAIRS
+  * (q29/q37/q50 output) into deduplication GROUPS. Detecting pairs is
+  * only half of corpus dedup — the keeper decision needs the
+  * transitive closure (A~B and B~C put all three in one group even if
+  * A~C was never emitted), i.e. connected components over the pair
+  * graph. The reference's analog is the idempotent PK upsert
+  * collapsing exact re-sends (load_sales_data.py:129-134); this is
+  * that idea lifted to similarity edges.
+  */
+object GraphOps {
+
+  /** Connected components by iterative min-label propagation: every
+    * node starts labeled with its own id; each round it takes the min
+    * of its own and its neighbors' labels; at fixpoint the label is
+    * the component's minimum id — which doubles as the dedup KEEPER
+    * (min doc id, matching exactDedupGroups' keeper rule).
+    *
+    * Scale shape: per round, one join of the edge list against the
+    * label table plus one min-aggregation — all hash-partitioned on
+    * node id, nothing quadratic, nothing driver-side except the
+    * convergence counter (one count per round — the standard
+    * driver-controlled loop of iterative graph algorithms; GraphX/
+    * Pregel does the same). Rounds needed = graph diameter ≤
+    * `maxIters` (near-dup graphs are overwhelmingly tiny cliques —
+    * diameter 1-2; a pathological chain converges in O(chain length),
+    * which the iteration cap bounds deliberately: at 100 TB you cap
+    * and re-run rather than loop unbounded). Labels localCheckpoint
+    * per round — iterative lineage otherwise grows exponentially.
+    *
+    * Input: pairs (id_a, id_b). Output: (doc_id, component) for every
+    * doc appearing in at least one pair; docs with no pair are their
+    * own singleton group by definition and are left to the caller
+    * (keeps the output proportional to the duplicate set, not the
+    * corpus).
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b",
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .unionByName(pairs.select(col(idB).as("u"), col(idA).as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("v"),
+          col("component").as("_vc")), "v")
+        .groupBy(col("u").as("doc_id"))
+        .agg(min(col("_vc")).as("_nmin"))
+      val updated = labels.join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("_nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.select(col("doc_id"), col("component").as("_old")), "doc_id")
+        .filter(col("component") =!= col("_old")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+}

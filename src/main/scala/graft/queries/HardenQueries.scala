@@ -167,6 +167,27 @@ object HardenQueries {
           col("amt"), col("n").cast("long").as("n"))
     }),
 
+    // §2h — near-dup GROUPS: the step pair detection exists for.
+    // q37's verified pairs → connected components (iterative min-label
+    // propagation, GraphOps) → component id = min doc id = the dedup
+    // keeper. Transitivity matters: A~B and B~C group all three even
+    // when A~C was never emitted. Oracle: the same exhaustive pair set
+    // closed with a recursive CTE — so the component structure itself
+    // is hash-graded.
+    "q56_neardup_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + DupOffset).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text")))
+      val sh = corpus.select(col("doc_id"),
+        TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh"))
+        .localCheckpoint()
+      val pairs = TextOps.jaccardVerify(
+        TextOps.prefixFilterCandidates(sh, "doc_id", "sh", 4, 5),
+        sh, "doc_id", "sh", 4, 5).select("id_a", "id_b")
+      graft.ops.GraphOps.connectedComponents(pairs)
+    }),
+
     // §2h — LSH-bucketed ANN (the data-independent scale path beside
     // q35's IVF): deterministic random-hyperplane buckets (8 bits →
     // 256), search scans the probe's bucket only, exact cosine rank
@@ -211,6 +232,26 @@ object HardenQueries {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
         | count(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+    "q56_neardup_components" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + $DupOffset AS doc_id, text || ' graftdup' AS text FROM documents),
+         | sh AS (SELECT doc_id,
+         |   list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+         |     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+         |   FROM corpus WHERE len(string_split(text,' ')) >= 3),
+         | pairs AS (
+         |   SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |   WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
+         |         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4),
+         | edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |           UNION SELECT id_b AS u, id_a AS v FROM pairs),
+         | reach(id, r) AS (
+         |   SELECT u, u FROM edges
+         |   UNION
+         |   SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id)
+         |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
     "q55_ann_lsh" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | dots AS (
