@@ -197,20 +197,36 @@ object VectorOps {
 
   /** LSH-bucketed ANN search (q55) — the data-INDEPENDENT sibling of
     * [[ivfTopK]]: the corpus is bucketed by [[rhpBucket]] (8 bits →
-    * 256 buckets) and the search scans only the probe's bucket, ranked
-    * by exact cosine. Same 1/|buckets| scan-pruning story as IVF, but
-    * the quantizer needs no build pass and never staleness-drifts —
-    * the right trade when the corpus changes faster than a quantizer
-    * retrain cycle. (Multi-probe — flipping low-|margin| bits — is the
-    * standard recall knob; single-probe here.)
+    * 256 buckets) and the search scans the probe's bucket, ranked by
+    * exact cosine. Same 1/|buckets| scan-pruning story as IVF, but the
+    * quantizer needs no build pass and never staleness-drifts — the
+    * right trade when the corpus changes faster than a quantizer
+    * retrain cycle.
+    *
+    * MULTI-PROBE recall knob (`probes` > 1): also scan the buckets at
+    * Hamming distance 1 from the probe's (flip bit 0, bit 1, …) — a
+    * near neighbor whose vector sits close to one hyperplane lands one
+    * bit away, and single-probe misses it. `probes` = p scans the
+    * probe bucket + the first p−1 bit-flips: recall grows monotonically
+    * with p at a cost of p/|buckets| of the corpus (p = bits+1 covers
+    * the full Hamming-1 ball). The flip set is deterministic, so the
+    * search stays exactly reproducible engine-to-engine.
     */
   def lshAnnTopK(corpus: DataFrame, probe: DataFrame, idCol: String,
-                 vecCol: String, bits: Int, k: Int): DataFrame = {
+                 vecCol: String, bits: Int, k: Int,
+                 probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= bits + 1,
+      s"probes must be in [1, bits+1]; Hamming-1 ball has ${bits + 1} buckets")
     val bucketed = corpus.select(col(idCol), toDouble(col(vecCol)).as("_v"))
       .withColumn("_bucket", rhpBucket(col("_v"), bits))
+    val pb = rhpBucket(col("_probe_vec"), bits)
+    val probeBuckets = array((0 until probes).map {
+      case 0 => pb
+      case i => pb.bitwiseXOR(lit(1L << (i - 1)))
+    }: _*)
     val p = broadcast(probe.select(toDouble(col(vecCol)).as("_probe_vec"))
-      .withColumn("_bucket", rhpBucket(col("_probe_vec"), bits)))
-    bucketed.join(p, "_bucket") // bucket pruning: one bucket scanned
+      .withColumn("_bucket", explode(probeBuckets)))
+    bucketed.join(p, "_bucket") // bucket pruning: `probes` buckets scanned
       .select(col(idCol),
         round(nativeCosine(col("_v"), col("_probe_vec")), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol))

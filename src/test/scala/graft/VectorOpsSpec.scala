@@ -118,6 +118,18 @@ class VectorOpsSpec extends SparkSpec {
     val b13 = withBucket.repartition(13).select("vec_id", "b")
       .as[(Long, Long)].collect().toMap
     assert(b1 === b13)
+
+    // multi-probe: candidate set grows monotonically with probes, and
+    // the full Hamming-1 ball's top-k similarity floor can only rise
+    def topSims(p: Int): Seq[Double] =
+      VectorOps.lshAnnTopK(d, probe, "vec_id", "embedding", 8, 5, probes = p)
+        .select("sim").as[Double].collect().toSeq
+    val s1 = topSims(1); val s9 = topSims(9)
+    assert(s9.head === 1.0, "self must survive multi-probe")
+    assert(s9.size >= s1.size)
+    s1.zip(s9).foreach { case (a, b) =>
+      assert(b >= a, s"recall must not drop with more probes: $s1 vs $s9")
+    }
   }
 
   test("kmeansCentroids: Lloyd converges to well-separated cluster means; assignment consistent") {
