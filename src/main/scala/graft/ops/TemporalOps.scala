@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators: as-of (nearest-prior-event) join and
+  * interval/range join. The reference has no temporal joins — its
+  * nightly jobs only bound scans by `[today−1, today)`
+  * (`load_sales_data.py:146-147`) — but any event-stream or
+  * training-data pipeline needs both, and neither is a built-in Spark
+  * join type. Both are implemented Spark-first with explicit 100-TB
+  * plans:
+  *
+  *  - **As-of join is NOT an inequality join.** The naive
+  *    `p.ts >= c.ts` join Spark can only execute as a broadcast nested
+  *    loop (O(|probe|·|build|) work) or a giant sort-merge-range scan.
+  *    Instead: the classic union+window linearization — tag both
+  *    sides, union, ONE shuffle on the join key, sort within each
+  *    partition by (time, tag), and carry the latest build-side
+  *    payload forward with `last(_, ignoreNulls)`. Cost = one exchange
+  *    + one in-partition sort, the same plan shape as any window
+  *    aggregate, so it survives a 1000-executor scale-up as long as
+  *    the key space (users / instruments / stores) partitions evenly.
+  *  - **Range join, small interval side**: broadcast the intervals and
+  *    evaluate the residual `[start, end)` predicate as a broadcast
+  *    nested loop. With |intervals| in the hundreds that is a
+  *    constant-time probe per fact row — linear in the fact table,
+  *    zero shuffles before the downstream aggregation.
+  *  - **Range join, big–big**: band both sides into fixed-width time
+  *    buckets. Interval rows explode to every bucket they overlap;
+  *    each fact row lands in exactly ONE bucket, so the banded
+  *    equi-join emits each qualifying (fact, interval) pair at most
+  *    once — no post-join dedup — and the residual predicate restores
+  *    exactness. Work is output-linear instead of quadratic.
+  */
+object TemporalOps {
+
+  /** As-of join: for every probe row, attach the build-side payload of
+    * the latest build row with the same `keys` and
+    * `build.ts <= probe.ts` (inclusive); probe rows with no prior
+    * build row keep a null payload (left-outer semantics).
+    *
+    * `tieBreak` orders build rows that share a timestamp (latest wins
+    * after the sort) — pass the build side's unique id for determinism
+    * when build timestamps can collide; it never affects which
+    * TIMESTAMP is chosen, only which of several equal-time rows.
+    *
+    * Output = every probe column, plus one `payloadPrefix + c` column
+    * per payload column `c`.
+    */
+  def asofJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+               probeTs: String, buildTs: String,
+               payloadCols: Seq[String], payloadPrefix: String = "",
+               tieBreak: Seq[String] = Nil): DataFrame = {
+    val probeStruct = struct(probe.columns.map(col).toIndexedSeq: _*)
+    val buildStruct = struct((payloadCols ++ tieBreak).distinct.map(col): _*)
+    val probeType = probe.select(probeStruct).schema.head.dataType
+    val buildType = build.select(buildStruct).schema.head.dataType
+
+    val buildSide = build.select(
+      keys.map(col) ++ Seq(
+        col(buildTs).as("_t"), lit(0).as("_tag"),
+        buildStruct.as("_bv"), lit(null).cast(probeType).as("_pv")): _*)
+    val probeSide = probe.select(
+      keys.map(col) ++ Seq(
+        col(probeTs).as("_t"), lit(1).as("_tag"),
+        lit(null).cast(buildType).as("_bv"), probeStruct.as("_pv")): _*)
+
+    // Build rows sort BEFORE probe rows at equal time (tag 0 < 1), so
+    // a build event at exactly probe time is visible — inclusive
+    // `build.ts <= probe.ts`, matching SQL ASOF semantics. Among
+    // build rows at the same time the caller's tieBreak decides.
+    val order = Seq(col("_t").asc, col("_tag").asc) ++
+      tieBreak.map(c => col(s"_bv.$c").asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    buildSide.unionByName(probeSide)
+      .withColumn("_asof", last(col("_bv"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(col("_pv.*") +:
+        payloadCols.map(c => col(s"_asof.$c").as(payloadPrefix + c)): _*)
+  }
+
+  /** Interval join, broadcast flavor: every (fact, interval) pair with
+    * `start <= factTime < end`. The interval side is broadcast — the
+    * right plan whenever intervals fit in memory (calendars, promo
+    * windows, maintenance schedules: thousands at most). The probe is
+    * a per-row scan of the broadcast list; at 100 TB the cost is one
+    * pass over the facts with zero shuffle.
+    */
+  def rangeJoinBroadcast(facts: DataFrame, intervals: DataFrame,
+                         factTime: String, startCol: String,
+                         endCol: String): DataFrame =
+    facts.join(broadcast(intervals),
+      col(factTime) >= col(startCol) && col(factTime) < col(endCol))
+
+  /** Interval join, banded flavor for big–big inputs: both sides are
+    * keyed to `bandDays`-wide day buckets — facts to the single bucket
+    * containing their day, intervals exploded to every bucket they
+    * overlap — then a plain shuffled equi-join on the bucket plus the
+    * exact residual predicate. Each qualifying pair appears in exactly
+    * one bucket (the fact's), so results need no dedup. Choose
+    * `bandDays` ≈ the typical interval length: shorter bands replicate
+    * intervals more; longer bands admit more false candidates for the
+    * residual to reject.
+    */
+  def rangeJoinBanded(facts: DataFrame, intervals: DataFrame,
+                      factTime: String, startCol: String, endCol: String,
+                      bandDays: Int): DataFrame = {
+    require(bandDays > 0, s"bandDays must be positive, got $bandDays")
+    val epoch = to_date(lit("1970-01-01"))
+    def band(c: org.apache.spark.sql.Column) =
+      floor(datediff(c.cast("date"), epoch) / bandDays)
+    // Interval bucket range is [band(start), band(end)] inclusive — a
+    // superset when `end` is mid-band; the residual predicate makes
+    // the join exact, the banding only bounds the candidate set.
+    val bandedIntervals = intervals
+      .withColumn("_band", explode(sequence(band(col(startCol)),
+        band(col(endCol)))))
+    facts.withColumn("_band", band(col(factTime)))
+      .join(bandedIntervals, Seq("_band"))
+      .filter(col(factTime) >= col(startCol) && col(factTime) < col(endCol))
+      .drop("_band")
+  }
+}

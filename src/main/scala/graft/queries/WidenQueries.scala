@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.TemporalOps
+import graft.ops.RelationalOps.sumMoney
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q57–q60: round-6 widening — the two temporal join shapes every
+  * event pipeline needs and Spark lacks as built-ins (as-of join,
+  * interval/range join), explicit relational set operations, and the
+  * ORC leg of the storage-format matrix beside q43's CSV.
+  */
+object WidenQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // As-of join — attribution: for each purchase, the most recent
+    // prior click by the same user (inclusive at equal timestamps),
+    // null when the purchase precedes every click. Executed as the
+    // union+window linearization (TemporalOps.asofJoin): ONE shuffle
+    // on user_id, in-partition sort, last(ignoreNulls) carry-forward
+    // — never an inequality join, which Spark could only run as a
+    // broadcast nested loop. The oracle is DuckDB's native ASOF LEFT
+    // JOIN — an independent formulation, so the hash certifies the
+    // semantics, not a shared implementation.
+    "q57_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      TemporalOps.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          payloadCols = Seq("click_id"), tieBreak = Seq("click_id"))
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+    }),
+
+    // Interval/range join — revenue per OVERLAPPING reporting period
+    // (180-day windows sliding every 90 days): not expressible as a
+    // group-by because a shipment belongs to up to two periods.
+    // The period dim is tiny → broadcast flavor (zero shuffle before
+    // the aggregation; per-row constant-time probe of the broadcast
+    // interval list). The big–big banded flavor of the same operator
+    // is equivalence-tested in TemporalOpsSpec.
+    "q58_range_join" -> ((s, d) => {
+      val periods = s.range(0, 28).toDF("period_id")
+        .withColumn("p_start",
+          date_add(to_date(lit("1995-01-01")), (col("period_id") * 90).cast("int")))
+        .withColumn("p_end",
+          date_add(to_date(lit("1995-01-01")), (col("period_id") * 90 + 180).cast("int")))
+      TemporalOps.rangeJoinBroadcast(
+          Tables.lineitem(s, d)
+            .select(col("l_shipdate"),
+              (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("_rev")),
+          periods, "l_shipdate", "p_start", "p_end")
+        .groupBy(col("period_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("_rev").cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
+    // Set operations (§2e) — INTERSECT / EXCEPT as first-class ops:
+    // customer-retention buckets between two years. Spark plans these
+    // as left-semi / left-anti aggregates over one exchange each —
+    // never a materialized distinct-then-join. The year slices reuse
+    // the pushed-down date BETWEEN scan (S3).
+    "q59_set_ops" -> ((s, d) => {
+      def custsIn(year: Int): DataFrame =
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit(f"$year%d-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit(f"${year + 1}%d-01-01 00:00:00")))
+          .select(col("o_custkey")).distinct()
+      val a = custsIn(1995)
+      val b = custsIn(1996)
+      a.intersect(b).withColumn("tag", lit("both"))
+        .unionByName(a.except(b).withColumn("tag", lit("only_1995")))
+        .unionByName(b.except(a).withColumn("tag", lit("only_1996")))
+    }),
+
+    // ORC round trip — the columnar-format matrix beside parquet
+    // (native tables) and CSV (q43): ORC write + schema'd read-back.
+    // Same predicate-pushdown/column-pruning story as parquet at
+    // 100 TB; the engine treats the format as a storage detail.
+    "q60_orc_roundtrip" -> ((s, d) => {
+      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q60_orc_" +
+        s.sparkContext.applicationId
+      Tables.supplier(s, d).write.mode("overwrite").orc(sink)
+      s.read.orc(sink)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q57_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "q58_range_join" ->
+      """WITH periods AS (
+        |  SELECT CAST(i AS BIGINT) AS period_id,
+        |         DATE '1995-01-01' + CAST(i*90 AS INT) AS p_start,
+        |         DATE '1995-01-01' + CAST(i*90 + 180 AS INT) AS p_end
+        |  FROM range(0, 28) t(i))
+        |SELECT period_id, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM periods p JOIN lineitem l
+        |  ON l.l_shipdate >= p.p_start AND l.l_shipdate < p.p_end
+        |GROUP BY 1""".stripMargin,
+    "q59_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |             AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+        |     b AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |             AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT o_custkey, 'both' AS tag
+        |  FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1995' AS tag
+        |  FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1996' AS tag
+        |  FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)""".stripMargin,
+    "q60_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier"
+  )
+}

@@ -160,6 +160,27 @@ class PlanSpec extends SparkSpec {
       s"the nightly [today-N, today) window must prune the scan: $pushed")
   }
 
+  test("q57 as-of join: union+window linearization — one exchange, no nested-loop join") {
+    val p = plan("q57_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of join degenerated to an inequality join (O(|L|·|R|) at scale)")
+    assert(p.contains("Window"), "as-of carry-forward window missing")
+    val exchanges = p.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 1,
+      s"as-of join should shuffle exactly once (on the key), saw $exchanges exchanges")
+  }
+
+  test("q58 range join: interval dim broadcast, no shuffle before the aggregation") {
+    val p = plan("q58_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "small interval side should be broadcast with the residual range predicate")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // only the final partial→final agg exchange is allowed
+    val exchanges = p.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 1,
+      s"range join should not shuffle facts before the agg, saw $exchanges exchanges")
+  }
+
   test("whole-stage codegen covers the scan→filter→project spine of q02") {
     val p = plan("q02_filter_exclude_store")
     // formatted mode marks codegen stages with a "* " operator prefix;

@@ -1,0 +1,103 @@
+package graft
+
+import graft.ops.TemporalOps
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the temporal joins: as-of semantics on hand-built
+  * frames (inclusive boundary, null when no prior build row, tie-break
+  * determinism), and banded-vs-broadcast range-join equivalence —
+  * including intervals that span multiple bands and end mid-band.
+  */
+class TemporalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest prior build row per key, inclusive at equal ts") {
+    val probe = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 09:00:00"), 200L) // before every build row
+    ).toDF("user_id", "ts", "purchase_id")
+    val build = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 11L),
+      (1L, ts("2024-01-01 10:00:00"), 12L), // equal ts → visible (inclusive)
+      (1L, ts("2024-01-01 11:59:00"), 13L),
+      (2L, ts("2024-01-01 09:30:00"), 21L)  // after the only probe for user 2
+    ).toDF("user_id", "ts", "click_id")
+
+    val out = TemporalOps.asofJoin(probe, build, Seq("user_id"), "ts", "ts",
+        payloadCols = Seq("click_id"), tieBreak = Seq("click_id"))
+      .select("purchase_id", "click_id")
+      .as[(Long, Option[Long])].collect().toMap
+
+    assert(out(100L) === Some(12L)) // equal-ts build row wins over 09:30
+    assert(out(101L) === Some(13L))
+    assert(out(200L) === None)      // no prior click → left-outer null
+  }
+
+  test("asofJoin tie-break among equal-time build rows is deterministic (largest wins)") {
+    val probe = Seq((1L, ts("2024-01-01 10:00:00"), 1L))
+      .toDF("user_id", "ts", "purchase_id")
+    val build = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 5L),
+      (1L, ts("2024-01-01 09:00:00"), 3L),
+      (1L, ts("2024-01-01 09:00:00"), 9L)
+    ).toDF("user_id", "ts", "click_id")
+    val out = TemporalOps.asofJoin(probe, build, Seq("user_id"), "ts", "ts",
+        payloadCols = Seq("click_id"), tieBreak = Seq("click_id"))
+      .select("click_id").as[Long].head()
+    // tieBreak sorts equal-ts build rows ascending; last() carries the max
+    assert(out === 9L)
+  }
+
+  test("asofJoin carries multi-column payloads and keeps every probe column") {
+    val probe = Seq((1L, ts("2024-01-01 10:00:00"), "extra"))
+      .toDF("k", "t", "note")
+    val build = Seq((1L, ts("2024-01-01 09:00:00"), "b", 7.5))
+      .toDF("k", "bt", "tag", "score")
+    val out = TemporalOps.asofJoin(probe, build, Seq("k"), "t", "bt",
+      payloadCols = Seq("tag", "score"), payloadPrefix = "prior_")
+    assert(out.columns.toSeq === Seq("k", "t", "note", "prior_tag", "prior_score"))
+    val row = out.as[(Long, java.sql.Timestamp, String, String, Double)].head()
+    assert(row === ((1L, ts("2024-01-01 10:00:00"), "extra", "b", 7.5)))
+  }
+
+  test("rangeJoinBanded ≡ rangeJoinBroadcast, intervals spanning multiple bands") {
+    val facts = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    val intervals = spark.range(0, 28).toDF("period_id")
+      .withColumn("p_start",
+        date_add(to_date(lit("1995-01-01")), (col("period_id") * 90).cast("int")))
+      .withColumn("p_end",
+        date_add(to_date(lit("1995-01-01")), (col("period_id") * 90 + 180).cast("int")))
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+        col("period_id"))).as[String].collect().sorted.toSeq
+
+    val broad  = key(TemporalOps.rangeJoinBroadcast(
+      facts, intervals, "l_shipdate", "p_start", "p_end"))
+    // band widths around AND off the interval length, incl. one that
+    // leaves interval ends mid-band
+    for (bandDays <- Seq(30, 90, 180, 365)) {
+      val banded = key(TemporalOps.rangeJoinBanded(
+        facts, intervals, "l_shipdate", "p_start", "p_end", bandDays))
+      assert(banded === broad, s"bandDays=$bandDays diverged")
+    }
+    assert(broad.nonEmpty)
+  }
+
+  test("rangeJoinBanded emits each qualifying pair exactly once") {
+    val facts = Seq((1L, ts("1995-04-01 00:00:00"))).toDF("id", "t")
+    // two overlapping intervals, both containing the fact; 10-day bands
+    // force the 180-day intervals across ~18 bands each
+    val intervals = Seq(
+      (10L, java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1995-06-30")),
+      (11L, java.sql.Date.valueOf("1995-03-01"), java.sql.Date.valueOf("1995-08-31"))
+    ).toDF("period_id", "p_start", "p_end")
+    val out = TemporalOps.rangeJoinBanded(facts, intervals, "t",
+      "p_start", "p_end", 10)
+    assert(out.count() === 2) // one row per (fact, interval), no band dups
+  }
+}
