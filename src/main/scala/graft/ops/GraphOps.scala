@@ -55,15 +55,16 @@ object GraphOps {
           col("component").as("_vc")), "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("_vc")).as("_nmin"))
+      // carry the previous label through the checkpoint so convergence
+      // is a filter+count over the materialized frame — NOT a second
+      // join against the old labels (one fewer shuffle per round)
       val updated = labels.join(nbr, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("component").as("_old"),
           least(col("component"), coalesce(col("_nmin"), col("component")))
             .as("component"))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.select(col("doc_id"), col("component").as("_old")), "doc_id")
-        .filter(col("component") =!= col("_old")).count()
-      labels = updated
+      val changed = updated.filter(col("component") =!= col("_old")).count()
+      labels = updated.drop("_old")
       converged = changed == 0
       i += 1
     }

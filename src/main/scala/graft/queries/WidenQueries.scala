@@ -6,10 +6,12 @@ import graft.ops.RelationalOps.sumMoney
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** q57–q60: round-6 widening — the two temporal join shapes every
+/** q57–q62: round-6 widening — the two temporal join shapes every
   * event pipeline needs and Spark lacks as built-ins (as-of join,
-  * interval/range join), explicit relational set operations, and the
-  * ORC leg of the storage-format matrix beside q43's CSV.
+  * interval/range join), explicit relational set operations, the ORC
+  * leg of the storage-format matrix beside q43's CSV, the
+  * approximate-percentile sketch with a tolerance certificate, and
+  * long-to-wide pivot.
   */
 object WidenQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -76,6 +78,38 @@ object WidenQueries {
         .unionByName(b.except(a).withColumn("tag", lit("only_1996")))
     }),
 
+    // Approximate percentile (GK sketch) with a tolerance certificate
+    // — the quantile twin of q28's HLL certificate. Exact percentiles
+    // (q42) shuffle every value per group; the sketch is
+    // merge-associative and constant-memory, the only viable quantile
+    // at 100 TB. The graded surface is the exact value plus a
+    // `within_tol` bound on the sketch (≤ max(1, 2% of exact)), so the
+    // gate certifies sketch quality without demanding bitwise equality
+    // of an approximation.
+    "q61_approx_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("_approx"),
+          expr("percentile(l_quantity, 0.5)").as("_exact"))
+        .select(col("l_returnflag"),
+          round(col("_exact"), 6).as("p50_qty"),
+          (abs(col("_approx") - col("_exact")) <=
+            greatest(lit(1.0), col("_exact") * 0.02)).as("within_tol"))),
+
+    // Pivot — long-to-wide restructuring (per-user event-type counts).
+    // The value list is EXPLICIT: pivot without it runs a
+    // driver-blocking distinct scan to discover columns — the classic
+    // accidental driver bottleneck at 100 TB. With the list, this is
+    // one partial-agg shuffle, same plan family as any groupBy.
+    "q62_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("user_id") +:
+          Seq("click", "error", "purchase", "signup", "view")
+            .map(c => coalesce(col(c), lit(0L)).as(c)): _*)),
+
     // ORC round trip — the columnar-format matrix beside parquet
     // (native tables) and CSV (q43): ORC write + schema'd read-back.
     // Same predicate-pushdown/column-pruning story as parquet at
@@ -122,6 +156,18 @@ object WidenQueries {
         |SELECT o_custkey, 'only_1996' AS tag
         |  FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)""".stripMargin,
     "q60_orc_roundtrip" ->
-      "SELECT s_suppkey, s_name, s_nationkey FROM supplier"
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+    "q61_approx_percentile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        | TRUE AS within_tol
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q62_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'click')    AS click,
+        | count(*) FILTER (WHERE event_type = 'error')    AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        | count(*) FILTER (WHERE event_type = 'view')     AS view
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

@@ -86,6 +86,31 @@ object StreamingOps {
       }
       .start()
 
+  /** Watermarked stream–stream interval join — the streaming twin of
+    * the batch as-of attribution (q57 / TemporalOps.asofJoin): each
+    * purchase joins every click by the same user within the trailing
+    * `horizon` (purchase-side rows with no qualifying click are
+    * emitted with nulls once the watermark passes — left-outer
+    * semantics). Spark keeps BOTH sides' state bounded by the
+    * watermark + the time-interval condition; without the interval
+    * bound a stream–stream join would buffer forever, the classic
+    * unbounded-state failure at 100 TB/day. Downstream, a keyed
+    * max_by picks the latest click per purchase when exactly-one
+    * attribution is needed.
+    */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+                      keyCol: String, horizon: String,
+                      delay: String): DataFrame = {
+    val p = purchases.withWatermark("p_ts", delay)
+    val c = clicks.withWatermark("c_ts", delay)
+    p.join(c,
+      p(keyCol) === c(keyCol) &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon") &&
+        col("c_ts") <= col("p_ts"),
+      "leftOuter")
+      .drop(c(keyCol))
+  }
+
   /** Typed event for gap-timeout sessionization. */
   final case class UserEvent(user_id: Long, ts: Timestamp)
 

@@ -59,6 +59,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin: stream-stream interval join matches in-horizon clicks, nulls after watermark") {
+    implicit val sq = spark.sqlContext
+    val pMem = MemoryStream[(Long, Timestamp, Long)]
+    val cMem = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = pMem.toDF().toDF("user_id", "p_ts", "purchase_id")
+    val clicks = cMem.toDF().toDF("user_id", "c_ts", "click_id")
+    val out = StreamingOps.attributionJoin(purchases, clicks,
+      "user_id", "30 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      // user 1: one click inside the 30-min horizon, one before it;
+      // user 2: purchase with no click at all
+      cMem.addData((1L, ts("2024-01-01 09:00:00"), 11L),
+        (1L, ts("2024-01-01 09:50:00"), 12L))
+      pMem.addData((1L, ts("2024-01-01 10:00:00"), 100L),
+        (2L, ts("2024-01-01 10:00:00"), 200L))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past 10:00 so the unmatched
+      // purchase's null row can be emitted (outer-join emission is
+      // watermark-gated), then run one more cycle to let the new
+      // watermark take effect
+      cMem.addData((9L, ts("2024-01-01 20:00:00"), 90L))
+      pMem.addData((9L, ts("2024-01-01 20:00:00"), 900L))
+      q.processAllAvailable()
+      pMem.addData((9L, ts("2024-01-01 20:00:01"), 901L))
+      q.processAllAvailable()
+      val rows = spark.table("attr_test")
+        .filter(col("purchase_id").isin(100L, 200L))
+        .select(col("purchase_id"), col("click_id"))
+        .as[(Long, Option[Long])].collect().toSet
+      assert(rows === Set((100L, Some(12L)), (200L, None)),
+        "expected exactly the in-horizon match and the watermark-released null row")
+    } finally q.stop()
+  }
+
   test("sessionizeWithState: gap timeout closes sessions as the watermark passes") {
     import graft.streaming.StreamingOps.{ClosedSession, UserEvent}
     implicit val sq = spark.sqlContext
