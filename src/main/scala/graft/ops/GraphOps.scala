@@ -41,27 +41,39 @@ object GraphOps {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
-      .unionByName(pairs.select(col(idB).as("u"), col(idA).as("v")))
+    // both orientations from ONE scan of `pairs` (explode, not a
+    // self-union): pairs is typically the output of an expensive
+    // near-dup join and a union would execute that lineage twice
+    // before the checkpoint cuts it
+    val edges = pairs.select(explode(array(
+        struct(col(idA).as("u"), col(idB).as("v")),
+        struct(col(idB).as("u"), col(idA).as("v")))).as("_e"))
+      .select(col("_e.u").as("u"), col("_e.v").as("v"))
       .localCheckpoint()
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
       .localCheckpoint()
+    val idType = labels.schema("component").dataType
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val nbr = edges
+      // One round = TWO shuffles: neighbor label messages and each
+      // node's own label meet in a single union reduced by a single
+      // min-aggregation (min over {own} ∪ {neighbor labels} ≡
+      // least(own, min(nbr))). The previous label rides along as
+      // min(_own) — exactly one non-null per group — so convergence is
+      // a filter+count over the materialized frame, never a second
+      // join against the old labels.
+      val msgs = edges
         .join(labels.select(col("doc_id").as("v"),
           col("component").as("_vc")), "v")
-        .groupBy(col("u").as("doc_id"))
-        .agg(min(col("_vc")).as("_nmin"))
-      // carry the previous label through the checkpoint so convergence
-      // is a filter+count over the materialized frame — NOT a second
-      // join against the old labels (one fewer shuffle per round)
-      val updated = labels.join(nbr, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("component").as("_old"),
-          least(col("component"), coalesce(col("_nmin"), col("component")))
-            .as("component"))
+        .select(col("u").as("doc_id"), col("_vc").as("_cand"),
+          lit(null).cast(idType).as("_own"))
+      val self = labels.select(col("doc_id"),
+        col("component").as("_cand"), col("component").as("_own"))
+      val updated = msgs.unionByName(self)
+        .groupBy(col("doc_id"))
+        .agg(min(col("_cand")).as("component"), min(col("_own")).as("_old"))
         .localCheckpoint()
       val changed = updated.filter(col("component") =!= col("_old")).count()
       labels = updated.drop("_old")

@@ -198,4 +198,57 @@ object RelationalOps {
       .drop("_corrupt_record")
       .withColumnRenamed("_qraw", "quarantine_raw")
   }
+
+  /** Skew-safe salted equi-join for BIG-fact × BIG-dim joins where the
+    * fact side has hot keys: the fact's rows get a per-row salt in
+    * [0, salts) and the dim side is replicated once per salt value, so
+    * a hot key's rows spread across `salts` shuffle partitions instead
+    * of melting one task — the join-side twin of q44's salted
+    * aggregation (A7). Result is exactly the plain inner join (every
+    * fact row meets its dim row at exactly one salt). The salt is
+    * derived from the fact's partition/offset position — any value
+    * works, the join result is salt-invariant by construction.
+    *
+    * When the dim side is broadcast-small, `broadcast(dim)` beats
+    * salting (no shuffle at all) — this operator is for the case where
+    * the dim is too big to broadcast AND the fact is skewed, which at
+    * 100 TB is precisely where AQE's skew handling can't always save a
+    * statically-planned shuffle join. The shuffle_hash hint keeps
+    * Spark from sorting both sides (SMJ) — bucket groups are bounded
+    * by construction.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val f = fact.withColumn("_salt",
+      pmod(spark_partition_id().cast("long") + monotonically_increasing_id(),
+        lit(salts.toLong)))
+    val d = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    f.join(d.hint("shuffle_hash"), Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** One-pass column profiling — the observability primitive every
+    * ingest tier needs before training on a new corpus drop: per
+    * column, the row count, null count, exact distinct count, and
+    * min/max rendered as strings. ONE aggregation job over the table
+    * (Spark plans the multi-distinct with one Expand), then a constant
+    * `stack` unpivot of the single result row — never one scan per
+    * column, which is the naive formulation's 100-TB killer. Columns
+    * must cast to a deterministic string form (ints, strings, dates)
+    * so the profile is engine-portable.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("_n") +: cols.flatMap { c => Seq(
+      count(col(c)).as(s"_nn_$c"),
+      count_distinct(col(c)).as(s"_nd_$c"),
+      min(col(c)).cast("string").as(s"_min_$c"),
+      max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val stackArgs = cols.map { c =>
+      s"'$c', _n - _nn_$c, _nd_$c, _min_$c, _max_$c"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_null, n_distinct, min_val, max_val)"))
+  }
 }

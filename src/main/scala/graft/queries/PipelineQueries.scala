@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{RelationalOps, SampleOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q63–q68: the training-data pipeline tier around the corpus ops —
+  * reproducible splits and samples, batch-packing histograms, corpus
+  * profiling, scan-layout control, and the skew-safe join. These are
+  * the operators a 100-TB pretraining pipeline runs between "dedup the
+  * corpus" (q24–q37) and "train": every one is deterministic (re-runs
+  * give byte-identical outputs) and every decision is recomputable by
+  * the DuckDB oracle in plain SQL.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Deterministic train/val/test split (80/10/10) keyed on doc_id.
+    // Pure codegen'd projection — no shuffle, no rand(): the split is
+    // a function of the id, so retries/backfills can never leak a
+    // training doc into eval. The oracle recomputes the multiplicative
+    // hash in SQL — the assignment itself is graded, not trusted.
+    "q63_hash_split" -> ((s, d) =>
+      SampleOps.hashSplit(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "split",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("lang"), col("split"))),
+
+    // Sequence-length bucketing for training batch packing: docs
+    // grouped by floor(log2(token_count)) — the power-of-two length
+    // buckets a packer pads within. Integer-exact bucket math (binary
+    // digit count, not float log2) so the histogram is engine-portable.
+    // One partial-agg shuffle over ~16 groups.
+    "q64_length_buckets" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("_n"))
+        .select((length(bin(col("_n"))) - 1).as("len_bucket"), col("_n"))
+        .groupBy(col("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_n")).as("sum_tokens"),
+          min(col("_n")).as("min_tokens"),
+          max(col("_n")).as("max_tokens"))),
+
+    // Deterministic stratified sampling — the corpus-rebalance step:
+    // keep 30% of English, 10% of every other language, decided by the
+    // same portable hash as q63. A pure filter (zero shuffles); the
+    // oracle re-derives the exact kept set.
+    "q65_stratified_sample" -> ((s, d) =>
+      SampleOps.stratifiedSample(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", Map("en" -> 30), defaultPct = 10)),
+
+    // Corpus profiling: per-column null count / exact distinct count /
+    // min / max in ONE aggregation pass + a constant unpivot — the
+    // "what did this drop actually contain" gate before any training
+    // run. Never one scan per column.
+    "q66_profile" -> ((s, d) =>
+      RelationalOps.profileColumns(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderdate").cast("date").as("o_orderdate")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"))),
+
+    // Range-partitioned sorted layout: write the fact repartitioned BY
+    // RANGE on ship date and sorted within partitions, so every
+    // parquet row group covers a narrow date band and a date-bounded
+    // read-back prunes at the row-group level (min/max stats) — the
+    // layout that makes the nightly incremental scan read ~1/365th of
+    // a 100-TB table. The graded surface is the round trip: bounded
+    // read-back over the sorted layout, aggregated per month.
+    "q67_sorted_layout" -> ((s, d) => {
+      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q67_" +
+        s.sparkContext.applicationId
+      Tables.lineitem(s, d)
+        .select(col("l_shipdate"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"))
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions(col("l_shipdate"))
+        .write.mode("overwrite").parquet(sink)
+      s.read.parquet(sink)
+        .filter(col("l_shipdate") >= to_date(lit("1995-01-01")) &&
+          col("l_shipdate") < to_date(lit("1996-01-01")))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
+    // Skew-safe salted join (the join-side twin of q44's salted agg):
+    // fact rows salted across 8 shuffle partitions per key, dim
+    // replicated ×8 — a hot supplier key can no longer melt one task.
+    // Result is provably the plain join; the oracle IS the plain join.
+    "q68_salted_join" -> ((s, d) =>
+      RelationalOps.saltedJoin(
+          Tables.lineitem(s, d)
+            .select(col("l_suppkey").as("s_suppkey"),
+              (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("_rev")),
+          Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+          "s_suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("_rev").cast("decimal(18,4)")).cast("double").as("revenue")))
+  )
+
+  // The multiplicative-hash bucket, restated in portable SQL: high
+  // bits of (key * 2654435761) mod 2^32, scaled to [0, 100).
+  private def bucketSql(key: String): String =
+    s"(($key * 2654435761) % 4294967296) * 100 // 4294967296"
+
+  val oracle: Map[String, String] = Map(
+    "q63_hash_split" ->
+      s"""SELECT doc_id, lang,
+         | CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+         |      WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+    "q64_length_buckets" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents)
+        |SELECT CAST(len(bin(n)) - 1 AS INT) AS len_bucket,
+        |       count(*) AS n_docs, sum(n) AS sum_tokens,
+        |       min(n) AS min_tokens, max(n) AS max_tokens
+        |FROM t GROUP BY 1""".stripMargin,
+    "q65_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${bucketSql("doc_id")} <
+         |      CASE WHEN lang = 'en' THEN 30 ELSE 10 END""".stripMargin,
+    "q66_profile" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |                  CAST(o_orderdate AS DATE) AS o_orderdate FROM orders)
+        |SELECT 'o_orderkey' AS col_name,
+        |  count(*) - count(o_orderkey) AS n_null,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_val FROM o
+        |UNION ALL
+        |SELECT 'o_custkey', count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM o
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus),
+        |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM o
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*) - count(o_orderdate),
+        |  count(DISTINCT o_orderdate),
+        |  CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR) FROM o""".stripMargin,
+    "q67_sorted_layout" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q68_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin
+  )
+}

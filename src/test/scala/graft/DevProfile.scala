@@ -63,6 +63,41 @@ object DevProfile {
     time("lsh candidates")(lshCands.count())
     time("verify (full q29)")(
       TextOps.jaccardVerify(lshCands, sh, "doc_id", "sh", 4, 5).count())
+    // q56 breakdown: pair generation (the q37 machinery) vs the CC loop
+    val pairs = TextOps.jaccardVerify(cands, sh, "doc_id", "sh", 4, 5)
+      .select("id_a", "id_b")
+    time("q56 pair gen (cold)")(pairs.count())
+    time("q56 cc loop")(
+      graft.ops.GraphOps.connectedComponents(pairs).count())
+    // per-round anatomy of the CC loop
+    locally {
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        .localCheckpoint()
+      var labels = edges.select(col("u").as("doc_id")).distinct()
+        .withColumn("component", col("doc_id")).localCheckpoint()
+      var i = 0
+      var done = false
+      while (!done && i < 20) {
+        val t0 = System.nanoTime()
+        val msgs = edges.join(labels.select(col("doc_id").as("v"),
+            col("component").as("_vc")), "v")
+          .select(col("u").as("doc_id"), col("_vc").as("_cand"),
+            lit(null).cast("long").as("_own"))
+        val self = labels.select(col("doc_id"),
+          col("component").as("_cand"), col("component").as("_own"))
+        val updated = msgs.unionByName(self).groupBy(col("doc_id"))
+          .agg(min(col("_cand")).as("component"), min(col("_own")).as("_old"))
+          .localCheckpoint()
+        val t1 = System.nanoTime()
+        val changed = updated.filter(col("component") =!= col("_old")).count()
+        labels = updated.drop("_old")
+        done = changed == 0
+        i += 1
+        println(f"[cc] round $i: checkpoint=${(t1 - t0) / 1e9}%5.2fs " +
+          f"count=${(System.nanoTime() - t1) / 1e9}%5.2fs changed=$changed")
+      }
+    }
     spark.stop()
   }
 }

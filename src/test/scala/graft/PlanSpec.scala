@@ -181,6 +181,34 @@ class PlanSpec extends SparkSpec {
       s"range join should not shuffle facts before the agg, saw $exchanges exchanges")
   }
 
+  test("q63 hash split: pure codegen'd projection — zero exchanges") {
+    val p = plan("q63_hash_split")
+    assert(!p.contains("Exchange"),
+      "a deterministic split must not shuffle — it is a per-row function of the key")
+    assert(!p.contains("rand"), "split must not depend on rand()")
+  }
+
+  test("q65 stratified sample: pure filter, zero exchanges") {
+    val p = plan("q65_stratified_sample")
+    assert(!p.contains("Exchange"),
+      "deterministic sampling is a filter; any exchange is a regression")
+  }
+
+  test("q68 salted join: shuffled hash join (not broadcast — the pattern targets big dims)") {
+    val p = plan("q68_salted_join")
+    assert(p.contains("ShuffledHashJoin"),
+      "salted join must demonstrate the shuffle-join path it exists for")
+    assert(!p.contains("SortMergeJoin"),
+      "bucketed-by-construction groups should hash-join, not pay a sort")
+  }
+
+  test("q66 profile: one table scan feeding one aggregation (never per-column scans)") {
+    val p = plan("q66_profile")
+    // count detail headers "(N) Scan parquet", not the tree rendering
+    val scans = p.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans == 1, s"profile must scan once, saw $scans parquet scans")
+  }
+
   test("whole-stage codegen covers the scan→filter→project spine of q02") {
     val p = plan("q02_filter_exclude_store")
     // formatted mode marks codegen stages with a "* " operator prefix;

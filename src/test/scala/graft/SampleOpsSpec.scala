@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.{RelationalOps, SampleOps}
+import org.apache.spark.sql.functions._
+
+class SampleOpsSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    (0L until 1000L).map(i => (i, if (i % 3 == 0) "en" else "ko"))
+      .toDF("doc_id", "lang")
+  }
+
+  test("hashSplit: deterministic, total, and proportional") {
+    val a = SampleOps.hashSplit(docs, "doc_id", "split",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val b = SampleOps.hashSplit(docs, "doc_id", "split",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    // identical assignment across runs (no rand anywhere)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    val byName = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.values.sum == 1000, "every row must land in exactly one split")
+    // multiplicative hash ≈ uniform: 80/10/10 within a loose tolerance
+    assert(byName("train") > 700 && byName("train") < 900, s"train=$byName")
+    assert(byName("val") > 50 && byName("val") < 160, s"val=$byName")
+    assert(byName("test") > 50 && byName("test") < 160, s"test=$byName")
+  }
+
+  test("hashSplit: split is a pure projection — no exchange in the plan") {
+    val p = SampleOps.hashSplit(docs, "doc_id", "split",
+        Seq("train" -> 90, "test" -> 10))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"split must not shuffle:\n$p")
+  }
+
+  test("stratifiedSample: per-stratum rates, deterministic, subset of input") {
+    val s1 = SampleOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 50), defaultPct = 10)
+    val s2 = SampleOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 50), defaultPct = 10)
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+    val n = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 334 en docs at 50% ≈ 167; 666 ko docs at 10% ≈ 67
+    assert(n("en") > 120 && n("en") < 220, s"en=$n")
+    assert(n("ko") > 30 && n("ko") < 110, s"ko=$n")
+    // sampling at 100% must be the identity on that stratum
+    val full = SampleOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 100), defaultPct = 0)
+    assert(full.count() == docs.filter(col("lang") === "en").count())
+  }
+
+  test("saltedJoin: result is exactly the plain inner join, via a shuffled hash join") {
+    import spark.implicits._
+    // fact with a deliberately hot key (id 7 carries half the rows)
+    val fact = (0L until 2000L)
+      .map(i => (if (i % 2 == 0) 7L else i % 50L, i.toDouble))
+      .toDF("k", "v")
+    val dim = (0L until 50L).map(i => (i, s"d$i")).toDF("k", "name")
+    val salted = RelationalOps.saltedJoin(fact, dim, "k", salts = 8)
+    val plain = fact.join(dim, "k")
+    assert(salted.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(salted).count() == 0,
+      "salted join must be result-identical to the plain join")
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"salted join should be a shuffled hash join (no sort, no broadcast):\n$p")
+  }
+
+  test("profileColumns: one row per column with exact null/distinct/min/max") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a"))
+    ).toDF("id", "s")
+    val prof = RelationalOps.profileColumns(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(prof("id") == ((0L, 4L, "1", "4")))
+    assert(prof("s") == ((1L, 2L, "a", "b")))
+    // the profile is ONE aggregation pass over the input, not one scan
+    // per column: exactly one parquet/local scan leaf in the plan
+    val scans = RelationalOps.profileColumns(df, Seq("id", "s"))
+      .queryExecution.executedPlan.collectLeaves().size
+    assert(scans == 1, s"profile must scan the table once, saw $scans leaves")
+  }
+}
