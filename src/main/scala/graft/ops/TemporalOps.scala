@@ -124,4 +124,39 @@ object TemporalOps {
       .filter(col(factTime) >= col(startCol) && col(factTime) < col(endCol))
       .drop("_band")
   }
+
+  /** SCD-type-2 change history (gaps-and-islands): collapse a keyed,
+    * timestamped value sequence into validity intervals — one row per
+    * RUN of consecutive equal values, with `valid_from` / `valid_to`
+    * (null = still current) and `is_current`. This is the
+    * dimension-history operator the reference's latest-wins upsert (U1)
+    * deliberately discards: U1 keeps only the newest value; this keeps
+    * the full change timeline, which is what point-in-time joins (q57)
+    * consume as their build side.
+    *
+    * Scale shape: ONE shuffle total. Everything — the change-flag lag,
+    * the running-sum run id, the run collapse, and the valid_to lead —
+    * partitions by `keyCol`, and Spark satisfies the run-collapse
+    * groupBy (key, run) and both windows with the same single hash
+    * exchange (subset-clustering). The tie order inside equal
+    * timestamps is pinned by `tieCol` so the history is deterministic.
+    */
+  def changeHistory(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val prev = lag(col(valueCol), 1).over(w)
+    val runs = df
+      .withColumn("_chg",
+        when(prev.isNull || col(valueCol) =!= prev, 1).otherwise(0))
+      .withColumn("_run", sum(col("_chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_run"))
+      .agg(min(col(valueCol)).as("status"), // constant within a run
+        min(col(tsCol)).as("valid_from"))
+    val wOut = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"))
+    runs.select(col(keyCol), col("status"), col("valid_from"),
+        lead(col("valid_from"), 1).over(wOut).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

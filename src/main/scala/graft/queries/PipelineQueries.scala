@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{RelationalOps, SampleOps}
+import graft.ops.{RelationalOps, SampleOps, TemporalOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -101,7 +101,40 @@ object PipelineQueries {
           "s_suppkey", salts = 8)
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"),
-          sum(col("_rev").cast("decimal(18,4)")).cast("double").as("revenue")))
+          sum(col("_rev").cast("decimal(18,4)")).cast("double").as("revenue"))),
+
+    // SCD-type-2 change history (gaps-and-islands): per-user validity
+    // intervals of the event_type sequence — the dimension-history
+    // operator that the latest-wins upsert (U1/q12) deliberately
+    // discards, and the natural build side for point-in-time (as-of)
+    // joins. ONE shuffle end to end: the lag window, run-id sum, run
+    // collapse, and valid_to lead all reuse the same user_id exchange
+    // (PlanSpec-asserted).
+    "q69_scd2_history" -> ((s, d) =>
+      TemporalOps.changeHistory(
+        Tables.events(s, d).select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type")),
+        "user_id", "ts", "event_type", "event_id")),
+
+    // Schema evolution: two generations of the same dataset — an old
+    // drop missing a column that a later drop added — read back as ONE
+    // table via parquet schema merge, old rows null-padded. At 100 TB
+    // a corpus is always multi-generation; requiring a rewrite of old
+    // drops on every schema change would be a full-corpus copy. The
+    // mergeSchema read is the declarative alternative; partition
+    // discovery (gen=N directories) doubles as the generation tag.
+    "q70_schema_evolution" -> ((s, d) => {
+      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q70_" +
+        s.sparkContext.applicationId
+      val sup = Tables.supplier(s, d)
+      sup.select(col("s_suppkey"), col("s_name"))
+        .write.mode("overwrite").parquet(s"$sink/gen=1")
+      sup.select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .write.mode("overwrite").parquet(s"$sink/gen=2")
+      s.read.option("mergeSchema", "true").parquet(sink)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("gen").cast("int").as("gen"))
+    })
   )
 
   // The multiplicative-hash bucket, restated in portable SQL: high
@@ -158,6 +191,31 @@ object PipelineQueries {
       """SELECT s_nationkey, count(*) AS n,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q69_scd2_history" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR event_type <> lag(event_type) OVER w
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | g AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m),
+        | runs AS (
+        |  SELECT user_id, min(event_type) AS status, min(ts) AS valid_from
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id, status, valid_from,
+        |  lead(valid_from) OVER wo AS valid_to,
+        |  lead(valid_from) OVER wo IS NULL AS is_current
+        |FROM runs
+        |WINDOW wo AS (PARTITION BY user_id ORDER BY valid_from)""".stripMargin,
+    "q70_schema_evolution" ->
+      """SELECT s_suppkey, s_name, CAST(NULL AS BIGINT) AS s_nationkey, 1 AS gen
+        |FROM supplier
+        |UNION ALL
+        |SELECT s_suppkey, s_name, s_nationkey, 2 AS gen FROM supplier""".stripMargin
   )
 }

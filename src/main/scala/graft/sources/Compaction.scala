@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction — the table-maintenance operator every
+  * long-lived 100-TB dataset needs: streaming ingest and per-batch
+  * nightly appends accumulate thousands of KB-sized files, and scan
+  * cost becomes dominated by file-open/footer-read overhead instead of
+  * bytes. Compaction rewrites a directory into ~targetFileBytes-sized
+  * files: list the input's total bytes (one driver-side FS call — a
+  * metadata listing, not a data read), pick
+  * ceil(bytes / targetFileBytes) output files, and rewrite through a
+  * round-robin repartition. The repartition is a full shuffle by
+  * design: `coalesce` would be shuffle-free but cannot split large
+  * inputs, inherits upstream skew, and collapses parallelism of the
+  * read stage; for an IO-bound maintenance job evenly-sized output
+  * files are worth one shuffle of the data.
+  *
+  * The rewrite goes to a NEW directory and the swap is left to the
+  * caller's catalog/orchestration layer (atomic rename or partition
+  * re-point) — same job-level atomicity story as q19's
+  * overwrite-refresh.
+  */
+object Compaction {
+
+  /** Rewrite `inPath` (parquet) into `outPath` with evenly-sized
+    * files near `targetFileBytes`. Returns the number of files
+    * written.
+    */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+                     targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = new Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath).repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
+}

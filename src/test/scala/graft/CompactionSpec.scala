@@ -1,0 +1,28 @@
+package graft
+
+import graft.sources.Compaction
+import org.apache.spark.sql.functions._
+
+class CompactionSpec extends SparkSpec {
+
+  test("compactParquet: many small files -> few target-sized files, content identical") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+    // a fragmented table: 64 files for ~60k small rows
+    val df = (0L until 60000L).map(i => (i, s"row_$i")).toDF("id", "s")
+    df.repartition(64).write.parquet(in)
+    val inFiles = new java.io.File(in).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(inFiles == 64)
+
+    val n = Compaction.compactParquet(spark, in, out, targetFileBytes = 512 * 1024)
+    val outFiles = new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(outFiles == n, s"promised $n files, wrote $outFiles")
+    assert(outFiles < 8, s"compaction should collapse 64 small files, got $outFiles")
+
+    val back = spark.read.parquet(out)
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0,
+      "compaction must be a pure rewrite — byte-for-byte same rows")
+  }
+}

@@ -209,6 +209,13 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"profile must scan once, saw $scans parquet scans")
   }
 
+  test("q69 SCD2 history: one exchange reused by both windows and the run collapse") {
+    val p = plan("q69_scd2_history")
+    val exchanges = p.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 1,
+      s"change history must partition once on the key, saw $exchanges exchanges")
+  }
+
   test("whole-stage codegen covers the scan→filter→project spine of q02") {
     val p = plan("q02_filter_exclude_store")
     // formatted mode marks codegen stages with a "* " operator prefix;

@@ -100,4 +100,38 @@ class TemporalOpsSpec extends SparkSpec {
       "p_start", "p_end", 10)
     assert(out.count() === 2) // one row per (fact, interval), no band dups
   }
+
+  test("changeHistory collapses runs into validity intervals with open current row") {
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:00:00"), 2L, "a"), // same run
+      (1L, ts("2024-01-01 11:00:00"), 3L, "b"), // change
+      (1L, ts("2024-01-01 12:00:00"), 4L, "a"), // back to a → NEW run
+      (2L, ts("2024-01-01 09:00:00"), 5L, "x")
+    ).toDF("user_id", "ts", "event_id", "status_in")
+    val h = TemporalOps.changeHistory(events, "user_id", "ts", "status_in",
+        "event_id")
+      .orderBy("user_id", "valid_from")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect()
+    assert(h.length === 4)
+    val u1 = h.filter(_._1 == 1L)
+    assert(u1.map(_._2).toSeq === Seq("a", "b", "a"),
+      "value returning to a prior state must open a NEW interval")
+    assert(u1(0)._3 === ts("2024-01-01 09:00:00"))
+    assert(u1(0)._4 === Some(ts("2024-01-01 11:00:00")),
+      "valid_to = next interval's valid_from")
+    assert(u1(2)._4.isEmpty && u1(2)._5, "last interval is open and current")
+    assert(h.count(_._5) === 2, "exactly one current row per key")
+  }
+
+  test("changeHistory runs in ONE exchange (windows and run collapse share the key partitioning)") {
+    val events = Seq((1L, ts("2024-01-01 09:00:00"), 1L, "a"))
+      .toDF("user_id", "ts", "event_id", "v")
+    val p = TemporalOps.changeHistory(events, "user_id", "ts", "v", "event_id")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"SCD2 history must reuse one key exchange end to end, saw $exchanges:\n$p")
+  }
 }
