@@ -111,6 +111,18 @@ object StreamingOps {
       .drop(c(keyCol))
   }
 
+  /** Stream–static broadcast enrichment — the streaming twin of the
+    * batch dim joins (J1/J2): every micro-batch joins against the
+    * static dimension with a broadcast hash join, so the unbounded
+    * fact stream is never shuffled and carries no join state at all
+    * (unlike stream–stream joins, a static side needs no watermark).
+    * Left-outer keeps facts whose key has no dim row — the enrich-
+    * don't-drop contract of the nightly jobs.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left_outer")
+
   /** Typed event for gap-timeout sessionization. */
   final case class UserEvent(user_id: Long, ts: Timestamp)
 

@@ -68,6 +68,35 @@ class SampleOpsSpec extends SparkSpec {
       s"salted join should be a shuffled hash join (no sort, no broadcast):\n$p")
   }
 
+  test("hashSplit property: partition of the id space for arbitrary split tables") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // arbitrary percentage tables summing to 100, arbitrary id ranges
+    val gen = for {
+      a <- Gen.choose(1, 98)
+      b <- Gen.choose(1, 99 - a)
+      lo <- Gen.choose(0L, 1000000L)
+      n <- Gen.choose(1, 400)
+    } yield (a, b, 100 - a - b, lo, n)
+    (0 until 10).foreach { i =>
+      val (a, b, c, lo, n) =
+        gen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      val ids = (lo until lo + n).toDF("doc_id")
+      val out = SampleOps.hashSplit(ids, "doc_id", "split",
+        Seq("x" -> a, "y" -> b, "z" -> c))
+      // total: every row gets exactly one non-null split
+      assert(out.filter(col("split").isNull).count() == 0,
+        s"unassigned rows for splits ($a,$b,$c)")
+      assert(out.count() == n)
+      // stable under re-evaluation on a differently-partitioned input
+      val out2 = SampleOps.hashSplit(ids.repartition(7), "doc_id", "split",
+        Seq("x" -> a, "y" -> b, "z" -> c))
+      assert(out.exceptAll(out2).count() == 0,
+        "assignment must not depend on physical partitioning")
+    }
+  }
+
   test("profileColumns: one row per column with exact null/distinct/min/max") {
     import spark.implicits._
     val df = Seq(

@@ -59,6 +59,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream: static dim broadcast-joined per micro-batch, left-outer keeps unmatched") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("store_id", "amount")
+    val dim = Seq((1L, "seoul"), (2L, "busan")).toDF("store_id", "city")
+    val out = StreamingOps.enrichStream(stream, dim, "store_id")
+    val q = out.writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 100L), (2L, 200L), (9L, 900L))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test")
+        .select(col("store_id"), col("city")).as[(Long, Option[String])]
+        .collect().toSet
+      assert(rows === Set((1L, Some("seoul")), (2L, Some("busan")), (9L, None)),
+        "unmatched fact must survive with a null dim (left-outer)")
+      // the fact side must not shuffle: dim joins as a broadcast.
+      // enrichStream is mode-agnostic, so the batch plan is the same
+      // join Spark runs inside each micro-batch.
+      val p = StreamingOps.enrichStream(
+          Seq((1L, 100L)).toDF("store_id", "amount"), dim, "store_id")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"stream-static enrich must broadcast the dim:\n$p")
+    } finally q.stop()
+  }
+
   test("attributionJoin: stream-stream interval join matches in-horizon clicks, nulls after watermark") {
     implicit val sq = spark.sqlContext
     val pMem = MemoryStream[(Long, Timestamp, Long)]
