@@ -61,16 +61,21 @@ object WidenQueries {
     }),
 
     // Set operations (§2e) — INTERSECT / EXCEPT as first-class ops:
-    // customer-retention buckets between two years. Spark plans these
-    // as left-semi / left-anti aggregates over one exchange each —
-    // never a materialized distinct-then-join. The year slices reuse
-    // the pushed-down date BETWEEN scan (S3).
+    // customer-retention buckets between two years. Spark plans each
+    // as a left-semi / left-anti aggregate — never a materialized
+    // distinct-then-join. Each year slice (pushed-down date BETWEEN
+    // scan, S3) is localCheckpoint-materialized ONCE: the three set
+    // ops consume each side twice, and without the checkpoint the
+    // union re-runs the base scan six times (static exchange reuse
+    // does not fire across the differently-shaped semi/anti arms) —
+    // at 100 TB the rescans, not the set ops, would be the cost.
     "q59_set_ops" -> ((s, d) => {
       def custsIn(year: Int): DataFrame =
         Tables.orders(s, d)
           .filter(col("o_orderdate") >= to_timestamp(lit(f"$year%d-01-01 00:00:00")) &&
             col("o_orderdate") < to_timestamp(lit(f"${year + 1}%d-01-01 00:00:00")))
           .select(col("o_custkey")).distinct()
+          .localCheckpoint()
       val a = custsIn(1995)
       val b = custsIn(1996)
       a.intersect(b).withColumn("tag", lit("both"))
@@ -96,19 +101,20 @@ object WidenQueries {
           (abs(col("_approx") - col("_exact")) <=
             greatest(lit(1.0), col("_exact") * 0.02)).as("within_tol"))),
 
-    // Pivot — long-to-wide restructuring (per-user event-type counts).
-    // The value list is EXPLICIT: pivot without it runs a
-    // driver-blocking distinct scan to discover columns — the classic
-    // accidental driver bottleneck at 100 TB. With the list, this is
-    // one partial-agg shuffle, same plan family as any groupBy.
-    "q62_pivot" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(count(lit(1)))
-        .select(col("user_id") +:
-          Seq("click", "error", "purchase", "signup", "view")
-            .map(c => coalesce(col(c), lit(0L)).as(c)): _*)),
+    // Pivot — long-to-wide restructuring (per-user event-type counts)
+    // as CONDITIONAL AGGREGATION, not DataFrame.pivot: the value list
+    // is explicit either way (pivot without one runs a driver-blocking
+    // distinct scan to discover columns — the classic accidental
+    // driver bottleneck at 100 TB), but .pivot() plans a two-phase
+    // double aggregation (groupBy(user,type) exchange + groupBy(user)
+    // exchange), while count(when(...)) per value is ONE partial-agg
+    // shuffle — same result, half the exchanges (plan-verified).
+    "q62_pivot" -> ((s, d) => {
+      val counts = Seq("click", "error", "purchase", "signup", "view")
+        .map(v => count(when(col("event_type") === v, 1)).as(v))
+      Tables.events(s, d).groupBy(col("user_id"))
+        .agg(counts.head, counts.tail: _*)
+    }),
 
     // ORC round trip — the columnar-format matrix beside parquet
     // (native tables) and CSV (q43): ORC write + schema'd read-back.

@@ -209,6 +209,13 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"profile must scan once, saw $scans parquet scans")
   }
 
+  test("q62 pivot: conditional aggregation — ONE exchange, not .pivot()'s double agg") {
+    val p = plan("q62_pivot")
+    val exchanges = p.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges == 1,
+      s"long-to-wide must be one partial-agg shuffle, saw $exchanges exchanges")
+  }
+
   test("q69 SCD2 history: one exchange reused by both windows and the run collapse") {
     val p = plan("q69_scd2_history")
     val exchanges = p.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange.*"))
