@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def asVec(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // sort-free latest-wins: row_number=1 upserts → min_by aggregates
+    // (map-side partial agg slashes the upsert's shuffle volume)
+    ext.injectOptimizerRule(_ => new LatestWinsRule)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two double arrays"),

@@ -69,13 +69,17 @@ class PlanSpec extends SparkSpec {
       "top-k must be a per-partition take + k-row merge, not a global sort")
   }
 
-  test("q12 upsert: exactly one exchange (the merge window), none after") {
+  test("q12 upsert: one exchange, rewritten to a partial-agg min_by (LatestWinsRule)") {
     val p = plan("q12_upsert_latest_wins")
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 2, // hashpartitioning exchange appears once per explain section
       s"merge should shuffle once, found $exchanges exchange mentions:\n$p")
-    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
-      "latest-wins window missing")
+    // the LatestWinsRule must have replaced the row_number window with
+    // a min_by aggregate: map-side partial agg, no window machinery
+    assert(!p.contains("Window"),
+      s"latest-wins should be an aggregate after the rewrite:\n$p")
+    assert(p.contains("partial_min_by"),
+      s"map-side partial min_by missing:\n$p")
   }
 
   test("q17 aggregation: partial (map-side) aggregation before the exchange") {
