@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF surface (SURVEY §7's optional `Aggregator[IN,BUF,OUT]`,
+  * made real): bounded top-k per group as an AGGREGATE, not a window.
+  *
+  * Why this exists beside q23's window/WindowGroupLimit top-k: an
+  * aggregator's buffer is the k-element list itself, so the partial
+  * aggregation ships at most k rows per group per map task and the
+  * merge is k-list merge — no per-partition sort of the full input,
+  * and the result is available inside any groupBy alongside other
+  * aggregates (a window can't mix with aggregation in one pass).
+  * Trade: object buffers run on ObjectHashAggregate (no whole-stage
+  * codegen), so for plain "top-k then nothing else" the built-in
+  * WindowGroupLimit path stays competitive — PlanSpec pins q23 to
+  * that; q71 grades this path against the SAME oracle.
+  *
+  * Determinism: ranking order is total — value DESC then tiebreak ASC
+  * — so merges are associative/commutative up to the k-cutoff and the
+  * result is partitioning-independent.
+  */
+object TopKAggregator {
+
+  /** (value, tiebreak) ranking entry. BigDecimal keeps the exact
+    * aggregate the caller computed; doubles would re-introduce the
+    * float drift the DECIMAL pipeline exists to avoid.
+    */
+  type Entry = (BigDecimal, Long)
+
+  final class TopK(k: Int)
+      extends Aggregator[Entry, Seq[Entry], Seq[Entry]] {
+    require(k > 0, "k must be positive")
+
+    // a ranks strictly before b: larger value, then smaller tiebreak
+    private def before(a: Entry, b: Entry): Boolean = {
+      val c = a._1.compare(b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
+    }
+
+    private def insert(buf: Seq[Entry], e: Entry): Seq[Entry] =
+      if (buf.size >= k && before(buf.last, e)) buf // below the cut
+      else {
+        val (hi, lo) = buf.span(before(_, e))
+        ((hi :+ e) ++ lo).take(k)
+      }
+
+    override def zero: Seq[Entry] = Nil
+    override def reduce(buf: Seq[Entry], e: Entry): Seq[Entry] =
+      insert(buf, e)
+    override def merge(a: Seq[Entry], b: Seq[Entry]): Seq[Entry] =
+      b.foldLeft(a)(insert)
+    override def finish(r: Seq[Entry]): Seq[Entry] = r
+    override def bufferEncoder: Encoder[Seq[Entry]] =
+      ExpressionEncoder[Seq[Entry]]()
+    override def outputEncoder: Encoder[Seq[Entry]] =
+      ExpressionEncoder[Seq[Entry]]()
+  }
+}

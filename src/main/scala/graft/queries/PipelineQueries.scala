@@ -134,6 +134,36 @@ object PipelineQueries {
       s.read.option("mergeSchema", "true").parquet(sink)
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
           col("gen").cast("int").as("gen"))
+    }),
+
+    // Typed-Aggregator top-k (the UDAF surface): q23's exact semantics
+    // through a custom bounded-heap Aggregator instead of the window —
+    // partial aggregation ships ≤k rows per group per mapper and no
+    // full-partition sort happens anywhere. Graded against the SAME
+    // oracle as q23, so the custom aggregate's correctness (ordering,
+    // merge associativity, tie-breaks) is hash-certified.
+    "q71_topk_udaf" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val price = col("l_extendedprice").cast(DecimalType(18, 2))
+      val disc = col("l_discount").cast(DecimalType(18, 2))
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum((price * (lit(1).cast(DecimalType(18, 2)) - disc))
+          .cast(DecimalType(18, 4))).as("_rev"))
+        .select(col("l_suppkey").as("_1"), col("l_partkey").as("_2"),
+          col("_rev").as("_3"))
+        .as[(Long, Long, BigDecimal)]
+      val top3 = new graft.ops.TopKAggregator.TopK(3)
+      rev.groupByKey(_._1)
+        .mapValues(r => (r._3, r._2))
+        .agg(top3.toColumn)
+        .flatMap { case (supp, entries) =>
+          entries.zipWithIndex.map { case ((v, part), i) =>
+            (supp, part, v.doubleValue, (i + 1).toLong)
+          }
+        }
+        .toDF("l_suppkey", "l_partkey", "revenue", "rk")
     })
   )
 
@@ -216,6 +246,17 @@ object PipelineQueries {
       """SELECT s_suppkey, s_name, CAST(NULL AS BIGINT) AS s_nationkey, 1 AS gen
         |FROM supplier
         |UNION ALL
-        |SELECT s_suppkey, s_name, s_nationkey, 2 AS gen FROM supplier""".stripMargin
+        |SELECT s_suppkey, s_name, s_nationkey, 2 AS gen FROM supplier""".stripMargin,
+    // q71 shares q23's oracle — the custom Aggregator must reproduce
+    // the window formulation bit for bit
+    "q71_topk_udaf" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, l_partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        |  FROM lineitem GROUP BY 1, 2),
+        | rk AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey ORDER BY r DESC, l_partkey) AS rk FROM rev)
+        |SELECT l_suppkey, l_partkey, CAST(r AS DOUBLE) AS revenue, CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 3""".stripMargin
   )
 }
