@@ -69,6 +69,26 @@ object DevProfile {
     time("q56 pair gen (cold)")(pairs.count())
     time("q56 cc loop")(
       graft.ops.GraphOps.connectedComponents(pairs).count())
+    // q66 profiling formulations: one-pass Expand multi-distinct vs
+    // per-column two-phase hash aggs (4 scans, each pruned to 1 column)
+    locally {
+      val o = Tables.orders(spark, sfDir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+      time("q66 one-pass expand")(
+        graft.ops.RelationalOps.profileColumns(o, cols).count())
+      time("q66 per-column union")(
+        cols.map { c =>
+          o.groupBy(col(c)).agg(count(lit(1)).as("_cnt"))
+            .agg(count(lit(1)).as("n_distinct"),
+              sum(when(col(c).isNull, col("_cnt")).otherwise(lit(0L))).as("n_null"),
+              min(col(c)).cast("string").as("min_val"),
+              max(col(c)).cast("string").as("max_val"))
+            .select(lit(c).as("col_name"), col("n_null"), col("n_distinct"),
+              col("min_val"), col("max_val"))
+        }.reduce(_ unionByName _).count())
+    }
     // per-round anatomy of the CC loop
     locally {
       val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))

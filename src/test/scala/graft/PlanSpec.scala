@@ -206,11 +206,21 @@ class PlanSpec extends SparkSpec {
       "bucketed-by-construction groups should hash-join, not pay a sort")
   }
 
-  test("q66 profile: one table scan feeding one aggregation (never per-column scans)") {
+  test("q66 profile: per-column pruned scans, hash aggregation, no Expand/sort-agg") {
     val p = plan("q66_profile")
-    // count detail headers "(N) Scan parquet", not the tree rendering
-    val scans = p.linesIterator.count(_.trim.matches("\\(\\d+\\) Scan parquet.*"))
-    assert(scans == 1, s"profile must scan once, saw $scans parquet scans")
+    // one scan per profiled column, each pruned to exactly that column
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.size == 4, s"expected 4 pruned scans, saw ${reads.size}")
+    assert(reads.forall(!_.contains(",")),
+      s"each profile scan must read exactly ONE column:\n${reads.mkString("\n")}")
+    // no Expand row blow-up anywhere; the heavy phase (group rows by
+    // value) must hash-aggregate. The final reduce over the already-
+    // distinct values may legally sort-agg for var-width min/max
+    // buffers (string columns) — that stage's input is the distinct
+    // set, not the table.
+    assert(!p.contains("Expand"),
+      "profile must not Expand rows x columns")
+    assert(p.contains("HashAggregate"), "hash aggregation missing")
   }
 
   test("q62 pivot: conditional aggregation — ONE exchange, not .pivot()'s double agg") {

@@ -107,10 +107,12 @@ class SampleOpsSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
     assert(prof("id") == ((0L, 4L, "1", "4")))
     assert(prof("s") == ((1L, 2L, "a", "b")))
-    // the profile is ONE aggregation pass over the input, not one scan
-    // per column: exactly one parquet/local scan leaf in the plan
-    val scans = RelationalOps.profileColumns(df, Seq("id", "s"))
-      .queryExecution.executedPlan.collectLeaves().size
-    assert(scans == 1, s"profile must scan the table once, saw $scans leaves")
+    // all-null column: distinct must NOT count the null group
+    val allNull = Seq((1L, None: Option[String]), (2L, None))
+      .toDF("id", "s")
+    val p2 = RelationalOps.profileColumns(allNull, Seq("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(p2("s") == ((2L, 0L, null, null)))
   }
 }

@@ -101,6 +101,44 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out.count() === 2) // one row per (fact, interval), no band dups
   }
 
+  test("asofJoin property: equals the brute-force latest-prior lookup on random data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowsGen = for {
+      np <- Gen.choose(1, 25)
+      nb <- Gen.choose(0, 25)
+      probe <- Gen.listOfN(np, for {
+        u <- Gen.choose(1L, 4L); t <- Gen.choose(0L, 50L)
+      } yield (u, t))
+      build <- Gen.listOfN(nb, for {
+        u <- Gen.choose(1L, 4L); t <- Gen.choose(0L, 50L)
+      } yield (u, t))
+    } yield (probe, build)
+    (0 until 8).foreach { i =>
+      val (p, b) = rowsGen.pureApply(Gen.Parameters.default, Seed(19L + i))
+      val probe = p.zipWithIndex.map { case ((u, t), j) =>
+        (u, ts("2024-01-01 00:00:00").toInstant.plusSeconds(t * 60), j.toLong)
+      }.map { case (u, inst, id) => (u, java.sql.Timestamp.from(inst), id) }
+        .toDF("user_id", "ts", "probe_id")
+      val build = b.zipWithIndex.map { case ((u, t), j) =>
+        (u, java.sql.Timestamp.from(
+          ts("2024-01-01 00:00:00").toInstant.plusSeconds(t * 60)), j.toLong)
+      }.toDF("user_id", "ts", "payload_id")
+      val got = TemporalOps.asofJoin(probe, build, Seq("user_id"), "ts", "ts",
+          payloadCols = Seq("payload_id"), tieBreak = Seq("payload_id"))
+        .select("probe_id", "payload_id")
+        .as[(Long, Option[Long])].collect().toMap
+      // brute-force reference: latest prior build row, ties -> max id
+      val buildRows = b.zipWithIndex.map { case ((u, t), j) => (u, t, j.toLong) }
+      p.zipWithIndex.foreach { case ((u, t), j) =>
+        val expect = buildRows.filter(r => r._1 == u && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+        assert(got(j.toLong) === expect,
+          s"case $i probe $j (user=$u,t=$t): got ${got(j.toLong)}, want $expect")
+      }
+    }
+  }
+
   test("changeHistory collapses runs into validity intervals with open current row") {
     val events = Seq(
       (1L, ts("2024-01-01 09:00:00"), 1L, "a"),
