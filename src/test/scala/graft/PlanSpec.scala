@@ -223,6 +223,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "hash aggregation missing")
   }
 
+  test("q67 sorted layout: the bounded read-back pushes the date filter to the scan") {
+    val p = plan("q67_sorted_layout")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("l_shipdate"),
+      s"date bound must reach the sorted-layout scan (row-group pruning): $pushed")
+  }
+
   test("q62 pivot: conditional aggregation — ONE exchange, not .pivot()'s double agg") {
     val p = plan("q62_pivot")
     val exchanges = p.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange.*"))
