@@ -108,4 +108,29 @@ object MultimodalOps {
       }
       .toDF()
   }
+
+  /** Per-record binary-file EXPORT: one file per row, written
+    * executor-parallel inside foreachPartition — the asset-export half
+    * of the multimodal tier (model-eval sample dumps, thumbnail spills,
+    * per-document artifacts). No driver involvement and no collect:
+    * each partition writes its own rows. Sandbox note: java.nio against
+    * the local filesystem; a cluster deployment swaps in the Hadoop
+    * `FileSystem` API (same per-partition lifecycle) to target an
+    * object store. The read side of this round trip is Spark's
+    * built-in `binaryFile` source — together they close the raw-file
+    * leg of the storage matrix (q72 grades the round trip through the
+    * DuckDB `read_blob` oracle).
+    */
+  def writeBinaryFiles(df: DataFrame, nameCol: String, payloadCol: String,
+                       dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col(nameCol).cast("string"), col(payloadCol).cast("binary"))
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, r.getString(0)),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+  }
 }

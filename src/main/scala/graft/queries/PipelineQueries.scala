@@ -164,6 +164,29 @@ object PipelineQueries {
           }
         }
         .toDF("l_suppkey", "l_partkey", "revenue", "rk")
+    }),
+
+    // Raw binary FILES round trip — the ingest shape a real multimodal
+    // corpus actually has (a directory of image/audio files, not
+    // parquet-embedded blobs): per-record executor-parallel file
+    // export, then Spark's built-in `binaryFile` source reads the
+    // directory back as (path, length, content) rows. The oracle reads
+    // the SAME files through DuckDB's read_blob — both engines hash
+    // the identical on-disk artifact, so the round trip itself is what
+    // gets graded. Deterministic non-app-scoped dir: contents are a
+    // pure function of the (fixed-size) nation table, so concurrent or
+    // repeated runs converge on identical bytes.
+    "q72_binary_files" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q72_files"
+      graft.ops.MultimodalOps.writeBinaryFiles(
+        Tables.nation(s, d).select(
+          concat(lit("nation_"), col("n_nationkey"), lit(".bin")).as("fname"),
+          encode(col("n_name"), "UTF-8").as("payload")),
+        "fname", "payload", dir)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("length").as("n_bytes"),
+          decode(col("content"), "UTF-8").as("text"))
     })
   )
 
@@ -257,6 +280,11 @@ object PipelineQueries {
         |  FROM lineitem GROUP BY 1, 2),
         | rk AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey ORDER BY r DESC, l_partkey) AS rk FROM rev)
         |SELECT l_suppkey, l_partkey, CAST(r AS DOUBLE) AS revenue, CAST(rk AS BIGINT) AS rk
-        |FROM rk WHERE rk <= 3""".stripMargin
+        |FROM rk WHERE rk <= 3""".stripMargin,
+    "q72_binary_files" ->
+      s"""SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+         | CAST(size AS BIGINT) AS n_bytes,
+         | decode(content) AS text
+         |FROM read_blob('${System.getProperty("java.io.tmpdir")}/graft_q72_files/*.bin')""".stripMargin
   )
 }
