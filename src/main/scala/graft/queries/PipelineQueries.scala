@@ -187,6 +187,61 @@ object PipelineQueries {
         .select(element_at(split(col("path"), "/"), -1).as("file_name"),
           col("length").as("n_bytes"),
           decode(col("content"), "UTF-8").as("text"))
+    }),
+
+    // FULL OUTER join — the year-over-year comparison that must keep
+    // BOTH unmatched sides (customers active only in 1995 AND only in
+    // 1996), the join type q59's set ops deliberately discard detail
+    // from. Spark plans full-outer as one sort-merge join on the key;
+    // coalesce over the two key columns restores a total key.
+    "q73_full_outer" -> ((s, d) => {
+      def yearly(y: Int) = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit(f"$y%d-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit(f"${y + 1}%d-01-01 00:00:00")))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(s"n_$y"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as(s"amt_$y"))
+      yearly(1995).withColumnRenamed("o_custkey", "k95")
+        .join(yearly(1996).withColumnRenamed("o_custkey", "k96"),
+          col("k95") === col("k96"), "full_outer")
+        .select(coalesce(col("k95"), col("k96")).as("o_custkey"),
+          coalesce(col("n_1995"), lit(0L)).as("n_1995"),
+          coalesce(col("amt_1995"), lit(0.0)).as("amt_1995"),
+          coalesce(col("n_1996"), lit(0L)).as("n_1996"),
+          coalesce(col("amt_1996"), lit(0.0)).as("amt_1996"))
+    }),
+
+    // Moment statistics — avg / stddev / correlation per group, every
+    // value DERIVED from exact decimal moment sums with the explicit
+    // closed-form formulas (sqrt((Σx² − (Σx)²/n)/(n−1)) etc.) instead
+    // of the engines' stddev/corr aggregates. Two reasons: (a) native
+    // float aggregates accumulate in summation order, so their last
+    // bits differ across engines AND across partition counts — not
+    // hash-gradable, not reproducible; (b) moment sums are one
+    // map-side-combinable pass at any scale, and the arithmetic after
+    // the agg is a handful of scalar ops. Exactness discipline: all
+    // moments are DECIMAL sums (order-independent), divisions happen
+    // once, at the end, in double.
+    "q74_moment_stats" -> ((s, d) => {
+      val q = col("l_quantity").cast("decimal(18,2)")
+      val p = col("l_extendedprice").cast("decimal(18,2)")
+      val m = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(q).as("_sq"), sum(p).as("_sp"),
+          sum((q * q).cast("decimal(28,4)")).as("_sqq"),
+          sum((p * p).cast("decimal(28,4)")).as("_spp"),
+          sum((q * p).cast("decimal(28,4)")).as("_sqp"))
+      val n = col("n").cast("double")
+      val (sq, sp, sqq, spp, sqp) = (col("_sq").cast("double"),
+        col("_sp").cast("double"), col("_sqq").cast("double"),
+        col("_spp").cast("double"), col("_sqp").cast("double"))
+      m.select(col("l_returnflag"), col("n"),
+        round(sq / n, 6).as("avg_qty"),
+        round(sqrt((sqq - sq * sq / n) / (n - lit(1.0))), 6).as("sd_qty"),
+        round((sqp - sq * sp / n) /
+          (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n)), 6)
+          .as("corr_qty_price"))
     })
   )
 
@@ -285,6 +340,39 @@ object PipelineQueries {
       s"""SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
          | CAST(size AS BIGINT) AS n_bytes,
          | decode(content) AS text
-         |FROM read_blob('${System.getProperty("java.io.tmpdir")}/graft_q72_files/*.bin')""".stripMargin
+         |FROM read_blob('${System.getProperty("java.io.tmpdir")}/graft_q72_files/*.bin')""".stripMargin,
+    "q73_full_outer" ->
+      """WITH y95 AS (
+        |  SELECT o_custkey, count(*) AS n_1995,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_1995
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00' GROUP BY 1),
+        | y96 AS (
+        |  SELECT o_custkey, count(*) AS n_1996,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_1996
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1)
+        |SELECT coalesce(y95.o_custkey, y96.o_custkey) AS o_custkey,
+        |  coalesce(n_1995, 0) AS n_1995, coalesce(amt_1995, 0.0) AS amt_1995,
+        |  coalesce(n_1996, 0) AS n_1996, coalesce(amt_1996, 0.0) AS amt_1996
+        |FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey""".stripMargin,
+    "q74_moment_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sqq,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS spp,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sqp
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_qty,
+        |  round(sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS sd_qty,
+        |  round((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE)/CAST(n AS DOUBLE)) /
+        |        (sqrt(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/CAST(n AS DOUBLE)) *
+        |         sqrt(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)/CAST(n AS DOUBLE))), 6) AS corr_qty_price
+        |FROM m""".stripMargin
   )
 }
