@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{RelationalOps, SampleOps, TemporalOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** q63–q68: the training-data pipeline tier around the corpus ops —
@@ -242,6 +243,45 @@ object PipelineQueries {
         round((sqp - sq * sp / n) /
           (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n)), 6)
           .as("corr_qty_price"))
+    }),
+
+    // Deterministic sequence packing — assign docs to fixed-budget
+    // training sequences (4096 tokens) WITHOUT cross-partition greedy
+    // state: within each power-of-two length bucket (q64), docs pack
+    // in doc_id order by running-token-count division. The window
+    // partitions by bucket, so packing parallelizes across buckets
+    // (at 100 TB you additionally salt each bucket into id sub-ranges
+    // — same math, narrower windows). A doc longer than the budget
+    // gets its own pack (the floor division does this naturally).
+    // First-fit greedy packs ~few % tighter but is order- and
+    // partitioning-dependent — not reproducible, so not shippable for
+    // training-set builds.
+    "q75_sequence_packing" -> ((s, d) => {
+      val budget = 4096L
+      val w = Window.partitionBy(col("len_bucket")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("len_bucket", length(bin(col("n_tokens"))) - 1)
+        .withColumn("_cum", sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("doc_id"), col("n_tokens"), col("len_bucket"),
+          // explicit floor: Column./ is double division, and a bare
+          // cast would TRUNCATE in Spark but ROUND in DuckDB
+          floor((col("_cum") - col("n_tokens")) / budget).cast("long")
+            .as("pack_id"))
+    }),
+
+    // Per-language quality deciles — the curriculum/filtering binning
+    // step: ntile(10) over a deterministic quality ordering (doc
+    // length with doc_id tiebreak) within each language. Windows
+    // partition by language, so the sort parallelizes per stratum.
+    "q76_quality_deciles" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
     })
   )
 
@@ -373,6 +413,20 @@ object PipelineQueries {
         |  round((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE)/CAST(n AS DOUBLE)) /
         |        (sqrt(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/CAST(n AS DOUBLE)) *
         |         sqrt(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)/CAST(n AS DOUBLE))), 6) AS corr_qty_price
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "q75_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | b AS (SELECT *, CAST(len(bin(n_tokens)) - 1 AS INT) AS len_bucket FROM t),
+        | c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY len_bucket ORDER BY doc_id
+        |                                     ROWS UNBOUNDED PRECEDING) AS cum FROM b)
+        |SELECT doc_id, n_tokens, len_bucket,
+        |       CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS pack_id
+        |FROM c""".stripMargin,
+    "q76_quality_deciles" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+        |FROM documents""".stripMargin
   )
 }
