@@ -28,19 +28,25 @@ object SampleOps {
   /** floor(2^32 / golden ratio) — Knuth's multiplicative constant. */
   private val Phi = 2654435761L
   private val M32 = 4294967296L // 2^32
+  private val M31 = 2147483648L // 2^31 — key domain after the fold
 
   /** Deterministic bucket in [0, buckets): multiplicative hash using
     * the product's high bits within the 32-bit window (low bits of a
     * multiplicative hash are weakly mixed; the high-bit slice is the
-    * textbook formulation). Keys must be non-negative and < 2^31 so
-    * the product stays far below 2^63 — true for every generated id
-    * column, and cheap for a caller to guarantee with a prior pmod.
+    * textbook formulation). The key first folds into [0, 2^31) with a
+    * positive mod, so ANY long key is safe: without the fold, keys
+    * ≥ ~3.47e9 overflow `key * Phi` past 2^63 and wrap NEGATIVE,
+    * which would silently dump every such row into the first split —
+    * the exact leak this operator exists to prevent. A NULL key
+    * yields a NULL bucket (and a null split / dropped sample row
+    * downstream) — callers must key on a non-null id.
     */
   def bucket(key: Column, buckets: Int): Column =
     // ... * buckets / 2^32, with the division as a SHIFT: Column./ is
     // double division in Spark, and this must stay exact 64-bit
     // integer arithmetic end to end
-    shiftright((key.cast("long") * Phi % M32) * buckets.toLong, 32)
+    shiftright((pmod(key.cast("long"), lit(M31)) * Phi % M32) *
+      buckets.toLong, 32)
 
   /** Assign each row to a named split by cumulative percentage, e.g.
     * `Seq("train" -> 80, "val" -> 10, "test" -> 10)` (must sum to

@@ -61,6 +61,10 @@ class LatestWinsRule extends Rule[LogicalPlan] {
           w.orderSpec.nonEmpty &&
           w.orderSpec.forall(s => s.direction == Ascending &&
             s.child.deterministic && !s.child.nullable) &&
+          // a GLOBAL window (empty partitionSpec) must NOT rewrite: an
+          // ungrouped aggregate emits one (all-null) row on empty
+          // input where the window+filter form emits zero rows
+          w.partitionSpec.nonEmpty &&
           w.partitionSpec.forall(_.isInstanceOf[AttributeReference]) &&
           w.partitionSpec.forall(p => w.child.outputSet.contains(
             p.asInstanceOf[AttributeReference])) =>

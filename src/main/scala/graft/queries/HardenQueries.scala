@@ -87,7 +87,7 @@ object HardenQueries {
     // directly; any duplication or partial commit breaks the hash.
     "q52_dsv2_sink_upsert" -> ((s, d) => {
       val table = "mart_" + s.sparkContext.applicationId + "_" +
-        math.abs(d.hashCode).toString
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
       val daily = Tables.orders(s, d)
         .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("day"))
         .agg(sumMoney(col("o_totalprice")).as("amt"), count(lit(1)).as("n"))
@@ -152,7 +152,7 @@ object HardenQueries {
       val props = new java.util.Properties()
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       props.setProperty("batchsize", "10000")
-      val table = "mart_jdbc_" + math.abs(d.hashCode).toString
+      val table = "mart_jdbc_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
       val daily = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(sumMoney(col("o_totalprice")).as("amt"), count(lit(1)).as("n"))
@@ -184,7 +184,7 @@ object HardenQueries {
     // state behaves.
     "q56_neardup_components" -> ((s, d) => {
       val ppath = s"${System.getProperty("java.io.tmpdir")}/graft_pairs_" +
-        s.sparkContext.applicationId + "_" + math.abs(d.hashCode).toString
+        s.sparkContext.applicationId + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
       if (!new java.io.File(s"$ppath/_SUCCESS").exists()) {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
         val corpus = docs.unionByName(

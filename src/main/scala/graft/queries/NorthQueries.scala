@@ -280,7 +280,7 @@ object NorthQueries {
       // (PlanSpec-asserted) — at 100 TB the query scans nprobe cells
       // plus a |cells|-row centroid table, nothing else.
       val cpath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
-        s.sparkContext.applicationId + "_" + math.abs(d.hashCode).toString
+        s.sparkContext.applicationId + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
       // gate on the _SUCCESS marker, not bare directory existence: a
       // crashed prior write leaves a partial parquet dir that would
       // pass an exists() check and silently serve incomplete centroids

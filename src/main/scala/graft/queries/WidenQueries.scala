@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.TemporalOps
-import graft.ops.RelationalOps.sumMoney
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 

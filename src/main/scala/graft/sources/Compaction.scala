@@ -26,7 +26,10 @@ object Compaction {
 
   /** Rewrite `inPath` (parquet) into `outPath` with evenly-sized
     * files near `targetFileBytes`. Returns the number of files
-    * written.
+    * ACTUALLY written — counted from the output listing, because
+    * `repartition(n)` writes no file for an empty partition, so when
+    * the row count is below the byte-derived partition count the
+    * written-file count is smaller than n.
     */
   def compactParquet(spark: SparkSession, inPath: String, outPath: String,
                      targetFileBytes: Long): Int = {
@@ -37,6 +40,7 @@ object Compaction {
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     spark.read.parquet(inPath).repartition(n)
       .write.mode("overwrite").parquet(outPath)
-    n
+    fs.listStatus(new Path(outPath))
+      .count(s => s.getPath.getName.endsWith(".parquet"))
   }
 }

@@ -99,14 +99,17 @@ object StreamingOps {
     * attribution is needed.
     */
   def attributionJoin(purchases: DataFrame, clicks: DataFrame,
-                      keyCol: String, horizon: String,
-                      delay: String): DataFrame = {
-    val p = purchases.withWatermark("p_ts", delay)
-    val c = clicks.withWatermark("c_ts", delay)
+                      keyCol: String, pTsCol: String, cTsCol: String,
+                      horizon: String, delay: String): DataFrame = {
+    require(pTsCol != cTsCol,
+      "the two sides' timestamp columns must be named distinctly " +
+        "(they both survive into the joined output)")
+    val p = purchases.withWatermark(pTsCol, delay)
+    val c = clicks.withWatermark(cTsCol, delay)
     p.join(c,
       p(keyCol) === c(keyCol) &&
-        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon") &&
-        col("c_ts") <= col("p_ts"),
+        col(cTsCol) >= col(pTsCol) - expr(s"INTERVAL $horizon") &&
+        col(cTsCol) <= col(pTsCol),
       "leftOuter")
       .drop(c(keyCol))
   }

@@ -57,6 +57,23 @@ class LatestWinsRuleSpec extends SparkSpec {
     assert(out.select("v").as[String].collect().toSeq === Seq("y"))
   }
 
+  test("global windows (no partitionBy) are untouched — empty-input semantics differ") {
+    // parquet-backed so the filter's emptiness is a RUNTIME fact the
+    // optimizer cannot fold away (a literal Seq would collapse to an
+    // empty LocalTableScan before the rule even sees a Window)
+    val df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .select(col("n_nationkey").as("ord"), col("n_name").as("v"))
+      .filter(col("ord") > 1000)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ord"))
+    val out = df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    assert(out.queryExecution.executedPlan.toString.contains("Window"),
+      "rule must NOT fire on a global window")
+    // the bug this guards: an ungrouped min_by aggregate would emit
+    // one all-null row here instead of zero rows
+    assert(out.count() === 0)
+  }
+
   test("rank-k windows (k>1) are untouched") {
     val df = Seq((1L, 1, "a"), (1L, 2, "b"), (1L, 3, "c")).toDF("k", "ord", "v")
     val w = org.apache.spark.sql.expressions.Window

@@ -97,6 +97,21 @@ class SampleOpsSpec extends SparkSpec {
     }
   }
 
+  test("bucket domain: huge and negative keys stay in [0, buckets) — no overflow wrap") {
+    import spark.implicits._
+    val extremes = Seq(0L, 1L, Long.MaxValue, Long.MaxValue - 1,
+      3474749660L /* first key that would overflow key*Phi */,
+      -1L, Long.MinValue).toDF("doc_id")
+    val b = extremes.select(SampleOps.bucket(col("doc_id"), 100).as("b"))
+      .as[Long].collect()
+    assert(b.forall(x => x >= 0 && x < 100),
+      s"bucket escaped [0,100): ${b.mkString(",")}")
+    // and the split stays total over the same extremes
+    val s = SampleOps.hashSplit(extremes, "doc_id", "split",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(s.filter(col("split").isNull).count() == 0)
+  }
+
   test("profileColumns: one row per column with exact null/distinct/min/max") {
     import spark.implicits._
     val df = Seq(

@@ -94,7 +94,7 @@ class StreamingSpec extends SparkSpec {
     val purchases = pMem.toDF().toDF("user_id", "p_ts", "purchase_id")
     val clicks = cMem.toDF().toDF("user_id", "c_ts", "click_id")
     val out = StreamingOps.attributionJoin(purchases, clicks,
-      "user_id", "30 minutes", "10 minutes")
+      "user_id", "p_ts", "c_ts", "30 minutes", "10 minutes")
     val q = out.writeStream.format("memory").queryName("attr_test")
       .outputMode("append").start()
     try {
