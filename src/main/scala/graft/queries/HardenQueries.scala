@@ -86,8 +86,8 @@ object HardenQueries {
     // or-INSERT ⇒ idempotent re-runs). The oracle computes the agg
     // directly; any duplication or partial commit breaks the hash.
     "q52_dsv2_sink_upsert" -> ((s, d) => {
-      val table = "mart_" + s.sparkContext.applicationId + "_" +
-        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val table = ("mart_" + s.sparkContext.applicationId + "_" + d)
+        .replaceAll("[^A-Za-z0-9_]", "_")
       val daily = Tables.orders(s, d)
         .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("day"))
         .agg(sumMoney(col("o_totalprice")).as("amt"), count(lit(1)).as("n"))
@@ -152,7 +152,7 @@ object HardenQueries {
       val props = new java.util.Properties()
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       props.setProperty("batchsize", "10000")
-      val table = "mart_jdbc_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val table = ("mart_jdbc_" + d).replaceAll("[^A-Za-z0-9_]", "_")
       val daily = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(sumMoney(col("o_totalprice")).as("amt"), count(lit(1)).as("n"))
