@@ -82,6 +82,28 @@ object WidenQueries {
         .unionByName(b.except(a).withColumn("tag", lit("only_1996")))
     }),
 
+    // The SAME range-join semantics through the big–big BANDED flavor
+    // (both sides keyed to fixed-width day buckets; facts land in
+    // exactly one bucket → no post-join dedup) — graded against the
+    // identical oracle as q58, so the two physical strategies are
+    // certified interchangeable. This is the plan that survives when
+    // the interval side outgrows a broadcast.
+    "q77_range_join_banded" -> ((s, d) => {
+      val periods = s.range(0, 28).toDF("period_id")
+        .withColumn("p_start",
+          date_add(to_date(lit("1995-01-01")), (col("period_id") * 90).cast("int")))
+        .withColumn("p_end",
+          date_add(to_date(lit("1995-01-01")), (col("period_id") * 90 + 180).cast("int")))
+      TemporalOps.rangeJoinBanded(
+          Tables.lineitem(s, d)
+            .select(col("l_shipdate"),
+              (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("_rev")),
+          periods, "l_shipdate", "p_start", "p_end", bandDays = 90)
+        .groupBy(col("period_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("_rev").cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
     // Approximate percentile (GK sketch) with a tolerance certificate
     // — the quantile twin of q28's HLL certificate. Exact percentiles
     // (q42) shuffle every value per group; the sketch is
@@ -135,6 +157,17 @@ object WidenQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
     "q58_range_join" ->
+      """WITH periods AS (
+        |  SELECT CAST(i AS BIGINT) AS period_id,
+        |         DATE '1995-01-01' + CAST(i*90 AS INT) AS p_start,
+        |         DATE '1995-01-01' + CAST(i*90 + 180 AS INT) AS p_end
+        |  FROM range(0, 28) t(i))
+        |SELECT period_id, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM periods p JOIN lineitem l
+        |  ON l.l_shipdate >= p.p_start AND l.l_shipdate < p.p_end
+        |GROUP BY 1""".stripMargin,
+    "q77_range_join_banded" ->
       """WITH periods AS (
         |  SELECT CAST(i AS BIGINT) AS period_id,
         |         DATE '1995-01-01' + CAST(i*90 AS INT) AS p_start,

@@ -76,8 +76,11 @@ object DevProfile {
         col("o_custkey"), col("o_orderstatus"),
         col("o_orderdate").cast("date").as("o_orderdate"))
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
-      time("q66 one-pass expand")(
+      time("q66 profileColumns")(
         graft.ops.RelationalOps.profileColumns(o, cols).count())
+      // the inlined per-column formulation profileColumns now ships
+      // (kept as the measured round-6 A/B reference: the one-pass
+      // Expand multi-distinct it replaced measured 2.92s vs 0.40s)
       time("q66 per-column union")(
         cols.map { c =>
           o.groupBy(col(c)).agg(count(lit(1)).as("_cnt"))
