@@ -6,9 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** q63–q68: the training-data pipeline tier around the corpus ops —
-  * reproducible splits and samples, batch-packing histograms, corpus
-  * profiling, scan-layout control, and the skew-safe join. These are
+/** q63–q76: the training-data pipeline tier around the corpus ops —
+  * reproducible splits and samples, batch-packing histograms and
+  * sequence packing, corpus profiling and quality binning, scan-layout
+  * control, the skew-safe join, SCD2 dimension history, schema
+  * evolution, the typed-Aggregator top-k, raw binary-file round trips,
+  * full-outer comparisons, and moment-derived statistics. These are
   * the operators a 100-TB pretraining pipeline runs between "dedup the
   * corpus" (q24–q37) and "train": every one is deterministic (re-runs
   * give byte-identical outputs) and every decision is recomputable by

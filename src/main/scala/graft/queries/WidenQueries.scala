@@ -5,12 +5,13 @@ import graft.ops.TemporalOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** q57–q62: round-6 widening — the two temporal join shapes every
-  * event pipeline needs and Spark lacks as built-ins (as-of join,
-  * interval/range join), explicit relational set operations, the ORC
-  * leg of the storage-format matrix beside q43's CSV, the
-  * approximate-percentile sketch with a tolerance certificate, and
-  * long-to-wide pivot.
+/** q57–q62 + q77: round-6 widening — the two temporal join shapes
+  * every event pipeline needs and Spark lacks as built-ins (as-of
+  * join, interval/range join — the latter in BOTH its broadcast and
+  * big–big banded physical flavors, graded against one shared
+  * oracle), explicit relational set operations, the ORC leg of the
+  * storage-format matrix beside q43's CSV, the approximate-percentile
+  * sketch with a tolerance certificate, and long-to-wide pivot.
   */
 object WidenQueries {
   type Q = (SparkSession, String) => DataFrame
