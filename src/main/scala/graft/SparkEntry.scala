@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.RelationalOps._
-import graft.queries.{ExtQueries, HardenQueries, NorthQueries, PipelineQueries, RefQueries, WidenQueries}
+import graft.queries.{DeepQueries, ExtQueries, HardenQueries, NorthQueries, PipelineQueries, RefQueries, WidenQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -79,7 +79,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.queries ++ NorthQueries.queries ++ ExtQueries.queries ++
-      HardenQueries.queries ++ WidenQueries.queries ++ PipelineQueries.queries
+      HardenQueries.queries ++ WidenQueries.queries ++
+      PipelineQueries.queries ++ DeepQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -87,5 +88,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RefQueries.oracle ++ NorthQueries.oracle ++ ExtQueries.oracle ++
-      HardenQueries.oracle ++ WidenQueries.oracle ++ PipelineQueries.oracle
+      HardenQueries.oracle ++ WidenQueries.oracle ++
+      PipelineQueries.oracle ++ DeepQueries.oracle
 }

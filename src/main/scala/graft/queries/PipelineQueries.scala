@@ -151,20 +151,26 @@ object PipelineQueries {
       import org.apache.spark.sql.types.DecimalType
       val price = col("l_extendedprice").cast(DecimalType(18, 2))
       val disc = col("l_discount").cast(DecimalType(18, 2))
+      // Sums stay DECIMAL (order-independent exactness); the cast to
+      // double happens ONCE on the finished per-group sum, where it is
+      // lossless (scale-4 values < 2^53/10^4 — TopKAggregator's
+      // ranking contract) and is the same cast the output column needs
+      // anyway. The typed pipeline then carries only primitive
+      // (Long, Long, Double) rows — no per-row BigDecimal codec.
       val rev = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(sum((price * (lit(1).cast(DecimalType(18, 2)) - disc))
           .cast(DecimalType(18, 4))).as("_rev"))
         .select(col("l_suppkey").as("_1"), col("l_partkey").as("_2"),
-          col("_rev").as("_3"))
-        .as[(Long, Long, BigDecimal)]
+          col("_rev").cast("double").as("_3"))
+        .as[(Long, Long, Double)]
       val top3 = new graft.ops.TopKAggregator.TopK(3)
       rev.groupByKey(_._1)
         .mapValues(r => (r._3, r._2))
         .agg(top3.toColumn)
         .flatMap { case (supp, entries) =>
           entries.zipWithIndex.map { case ((v, part), i) =>
-            (supp, part, v.doubleValue, (i + 1).toLong)
+            (supp, part, v, (i + 1).toLong)
           }
         }
         .toDF("l_suppkey", "l_partkey", "revenue", "rk")

@@ -4,7 +4,7 @@ import graft.ops.TopKAggregator.TopK
 
 class TopKAggregatorSpec extends SparkSpec {
 
-  private def e(v: Int, t: Long) = (BigDecimal(v), t)
+  private def e(v: Int, t: Long) = (v.toDouble, t)
 
   test("reduce keeps the k best by (value desc, tiebreak asc)") {
     val agg = new TopK(3)
