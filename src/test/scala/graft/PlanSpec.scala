@@ -244,6 +244,48 @@ class PlanSpec extends SparkSpec {
       s"change history must partition once on the key, saw $exchanges exchanges")
   }
 
+  test("q79 funnel: windows and per-user collapse share ONE user_id exchange") {
+    val p = plan("q79_funnel")
+    val exchanges = p.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange.*"))
+    // one hash exchange on user_id + the single-partition exchange for
+    // the final global count — never one per window stage
+    assert(exchanges <= 2,
+      s"funnel must reuse one user_id partitioning across all 3 windows, saw $exchanges exchanges")
+    // one Sort (the window exec's partition-key clustering) — not one
+    // per window stage
+    val sorts = p.linesIterator.count(_.trim.matches("\\(\\d+\\) Sort.*"))
+    assert(sorts <= 1, s"chained windows must share one sort, saw $sorts")
+  }
+
+  test("q78 BM25: corpus stats broadcast; probe never cartesian with the index") {
+    val p = plan("q78_bm25")
+    assert(p.contains("BroadcastHashJoin"), "df table should broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "per-term probe must stay an equi-join")
+  }
+
+  test("q84 edit-distance verify: blocked equi-join, not an all-pairs product") {
+    val p = plan("q84_editdist_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must join on the (length-band) block key")
+  }
+
+  test("q83 heavy hitters: top-20 via TakeOrderedAndProject, no global sort") {
+    val p = plan("q83_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      "limit-under-order must not materialize a full sort")
+  }
+
+  test("q80 trailing window: range frame over PRE-AGGREGATED daily rows") {
+    val p = plan("q80_trailing_window")
+    assert(p.contains("RangeFrame"), "7-day frame must be a RANGE frame")
+    // the window's input is the (custkey, day) aggregate, so a partial
+    // aggregation must appear below it — the raw orders scan never
+    // reaches the frame
+    assert(p.contains("HashAggregate"),
+      "daily pre-aggregation missing under the range window")
+  }
+
   test("whole-stage codegen covers the scan→filter→project spine of q02") {
     val p = plan("q02_filter_exclude_store")
     // formatted mode marks codegen stages with a "* " operator prefix;
