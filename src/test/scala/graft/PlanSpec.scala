@@ -286,6 +286,35 @@ class PlanSpec extends SparkSpec {
       "daily pre-aggregation missing under the range window")
   }
 
+  test("q86 PII mask: class audit joins back broadcast; corpus never sort-merge shuffled") {
+    val p = plan("q86_pii_mask")
+    assert(p.contains("BroadcastHashJoin"),
+      "k-anonymity class counts must broadcast back to the corpus")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must not shuffle for the bounded class table")
+  }
+
+  test("q88 decontamination: eval shingle set broadcast — train side never shuffles pre-join") {
+    val p = plan("q88_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "the small eval shingle set must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "train shingles must meet the eval set via broadcast hash, nothing else")
+  }
+
+  test("q89 group split: component labels broadcast onto the corpus projection") {
+    val p = plan("q89_group_split")
+    assert(p.contains("BroadcastHashJoin"),
+      "the duplicate-set-sized component table must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q90 repetition score: pure projection — zero exchanges") {
+    val p = plan("q90_repetition_score")
+    assert(!p.contains("Exchange"),
+      s"per-doc n-gram scoring must not shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project spine of q02") {
     val p = plan("q02_filter_exclude_store")
     // formatted mode marks codegen stages with a "* " operator prefix;
