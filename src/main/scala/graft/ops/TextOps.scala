@@ -191,6 +191,27 @@ object TextOps {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Delta-vs-standing LSH candidates — the INCREMENTAL form of
+    * [[lshCandidates]]: probe one banded table (tonight's new docs)
+    * against another (the standing corpus index) instead of
+    * self-joining the whole corpus. This is the nightly-dedup shape at
+    * 100 TB — the standing index is a maintained artifact; per run the
+    * join touches |delta| band rows, never re-pairs the corpus with
+    * itself. Pass a `broadcast(...)`-hinted delta when it is small
+    * (the common nightly case); with no hint the equi-join
+    * hash-partitions both sides — correct at any delta size. Output:
+    * (id_a from delta, id_b from standing), distinct.
+    */
+  def lshCandidatesAgainst(deltaBanded: DataFrame, standingBanded: DataFrame,
+                           idCol: String): DataFrame = {
+    val a = deltaBanded.select(col("band_idx"), col("band_sig"),
+      col(idCol).as("id_a"))
+    val b = standingBanded.select(col("band_idx"), col("band_sig"),
+      col(idCol).as("id_b"))
+    a.join(b, Seq("band_idx", "band_sig"))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** Deterministic-COMPLETE similarity-join candidates via prefix
     * filtering (the All-Pairs/PPJoin family: Bayardo et al. WWW'07,
     * Xiao et al. WWW'08): fix any global total order on shingles and

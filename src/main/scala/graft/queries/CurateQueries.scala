@@ -154,6 +154,38 @@ object CurateQueries {
         .withColumn("is_repetitive", col("dup_frac") > 0.2)
     }),
 
+    // §2k — INCREMENTAL near-dup detection: tonight's delta probed
+    // against the standing corpus — the nightly form of q29. The
+    // corpus is NEVER re-self-joined: delta docs (planted as appended-
+    // token variants of every 10th doc) minhash into the same 16×2
+    // band space as the standing index, candidates come from a
+    // delta-vs-index bucket join with the small delta side BROADCAST,
+    // and exact Jaccard ≥ 0.8 verifies. Per-night cost is
+    // O(|delta| · bands + collisions) regardless of corpus size — at
+    // 100 TB the standing band index is a maintained artifact (the
+    // q56-pairs/q35-centroid pattern; rebuilt inline here so the
+    // oracle can recompute everything from base tables). Uncapped
+    // buckets (maxBucket = ∞ semantics): recall must be exact for the
+    // oracle, and the delta probe bounds the join fan-out anyway.
+    // Oracle = exhaustive delta×corpus Jaccard — an independent
+    // derivation with no LSH anywhere.
+    "q93_incremental_neardup" -> ((s, d) => {
+      val standing = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val delta = standing.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" graftdelta")).as("text"))
+      def sh(df: DataFrame) = df.select(col("doc_id"),
+        TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh"))
+      val shS = sh(standing).localCheckpoint()
+      val shD = sh(delta).localCheckpoint()
+      def bands(x: DataFrame) = TextOps.lshBands(
+        TextOps.minhashSignatures(x, "doc_id", "sh", 32),
+        "doc_id", "sig", 16, 2)
+      val cands = TextOps.lshCandidatesAgainst(
+        broadcast(bands(shD)), bands(shS), "doc_id")
+      TextOps.jaccardVerify(cands, shS.unionByName(shD), "doc_id", "sh", 4, 5)
+    }),
+
     // §2k — snapshot-diff CDC derivation: two logical snapshots of the
     // per-customer mart (trailing windows as of two run dates) full-
     // outer joined on the key, every key classified added / deleted /
@@ -281,6 +313,24 @@ object CurateQueries {
         |    THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6) > 0.2
         |  END AS is_repetitive
         |FROM g""".stripMargin,
+    "q93_incremental_neardup" ->
+      """WITH shS AS (SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        |   FROM documents WHERE len(string_split(text,' ')) >= 3),
+        | d0 AS (SELECT doc_id + 200000 AS doc_id, text || ' graftdelta' AS text
+        |        FROM documents WHERE doc_id % 10 = 0),
+        | shD AS (SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        |   FROM d0 WHERE len(string_split(text,' ')) >= 3)
+        |SELECT d.doc_id AS id_a, s.doc_id AS id_b,
+        |  CAST(len(list_intersect(d.sh, s.sh)) AS INT) AS n_inter,
+        |  CAST(len(d.sh) + len(s.sh) - len(list_intersect(d.sh, s.sh)) AS INT)
+        |    AS n_union
+        |FROM shD d JOIN shS s
+        |  ON len(list_intersect(d.sh, s.sh)) * 5 >=
+        |     (len(d.sh) + len(s.sh) - len(list_intersect(d.sh, s.sh))) * 4""".stripMargin,
     "q91_snapshot_cdc" ->
       """WITH a AS (SELECT o_custkey, count(*) AS n_a,
         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS amt_a

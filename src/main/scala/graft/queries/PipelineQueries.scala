@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{RelationalOps, SampleOps, TemporalOps}
+import graft.ops.{LayoutOps, RelationalOps, SampleOps, TemporalOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -90,6 +90,35 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
+    // §2k — Z-ORDER (Morton) clustered layout: the MULTI-dimensional
+    // sibling of q67. Bit-interleaving (custkey, day-ordinal) into one
+    // sort key keeps row groups narrow in BOTH dimensions, so the
+    // read-back's two-sided predicate prunes on parquet min/max stats
+    // for either column — what a 1-D sort gives only its leading key.
+    // Graded on the round trip (layout must never change results);
+    // PlanSpec asserts both predicates reach the scan. At 100 TB this
+    // is OPTIMIZE ZORDER done with a plain repartitionByRange+sort
+    // write — no table format required.
+    "q92_zorder_layout" -> ((s, d) => {
+      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q92_" +
+        s.sparkContext.applicationId
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("day"), col("o_totalprice"))
+        .withColumn("_z", LayoutOps.mortonCode(col("o_custkey"),
+          datediff(col("day"), to_date(lit("1992-01-01"))), 16))
+        .repartitionByRange(8, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z")
+        .write.mode("overwrite").parquet(sink)
+      s.read.parquet(sink)
+        .filter(col("o_custkey") >= 100 && col("o_custkey") < 300 &&
+          col("day") >= to_date(lit("1995-01-01")) &&
+          col("day") < to_date(lit("1995-07-01")))
+        .select(col("o_orderkey"), col("o_custkey"), col("day"),
+          col("o_totalprice").cast("double").as("total"))
     }),
 
     // Skew-safe salted join (the join-side twin of q44's salted agg):
@@ -348,6 +377,13 @@ object PipelineQueries {
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
         |GROUP BY 1""".stripMargin,
+    "q92_zorder_layout" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS day,
+        | CAST(o_totalprice AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_custkey >= 100 AND o_custkey < 300
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        |  AND CAST(o_orderdate AS DATE) <  DATE '1995-07-01'""".stripMargin,
     "q68_salted_join" ->
       """SELECT s_nationkey, count(*) AS n,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

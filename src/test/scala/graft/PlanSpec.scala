@@ -315,6 +315,21 @@ class PlanSpec extends SparkSpec {
       s"per-doc n-gram scoring must not shuffle:\n$p")
   }
 
+  test("q92 z-order read-back: BOTH dimension predicates pushed to the scan") {
+    val p = plan("q92_zorder_layout")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("o_custkey") && pushed.contains("day"),
+      s"both z-order dimensions must prune at the scan: $pushed")
+  }
+
+  test("q93 incremental near-dup: delta bands broadcast onto the standing index") {
+    val p = plan("q93_incremental_neardup")
+    assert(p.contains("BroadcastHashJoin"),
+      "the delta probe must broadcast against the standing band index")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "incremental dedup must never pair the corpus all-pairs")
+  }
+
   test("whole-stage codegen covers the scan→filter→project spine of q02") {
     val p = plan("q02_filter_exclude_store")
     // formatted mode marks codegen stages with a "* " operator prefix;

@@ -171,6 +171,36 @@ class TextOpsSpec extends SparkSpec {
       f"q29 gate at risk: worst per-pair band-miss probability $worstMiss%.2e")
   }
 
+  test("lshCandidatesAgainst: delta probe finds its standing sources, never delta-delta pairs") {
+    import spark.implicits._
+    val standing = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val delta = standing.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" graftdelta")).as("text"))
+    def bands(df: org.apache.spark.sql.DataFrame) = TextOps.lshBands(
+      TextOps.minhashSignatures(
+        df.select(col("doc_id"),
+          TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh")),
+        "doc_id", "sh", 32),
+      "doc_id", "sig", 16, 2)
+    val cands = TextOps.lshCandidatesAgainst(
+      bands(delta), bands(standing), "doc_id")
+      .as[(Long, Long)].collect()
+    // orientation: id_a always from the delta side, id_b standing
+    assert(cands.nonEmpty)
+    assert(cands.forall { case (a, b) => a >= 200000L && b < 200000L })
+    // every delta doc's source must surface as a candidate (J >> band
+    // threshold: one appended token on ≥10-token docs)
+    val found = cands.map { case (a, b) => (a, b) }.toSet
+    val expected = standing.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).as[Long].collect()
+      .map(i => (i + 200000L, i)).toSet
+    assert((expected -- found).isEmpty,
+      s"missed sources: ${(expected -- found).take(5)}")
+  }
+
   test("lshCandidates: hot buckets above the cap are dropped, normal buckets kept") {
     // a boilerplate bucket with 80 docs (quadratic: 3160 pairs) plus a
     // genuine near-dup pair in its own bucket; the near-dup pair also
