@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.RelationalOps._
-import graft.queries.{CurateQueries, DeepQueries, ExtQueries, HardenQueries, NorthQueries, PipelineQueries, RefQueries, WidenQueries}
+import graft.queries.{CurateQueries, DeepQueries, ExtQueries, HardenQueries, NorthQueries, PipelineQueries, RefQueries, ServeQueries, WidenQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -80,7 +80,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.queries ++ NorthQueries.queries ++ ExtQueries.queries ++
       HardenQueries.queries ++ WidenQueries.queries ++
-      PipelineQueries.queries ++ DeepQueries.queries ++ CurateQueries.queries
+      PipelineQueries.queries ++ DeepQueries.queries ++ CurateQueries.queries ++
+      ServeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -89,5 +90,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RefQueries.oracle ++ NorthQueries.oracle ++ ExtQueries.oracle ++
       HardenQueries.oracle ++ WidenQueries.oracle ++
-      PipelineQueries.oracle ++ DeepQueries.oracle ++ CurateQueries.oracle
+      PipelineQueries.oracle ++ DeepQueries.oracle ++ CurateQueries.oracle ++
+      ServeQueries.oracle
 }

@@ -159,4 +159,46 @@ object TemporalOps {
         lead(col("valid_from"), 1).over(wOut).as("valid_to"))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Trailing-window attribution by typed cogroup: for every key,
+    * merge a target stream (clicks) against a source stream (views)
+    * in time order and count targets with a source in the trailing
+    * `windowMicros` (inclusive at both ends: a view AT the click
+    * instant attributes, and so does one exactly `windowMicros`
+    * before).
+    *
+    * Why cogroup and not a join: the join formulation pairs every
+    * target with every earlier source per key before collapsing —
+    * |sources|×|targets| intermediate rows (the oracle does exactly
+    * that as its independent derivation). Cogroup ships each side
+    * through ONE co-partitioned exchange on the key and walks both
+    * sorted arrays with a two-pointer — O(n log n) per key for the
+    * sorts, O(n) for the merge, zero pair materialization. Timestamps
+    * travel as micros longs so the hot loop compares primitives.
+    *
+    * Keys with no targets emit nothing; targets with no sources count
+    * as unattributed. Per-key memory is the key's own event count —
+    * the same bound as any window over the key, not a pair blow-up.
+    */
+  def trailingAttribution(sources: org.apache.spark.sql.Dataset[(Long, Long)],
+                          targets: org.apache.spark.sql.Dataset[(Long, Long)],
+                          windowMicros: Long): DataFrame = {
+    val spark = sources.sparkSession
+    import spark.implicits._
+    sources.groupByKey(_._1).cogroup(targets.groupByKey(_._1)) {
+      (key, srcIt, tgtIt) =>
+        val ts = tgtIt.map(_._2).toArray
+        if (ts.isEmpty) Iterator.empty
+        else {
+          val ss = srcIt.map(_._2).toArray
+          java.util.Arrays.sort(ss); java.util.Arrays.sort(ts)
+          var i = 0; var attributed = 0L
+          ts.foreach { t =>
+            while (i < ss.length && ss(i) <= t) i += 1
+            if (i > 0 && t - ss(i - 1) <= windowMicros) attributed += 1
+          }
+          Iterator((key, ts.length.toLong, attributed))
+        }
+    }.toDF("user_id", "n_clicks", "n_attributed")
+  }
 }

@@ -1,0 +1,246 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** q94–q99: round-6 warehouse-serving tier — the multi-table analytic
+  * surface a mart consumer runs against the engine's outputs: a
+  * star-schema join (the reference's store/product dims around the
+  * sales fact, at TPC-H Q5 shape), GROUPING SETS beyond q39's rollup,
+  * wide→long unpivot (the inverse of q62's pivot), mergeable-sketch
+  * rollup (distinct counts maintained incrementally from daily
+  * partials — never rescanning raw events), typed cogroup attribution
+  * (the per-key two-stream merge that joins can't express without a
+  * blow-up), and a dynamic-partition-pruning round trip proving the
+  * fact scan prunes at runtime from a dim filter. Every query is
+  * deterministic and independently re-derived by the DuckDB oracle.
+  */
+object ServeQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact revenue term — q23's money discipline: the product stays
+    * DECIMAL so partial-agg merge order can't drift a float sum, and
+    * the double cast happens once on output.
+    */
+  private def revenue =
+    sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+      .cast("double")
+
+  val queries: Map[String, Q] = Map(
+    // Star-schema join at TPC-H Q5 shape: fact (lineitem) against two
+    // join paths that must MEET (customer's nation == supplier's
+    // nation), restricted to one region and one year. The declared
+    // plan keeps the dims dim-shaped: region/nation broadcast into
+    // customer, the date filter pushes into the orders scan, and
+    // Catalyst/AQE pick shuffle vs broadcast for the customer and
+    // supplier sides by size — at 100 TB customer/supplier shuffle
+    // while nation×region stay broadcast, and the only big exchanges
+    // are the fact's join keys. The region/year literals prune BEFORE
+    // any fact row widens: orders drops ~6/7 of rows at the scan, so
+    // the lineitem join is against the pruned year, not history.
+    "q94_star_join" -> ((s, d) => {
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(revenue.as("revenue"))
+    }),
+
+    // Typed cogroup attribution: per user, merge the view stream and
+    // the click stream in time order and flag clicks with a view in
+    // the trailing 30 minutes. A join formulation explodes to
+    // |views|×|clicks| rows per user before collapsing (the oracle
+    // does exactly that — feasible only at fixture scale); cogroup
+    // ships each side through ONE user_id exchange and walks both
+    // sorted lists with a two-pointer, O(|views|+|clicks|) per user
+    // and never materializing pairs. Timestamps travel as micros
+    // longs — the merge compares integers, not objects. This is the
+    // batch twin of StreamingOps.attributionJoin's stream-stream
+    // interval join.
+    "q95_cogroup_attrib" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsm"), col("event_type"))
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("tsm")).as[(Long, Long)]
+      graft.ops.TemporalOps.trailingAttribution(
+        side("view"), side("click"), windowMicros = 30L * 60 * 1000000)
+    }),
+
+    // Mergeable-sketch rollup: per-day HLL sketches union into per-week
+    // distinct-user estimates WITHOUT rescanning events — the
+    // incremental form of q28. At 100 TB this is the only viable
+    // nightly distinct-count maintenance: each night builds one day's
+    // sketch from that day's partition; every wider window (week,
+    // month, lifetime) is a cheap union of stored partials, while the
+    // exact recount the oracle performs would rescan the whole corpus.
+    // Weeks are epoch-day integer arithmetic (Monday-based via the
+    // 1970-01-05 anchor), never locale/ISO week-of-year — both engines
+    // restate the same integers. Graded q28-style: exact count plus a
+    // within-tolerance certificate on the estimate (lgK=14 ⇒ ~0.8%
+    // relative error; gate at 5% + small-count slack).
+    "q96_sketch_rollup" -> ((s, d) => {
+      val week = floor(datediff(col("day"), to_date(lit("1970-01-05"))) / 7)
+      val daily = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      val weekly = daily.groupBy(week.cast("long").as("week"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("_est"))
+      val exact = Tables.events(s, d)
+        .groupBy(floor(datediff(to_date(col("ts")), to_date(lit("1970-01-05"))) / 7)
+          .cast("long").as("week"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      weekly.join(exact, "week")
+        .select(col("week"), col("n_users"),
+          (abs(col("_est") - col("n_users")) <=
+            greatest(lit(2L), (col("n_users") * 0.05).cast("long"))).as("within_tol"))
+    }),
+
+    // Wide→long unpivot (melt) — the exact inverse of q62's pivot,
+    // Spark's Dataset.unpivot → Catalyst Expand: each input row fans
+    // to one row per metric inside the operator, no join, no shuffle
+    // beyond the feeding aggregation. Metrics are pre-aggregated
+    // exactly (decimal sums, integral counts) so the melted doubles
+    // are representation-stable across engines.
+    "q97_unpivot" -> ((s, d) => {
+      val wide = Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+        count(lit(1)).cast("double").as("n_rows"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        max(col("l_extendedprice")).cast("double").as("max_price"))
+      wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("n_rows"), col("sum_qty"), col("max_price")),
+        "metric", "value")
+    }),
+
+    // GROUPING SETS beyond q39's linear rollup: two non-nested
+    // single-column groupings plus the grand total in ONE pass —
+    // Expand replicates each row once per set before a single
+    // aggregation, so the fact scans once where three separate
+    // GROUP BYs would scan three times. grouping() flags (cast to a
+    // portable int) disambiguate "NULL because rolled up" from "NULL
+    // in the data" — both engines restate them bit-for-bit.
+    "q98_grouping_sets" -> ((s, d) =>
+      s.sql(
+        s"""SELECT o_orderpriority, om,
+           |       CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+           |       CAST(grouping(om) AS INT) AS g_om,
+           |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+           |       count(*) AS n
+           |FROM (SELECT o_orderpriority,
+           |             date_format(o_orderdate, 'yyyy-MM') AS om,
+           |             o_totalprice
+           |      FROM parquet.`$d/orders.parquet`)
+           |GROUP BY GROUPING SETS ((o_orderpriority), (om), ())""".stripMargin)),
+
+    // Dynamic partition pruning round trip: a month-partitioned fact
+    // joined to a dim filtered on a NON-partition attribute (quarter).
+    // The partition list is unknowable at plan time — it exists only
+    // in the dim — so static pruning can't help; Spark's DPP instead
+    // broadcasts the filtered dim, derives the surviving months at
+    // RUNTIME, and injects them into the fact scan's partition
+    // filters (PlanSpec asserts the dynamicpruning expression). At
+    // 100 TB this is the difference between scanning 3 directories
+    // and scanning 84: the fact never reads a partition the dim
+    // filter excluded. Write discipline matches q41 (repartition by
+    // the partition column — one file per directory, not tasks×dirs).
+    "q99_dpp_prune" -> ((s, d) => {
+      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q99_dpp_" +
+        s.sparkContext.applicationId
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .repartition(col("order_month"))
+        .write.partitionBy("order_month").mode("overwrite").parquet(sink)
+      val monthDim = Tables.orders(s, d)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("m")).distinct()
+        .withColumn("qtr", concat(substring(col("m"), 1, 4), lit("-Q"),
+          ((substring(col("m"), 6, 2).cast("int") - 1) / 3 + 1).cast("int")))
+      s.read.parquet(sink)
+        .join(broadcast(monthDim.filter(col("qtr") === "1995-Q2")),
+          col("order_month") === col("m"))
+        .groupBy(col("order_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("amt"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q94_star_join" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND n_nationkey = c_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-01-01'
+        |GROUP BY 1""".stripMargin,
+    // Independent derivation: materialize every (click, view<=click)
+    // pair per user and collapse — the quadratic formulation cogroup
+    // exists to avoid, certifying the two-pointer against ground truth.
+    "q95_cogroup_attrib" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        | v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        | a AS (SELECT c.event_id, c.user_id,
+        |         max(CASE WHEN v.ts IS NOT NULL
+        |                   AND date_diff('second', v.ts, c.ts) <= 1800
+        |              THEN 1 ELSE 0 END) AS attr
+        |       FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.ts <= c.ts
+        |       GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_clicks,
+        |       CAST(sum(attr) AS BIGINT) AS n_attributed
+        |FROM a GROUP BY 1""".stripMargin,
+    "q96_sketch_rollup" ->
+      """SELECT CAST(floor(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week,
+        |       count(DISTINCT user_id) AS n_users, TRUE AS within_tol
+        |FROM events GROUP BY 1""".stripMargin,
+    "q97_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+        |   CAST(count(*) AS DOUBLE) AS n_rows,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |   CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM w
+        |UNION ALL SELECT l_returnflag, 'sum_qty', sum_qty FROM w
+        |UNION ALL SELECT l_returnflag, 'max_price', max_price FROM w""".stripMargin,
+    "q98_grouping_sets" ->
+      """SELECT o_orderpriority, om,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+        |       CAST(GROUPING(om) AS INT) AS g_om,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+        |       count(*) AS n
+        |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS om, o_totalprice
+        |      FROM orders)
+        |GROUP BY GROUPING SETS ((o_orderpriority), (om), ())""".stripMargin,
+    "q99_dpp_prune" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-04', '1995-05', '1995-06')
+        |GROUP BY 1""".stripMargin
+  )
+}

@@ -330,6 +330,59 @@ class PlanSpec extends SparkSpec {
       "incremental dedup must never pair the corpus all-pairs")
   }
 
+  test("q94 star join: equi-joins only, dims broadcast, date filter pushed to orders") {
+    val p = plan("q94_star_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the star must be equi-joins only")
+    assert(p.contains("BroadcastHashJoin"),
+      "region×nation (at least) must broadcast into the fact paths")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("o_orderdate"),
+      s"the year window must prune the orders scan: $pushed")
+  }
+
+  test("q95 cogroup attribution: CoGroup operator, never a pair-exploding join") {
+    val p = plan("q95_cogroup_attrib")
+    assert(p.contains("CoGroup"), "the two-stream merge must plan as CoGroup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "attribution must not materialize view×click pairs")
+  }
+
+  test("q96 sketch rollup: weekly estimates merge daily sketch partials (object agg), no raw rescan") {
+    val p = plan("q96_sketch_rollup")
+    assert(p.contains("ObjectHashAggregate"),
+      "HLL sketches must aggregate on the object-agg path (TypedImperativeAggregate)")
+    // daily→weekly side + exact side: the events file appears exactly twice —
+    // a third scan would mean the union re-read raw events
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("events.parquet"))
+    assert(scans == 2, s"expected 2 events scans (sketch build + exact oracle), got $scans")
+  }
+
+  test("q97 unpivot: Expand fan-out, no join, single lineitem scan") {
+    val p = plan("q97_unpivot")
+    assert(p.contains("Expand"), "unpivot must plan as Expand")
+    assert(!p.contains("Join"), "melt must not join")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(scans == 1, s"expected a single lineitem scan, got $scans")
+  }
+
+  test("q98 grouping sets: one scan, one Expand — not three aggregations") {
+    val p = plan("q98_grouping_sets")
+    assert(p.contains("Expand"), "grouping sets must plan as Expand")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("orders.parquet"))
+    assert(scans == 1, s"grouping sets must scan the fact once, got $scans")
+  }
+
+  test("q99 DPP: the fact scan's partition filter is a runtime dynamicpruning expression") {
+    val p = plan("q99_dpp_prune")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"dim-derived months must prune fact partitions at runtime:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project spine of q02") {
     val p = plan("q02_filter_exclude_store")
     // formatted mode marks codegen stages with a "* " operator prefix;

@@ -163,6 +163,26 @@ class TemporalOpsSpec extends SparkSpec {
     assert(h.count(_._5) === 2, "exactly one current row per key")
   }
 
+  test("trailingAttribution: boundary inclusivity, no-source targets, unordered input") {
+    val m = 60L * 1000000 // one minute in micros
+    // sources (views) and targets (clicks) deliberately unsorted —
+    // the op must sort per key, not assume input order
+    val views = Seq((1L, 100 * m), (1L, 10 * m), (3L, 50 * m))
+      .toDS()
+    val clicks = Seq(
+      (1L, 40 * m),  // latest view 10m → 30m gap → attributed at exactly the window
+      (1L, 41 * m),  // 31m gap → NOT attributed
+      (1L, 100 * m), // view AT the click instant → attributed
+      (2L, 10 * m),  // user with zero views → unattributed
+      (4L, 5 * m)    // ditto
+    ).toDS()
+    val out = TemporalOps
+      .trailingAttribution(views, clicks, windowMicros = 30 * m)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 3L, 2L), (2L, 1L, 0L), (4L, 1L, 0L)),
+      "user 3 (views only) must emit nothing; boundaries inclusive")
+  }
+
   test("changeHistory runs in ONE exchange (windows and run collapse share the key partitioning)") {
     val events = Seq((1L, ts("2024-01-01 09:00:00"), 1L, "a"))
       .toDF("user_id", "ts", "event_id", "v")
