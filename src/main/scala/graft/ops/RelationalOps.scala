@@ -258,4 +258,34 @@ object RelationalOps {
         .select(lit(c).as("col_name"), col("n_null"), col("n_distinct"),
           col("min_val"), col("max_val"))
     }.reduce(_ unionByName _)
+
+  /** Data-quality expectations gate: evaluate every check's observed
+    * metric in ONE aggregation pass over the table (a Deequ-style
+    * contract without the library), then fan the single result row out
+    * to one (check, observed, passed) verdict per expectation.
+    *
+    * `checks` supplies (name, metric aggregate, pass predicate over
+    * the observed metric). The fan-out is an in-row
+    * array+explode of the already-aggregated scalars — no extra scan,
+    * no join, no second shuffle: the whole gate costs exactly one
+    * pass over the data regardless of how many expectations it
+    * carries, which is what makes running it on every nightly load
+    * viable at 100 TB. Metrics surface as DOUBLE for a stable
+    * cross-engine type (counts and exact sums fit a double at any
+    * plausible row count < 2^53).
+    */
+  def qualityGate(df: DataFrame,
+                  checks: Seq[(String, Column, Column => Column)]): DataFrame = {
+    val aggd = df.agg(
+      checks.head._2.cast("double").as("_m0"),
+      checks.tail.zipWithIndex.map { case ((_, m, _), i) =>
+        m.cast("double").as(s"_m${i + 1}")
+      }: _*)
+    val verdicts = checks.zipWithIndex.map { case ((name, _, pass), i) =>
+      struct(lit(name).as("check"), col(s"_m$i").as("observed"),
+        pass(col(s"_m$i")).as("passed"))
+    }
+    aggd.select(explode(array(verdicts: _*)).as("_v"))
+      .select(col("_v.check"), col("_v.observed"), col("_v.passed"))
+  }
 }

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.RelationalOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** q100–q103: round-6 operational tier — what keeps a standing
+  * deployment honest: a true end-to-end streaming ingest (file stream
+  * → stateful aggregation → keyed-upsert serving table → serve, the
+  * continuous form of the reference's nightly cron), cross-system
+  * table reconciliation by order-insensitive checksum (how a migration
+  * OFF the reference proves the new mart equals the old one without
+  * shipping rows), an exact join-cardinality profiler (the measurement
+  * that decides where q44/q68 salting and broadcast cutoffs apply),
+  * and a one-pass data-quality expectations gate over every load.
+  * Every query deterministic; every verdict re-derived by DuckDB.
+  */
+object OpsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Portable 60-bit digest of a canonical row string: both engines
+    * md5 the identical text and parse the first 15 hex digits
+    * (< 2^60, safely inside a signed 64-bit int). Spark side; the
+    * oracle restates it as CAST('0x' || substr(md5(s),1,15) AS BIGINT).
+    */
+  private def rowDigest(s: org.apache.spark.sql.Column) =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    // End-to-end streaming mart maintenance, executed for real (q46
+    // grades the transform's batch parity; THIS runs the streaming
+    // engine): the events table staged as multiple arrival files →
+    // file stream with maxFilesPerTrigger=1 (several genuine
+    // micro-batches) → STATEFUL (user, day) aggregation in update
+    // mode → each batch's updated groups merged into the DSv2
+    // keyed-upsert serving table → drained with AvailableNow → the
+    // SERVED table is what the oracle grades against a cold batch
+    // GROUP BY of the same events. Keys whose rows straddle batches
+    // prove the cumulative-state + latest-wins convergence; re-runs
+    // find the checkpoint drained and the idempotent sink unchanged.
+    "q100_stream_mart" -> ((s, d) => {
+      val safe = (s.sparkContext.applicationId + "_" + d)
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q100_$safe"
+      val staged = s"$base/staged"
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("value"))
+      // one count() to size ~4 arrival files — bounded driver metadata,
+      // not a data collect; the staging write converts the ns-long ts
+      // to a proper timestamp so the stream schema is self-describing
+      val per = ev.count() / 4 + 1
+      ev.repartition(1).write.option("maxRecordsPerFile", per.toString)
+        .mode("overwrite").parquet(staged)
+      val stream = s.readStream.schema(s.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val agg = stream
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("_amt"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("day"),
+          col("_amt").cast("double").as("amt"), col("n"))
+      val table = s"stream_mart_$safe"
+      graft.streaming.StreamingOps
+        .maintainMart(agg, table, Seq("user_id", "day"), s"$base/ckpt")
+        .awaitTermination()
+      s.read.format("graft.sources.UpsertSinkSource")
+        .option("table", table).load()
+    }),
+
+    // Order-insensitive table checksum (the pt-table-checksum /
+    // data-diff pattern): canonicalize each row to a delimiter-joined
+    // string with pinned formatting (DECIMAL(18,2) money, DATE dates —
+    // both engines render them identically), digest it, and SUM the
+    // digests per month partition. Equal (n_rows, checksum) per
+    // partition ⇒ equal content with no row shipped and no sort
+    // anywhere — comparing a 100 TB mart across systems costs one
+    // scan + a tiny agg on each side. The sum rides DECIMAL(38,0)
+    // (exact, overflow-proof at any row count; a plain long sum would
+    // overflow ANSI arithmetic at ~2^3 rows of 60-bit digests).
+    "q101_table_checksum" -> ((s, d) => {
+      val canon = concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)),
+        col("o_orderdate").cast("date"), col("o_orderpriority"))
+      Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(rowDigest(canon).cast(DecimalType(38, 0))).as("checksum"))
+    }),
+
+    // Exact join-cardinality profiler: predicted |orders ⋈ lineitem|
+    // from the two sides' key histograms — Σ_k cnt_a(k)·cnt_b(k) —
+    // plus the worst key's share. Two partial-agg histogram builds and
+    // a histogram-sized join, NEVER the join itself: the 100 TB
+    // question "can I afford this join, and does one key dominate?"
+    // answered at metadata cost. This is the measurement feeding the
+    // q44/q68 salting decisions and q83's hot-key diagnosis.
+    "q102_join_cardinality" -> ((s, d) => {
+      val a = Tables.orders(s, d).groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("ca"))
+      val b = Tables.lineitem(s, d).groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("cb"))
+      a.join(b, "k")
+        .select((col("ca") * col("cb")).as("_pairs"))
+        .agg(sum(col("_pairs")).as("predicted_pairs"),
+          max(col("_pairs")).as("max_key_pairs"),
+          count(lit(1)).as("n_join_keys"))
+    }),
+
+    // Data-quality expectations gate: the nightly load contract as
+    // one aggregation pass (RelationalOps.qualityGate) — key
+    // non-null, primary-key uniqueness, value bounds, freshness
+    // ceiling, volume floor — fanned out to one verdict row per
+    // expectation. The oracle recomputes every observed metric and
+    // verdict from scratch in SQL.
+    "q103_dq_gate" -> ((s, d) =>
+      RelationalOps.qualityGate(Tables.orders(s, d), Seq(
+        ("row_count_min_1000", count(lit(1)),
+          (m: org.apache.spark.sql.Column) => m >= 1000),
+        ("custkey_no_nulls", count(when(col("o_custkey").isNull, lit(1))),
+          (m: org.apache.spark.sql.Column) => m === 0),
+        ("orderkey_unique", count(lit(1)) - countDistinct(col("o_orderkey")),
+          (m: org.apache.spark.sql.Column) => m === 0),
+        ("totalprice_nonnegative", count(when(col("o_totalprice") < 0, lit(1))),
+          (m: org.apache.spark.sql.Column) => m === 0),
+        ("orderdate_before_2000", count(when(
+          col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00")), lit(1))),
+          (m: org.apache.spark.sql.Column) => m === 0))))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q100_stream_mart" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+        | count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q101_table_checksum" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        | count(*) AS n_rows,
+        | CAST(sum(CAST('0x' || substr(md5(
+        |     concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+        |               CAST(o_totalprice AS DECIMAL(18,2)),
+        |               CAST(o_orderdate AS DATE), o_orderpriority)
+        |   ), 1, 15) AS BIGINT)) AS DECIMAL(38,0)) AS checksum
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q102_join_cardinality" ->
+      """WITH a AS (SELECT o_orderkey AS k, count(*) AS ca FROM orders GROUP BY 1),
+        | b AS (SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY 1)
+        |SELECT sum(ca * cb) AS predicted_pairs,
+        |       max(ca * cb) AS max_key_pairs,
+        |       count(*) AS n_join_keys
+        |FROM a JOIN b USING (k)""".stripMargin,
+    "q103_dq_gate" ->
+      """SELECT 'row_count_min_1000' AS check, CAST(count(*) AS DOUBLE) AS observed,
+        |       count(*) >= 1000 AS passed FROM orders
+        |UNION ALL SELECT 'custkey_no_nulls',
+        |       CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS DOUBLE),
+        |       count(*) FILTER (WHERE o_custkey IS NULL) = 0 FROM orders
+        |UNION ALL SELECT 'orderkey_unique',
+        |       CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE),
+        |       count(*) = count(DISTINCT o_orderkey) FROM orders
+        |UNION ALL SELECT 'totalprice_nonnegative',
+        |       CAST(count(*) FILTER (WHERE o_totalprice < 0) AS DOUBLE),
+        |       count(*) FILTER (WHERE o_totalprice < 0) = 0 FROM orders
+        |UNION ALL SELECT 'orderdate_before_2000',
+        |       CAST(count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '2000-01-01') AS DOUBLE),
+        |       count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '2000-01-01') = 0 FROM orders""".stripMargin
+  )
+}

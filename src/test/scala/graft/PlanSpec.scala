@@ -383,6 +383,32 @@ class PlanSpec extends SparkSpec {
       s"dim-derived months must prune fact partitions at runtime:\n$p")
   }
 
+  test("q101 checksum: one scan, one aggregation — no sort, no join") {
+    val p = plan("q101_table_checksum")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("orders.parquet"))
+    assert(scans == 1, s"reconciliation must cost one scan, got $scans")
+    assert(!p.contains("Join") && !p.contains("Sort "),
+      "order-insensitive checksum must never sort or join")
+  }
+
+  test("q102 join-cardinality profiler: scans read ONLY the join keys (histograms, not rows)") {
+    val p = plan("q102_join_cardinality")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.exists(s => s.contains("o_orderkey") && !s.contains("o_totalprice")),
+      s"orders scan must prune to the key: $schemas")
+    assert(schemas.exists(s => s.contains("l_orderkey") && !s.contains("l_quantity")),
+      s"lineitem scan must prune to the key: $schemas")
+  }
+
+  test("q103 quality gate: every expectation rides ONE scan + ONE aggregation pass") {
+    val p = plan("q103_dq_gate")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("orders.parquet"))
+    assert(scans == 1, s"the gate must cost one pass, got $scans")
+    assert(!p.contains("Join"), "expectations must not join")
+  }
+
   test("whole-stage codegen covers the scan→filter→project spine of q02") {
     val p = plan("q02_filter_exclude_store")
     // formatted mode marks codegen stages with a "* " operator prefix;

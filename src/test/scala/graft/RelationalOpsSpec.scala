@@ -156,6 +156,20 @@ class RelationalOpsSpec extends SparkSpec {
       s"non-struct parses must quarantine as replayable JSON text: $bad")
   }
 
+  test("qualityGate: one verdict per expectation, failures observed not thrown") {
+    val df = Seq((1L, 10.0), (2L, -5.0), (2L, 3.0)).toDF("k", "v")
+    val out = qualityGate(df, Seq(
+      ("rows_min_2", count(lit(1)), (m: org.apache.spark.sql.Column) => m >= 2),
+      ("k_unique", count(lit(1)) - countDistinct(col("k")),
+        (m: org.apache.spark.sql.Column) => m === 0),
+      ("v_nonneg", count(when(col("v") < 0, lit(1))),
+        (m: org.apache.spark.sql.Column) => m === 0)))
+      .as[(String, Double, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("rows_min_2") === ((3.0, true)))
+    assert(out("k_unique") === ((1.0, false)), "duplicate key must FAIL, not throw")
+    assert(out("v_nonneg") === ((1.0, false)))
+  }
+
   test("sumMoney is exact regardless of partitioning") {
     val df = spark.range(1000).select((col("id") % 7 * lit(0.01) + 100.0).as("v"))
     val a = df.repartition(1).agg(sumMoney($"v")).as[Double].head()
