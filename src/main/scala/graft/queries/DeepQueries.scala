@@ -210,7 +210,33 @@ object DeepQueries {
         .agg(count(lit(1)).as("n_docs"),
           array_join(
             transform(sort_array(collect_list(col("doc_id"))),
-              _.cast("string")), ",").as("postings")))
+              _.cast("string")), ",").as("postings"))),
+
+    // In-row analytics via higher-order functions: each doc's dominant
+    // term (max count, lexicographic tie-break) computed ENTIRELY
+    // inside the row — transform/filter/size build per-distinct-token
+    // counts, a comparator array_sort picks the winner — so the plan
+    // is a pure codegen'd projection with ZERO exchanges
+    // (PlanSpec-asserted). The conventional formulation (explode →
+    // groupBy(doc, term) → window rn=1) shuffles the corpus's entire
+    // token stream TWICE; that is exactly what the oracle does,
+    // certifying the in-row rewrite against the relational derivation.
+    // In-row cost is O(|distinct| × |tokens|) per doc — the right
+    // trade for natural-language distinct/total ratios; the relational
+    // form stays the fallback for degenerate single-repeated-token
+    // corpora.
+    "q104_hof_topterm" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val stats = transform(array_distinct(toks),
+        t => struct(size(filter(toks, x => x === t)).as("c"), t.as("t")))
+      val best = array_sort(stats, (l, r) =>
+        when(l("c") > r("c"), -1).when(l("c") < r("c"), 1)
+          .when(l("t") < r("t"), -1).when(l("t") > r("t"), 1)
+          .otherwise(0))
+      Tables.documents(s, d).select(col("doc_id"),
+        best.getItem(0).getField("t").as("top_term"),
+        best.getItem(0).getField("c").cast("long").as("n_top"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -287,6 +313,17 @@ object DeepQueries {
         |SELECT term, count(*) AS n_docs,
         |  array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
         |    AS postings
-        |FROM t GROUP BY 1""".stripMargin
+        |FROM t GROUP BY 1""".stripMargin,
+    // the relational (explode → group → window) derivation the in-row
+    // HOF rewrite is certified against
+    "q104_hof_topterm" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        | c AS (SELECT doc_id, term, count(*) AS n FROM t GROUP BY 1, 2),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                    ORDER BY n DESC, term) AS rn
+        |       FROM c)
+        |SELECT doc_id, term AS top_term, CAST(n AS BIGINT) AS n_top
+        |FROM r WHERE rn = 1""".stripMargin
   )
 }

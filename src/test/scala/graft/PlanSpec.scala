@@ -409,6 +409,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "expectations must not join")
   }
 
+  test("q104 in-row HOF analytics: pure projection, zero exchanges") {
+    val p = plan("q104_hof_topterm")
+    assert(!p.contains("Exchange"),
+      s"in-row top-term must not shuffle the token stream:\n$p")
+    assert(!p.contains("Generate"),
+      "the whole point is computing inside the row — no explode")
+  }
+
   test("whole-stage codegen covers the scan→filter→project spine of q02") {
     val p = plan("q02_filter_exclude_store")
     // formatted mode marks codegen stages with a "* " operator prefix;
