@@ -229,4 +229,18 @@ class StreamingSpec extends SparkSpec {
         ("2024-01-01 09:00:00", "u2", 7.0)))
     } finally q.stop()
   }
+
+  test("q100 stream mart: a second invocation in the same session converges to the same table") {
+    // regression pin: staging + checkpoint + table must be per-
+    // invocation — re-staging under a reused checkpoint would surface
+    // the same events as new files and double the stateful counts
+    val run = () => SparkEntry.queries("q100_stream_mart")(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("day").cast("string"), col("amt"), col("n"))
+      .as[(Long, String, Double, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val first = run()
+    val second = run()
+    assert(first.nonEmpty)
+    assert(first === second,
+      "re-running the streaming mart must not double-count state")
+  }
 }
