@@ -164,6 +164,32 @@ object ServeQueries {
     // and scanning 84: the fact never reads a partition the dim
     // filter excluded. Write discipline matches q41 (repartition by
     // the partition column — one file per directory, not tasks×dirs).
+    // Recursive CTE (new engine surface in Spark 4): ancestor-chain
+    // traversal over a deterministic parent = key DIV 2 hierarchy —
+    // the org-chart / BOM-rollup query no finite set of self-joins
+    // expresses (depth is data-dependent). Spark executes WITH
+    // RECURSIVE as an iterated distributed step with a shrinking
+    // frontier (this hierarchy halves it per level — ⌈log₂ N⌉
+    // iterations, each a scan+filter over the previous level, no
+    // driver loop); the rollup then joins each ancestor's balance
+    // back and aggregates per starting node. DuckDB runs the
+    // IDENTICAL recursion — both engines derive the closure
+    // independently.
+    "q105_recursive_cte" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("g_cust_r")
+      s.sql(
+        """WITH RECURSIVE anc(custkey, anc_key, d) AS (
+          |  SELECT c_custkey, c_custkey, 0 FROM g_cust_r
+          |  UNION ALL
+          |  SELECT custkey, anc_key DIV 2, d + 1 FROM anc WHERE anc_key > 1
+          |)
+          |SELECT a.custkey,
+          |       CAST(max(a.d) AS INT) AS depth,
+          |       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS chain_bal
+          |FROM anc a JOIN g_cust_r c ON a.anc_key = c.c_custkey
+          |GROUP BY a.custkey""".stripMargin)
+    }),
+
     "q99_dpp_prune" -> ((s, d) => {
       val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q99_dpp_" +
         s.sparkContext.applicationId
@@ -235,6 +261,17 @@ object ServeQueries {
         |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS om, o_totalprice
         |      FROM orders)
         |GROUP BY GROUPING SETS ((o_orderpriority), (om), ())""".stripMargin,
+    "q105_recursive_cte" ->
+      """WITH RECURSIVE anc(custkey, anc_key, d) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT custkey, anc_key // 2, d + 1 FROM anc WHERE anc_key > 1
+        |)
+        |SELECT a.custkey,
+        |       CAST(max(a.d) AS INT) AS depth,
+        |       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS chain_bal
+        |FROM anc a JOIN customer c ON a.anc_key = c.c_custkey
+        |GROUP BY a.custkey""".stripMargin,
     "q99_dpp_prune" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
         |       count(*) AS n_orders,

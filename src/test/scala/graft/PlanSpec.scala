@@ -417,6 +417,14 @@ class PlanSpec extends SparkSpec {
       "the whole point is computing inside the row — no explode")
   }
 
+  test("q105 recursive CTE: plans as an iterated UnionLoop, not a driver loop") {
+    val p = plan("q105_recursive_cte")
+    assert(p.contains("UnionLoop"),
+      "the recursion must execute as Spark's iterated UnionLoop operator")
+    assert(p.contains("UnionLoopRef"),
+      "the recursive reference must feed the loop, not a materialized copy")
+  }
+
   test("whole-stage codegen covers the scan→filter→project spine of q02") {
     val p = plan("q02_filter_exclude_store")
     // formatted mode marks codegen stages with a "* " operator prefix;
