@@ -53,12 +53,10 @@ object OpsQueries {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_q100_$safe"
       val staged = s"$base/staged"
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("value"))
-      // one count() to size ~4 arrival files — bounded driver metadata,
-      // not a data collect; the staging write converts the ns-long ts
-      // to a proper timestamp so the stream schema is self-describing
-      val per = ev.count() / 4 + 1
-      ev.repartition(1).write.option("maxRecordsPerFile", per.toString)
-        .mode("overwrite").parquet(staged)
+      // 4 arrival files via round-robin repartition (no pre-count
+      // scan); the staging write converts the ns-long ts to a proper
+      // timestamp so the stream schema is self-describing
+      ev.repartition(4).write.mode("overwrite").parquet(staged)
       val stream = s.readStream.schema(s.read.parquet(staged).schema)
         .option("maxFilesPerTrigger", "1").parquet(staged)
       val agg = stream

@@ -190,6 +190,24 @@ object ServeQueries {
           |GROUP BY a.custkey""".stripMargin)
     }),
 
+    // Semi-structured VARIANT surface (Spark 4): parse the JSON props
+    // ONCE into the binary variant encoding, then do TYPED extraction
+    // off the variant — the at-scale contrast to q21's
+    // get_json_object, which re-parses the JSON text on every
+    // extraction (k extractions = k parses). A 100 TB event store
+    // lands props as a VARIANT column at ingest and every downstream
+    // query reads fields positionally from the binary form. The
+    // predicate on the extracted field stays in the scan stage
+    // (codegen'd projection + filter, zero exchanges before the agg).
+    "q106_variant_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.k", "long").as("k"))
+        .filter(col("k") >= 50)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
+
     "q99_dpp_prune" -> ((s, d) => {
       val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q99_dpp_" +
         s.sparkContext.applicationId
@@ -261,6 +279,12 @@ object ServeQueries {
         |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS om, o_totalprice
         |      FROM orders)
         |GROUP BY GROUPING SETS ((o_orderpriority), (om), ())""".stripMargin,
+    "q106_variant_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |WHERE CAST(props->>'$.k' AS BIGINT) >= 50
+        |GROUP BY 1""".stripMargin,
     "q105_recursive_cte" ->
       """WITH RECURSIVE anc(custkey, anc_key, d) AS (
         |  SELECT c_custkey, c_custkey, 0 FROM customer
