@@ -208,6 +208,26 @@ object ServeQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
 
+    // Gap-session windows under the oracle for the first time: q27's
+    // tumbling windows are fixed-grid; session_window merges events
+    // into data-dependent [first, last+gap) intervals — Spark's
+    // built-in batch form of the sessionization the streaming lib
+    // does with flatMapGroupsWithState. One shuffle on user_id; the
+    // merge happens inside the aggregation. The oracle re-derives
+    // sessions with gaps-and-islands (lag + running sum) — a wholly
+    // different mechanism certifying the same session boundaries
+    // (break iff gap ≥ 30 min, mirroring session_window's strict-<
+    // overlap merge).
+    "q107_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"),
+          col("n_events"))),
+
     "q99_dpp_prune" -> ((s, d) => {
       val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q99_dpp_" +
         s.sparkContext.applicationId
@@ -279,6 +299,21 @@ object ServeQueries {
         |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS om, o_totalprice
         |      FROM orders)
         |GROUP BY GROUPING SETS ((o_orderpriority), (om), ())""".stripMargin,
+    "q107_session_window" ->
+      """WITH e AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | g AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
     "q106_variant_extract" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
