@@ -276,6 +276,7 @@ object RelationalOps {
     */
   def qualityGate(df: DataFrame,
                   checks: Seq[(String, Column, Column => Column)]): DataFrame = {
+    require(checks.nonEmpty, "qualityGate needs at least one expectation")
     val aggd = df.agg(
       checks.head._2.cast("double").as("_m0"),
       checks.tail.zipWithIndex.map { case ((_, m, _), i) =>

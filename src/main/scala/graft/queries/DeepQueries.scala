@@ -5,13 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** q78–q85: round-6 deepening — the retrieval/scoring and pipeline-
-  * maintenance operators around the existing corpus tier: BM25 ranked
-  * retrieval and the inverted index it probes, event-funnel conversion,
-  * time-range (not row-count) trailing windows, canonicalize-then-hash
-  * dedup, incremental mart maintenance by partial-aggregate merge,
-  * hot-key diagnosis feeding the salting ops, and edit-distance
-  * near-dup verification. Every query is deterministic and every
+/** q78–q85 + q104: round-6 deepening — the retrieval/scoring and
+  * pipeline-maintenance operators around the existing corpus tier:
+  * BM25 ranked retrieval and the inverted index it probes,
+  * event-funnel conversion, time-range (not row-count) trailing
+  * windows, canonicalize-then-hash dedup, incremental mart
+  * maintenance by partial-aggregate merge, hot-key diagnosis feeding
+  * the salting ops, edit-distance near-dup verification, and in-row
+  * HOF top-term analytics. Every query is deterministic and every
   * decision is recomputed independently by the DuckDB oracle.
   */
 object DeepQueries {

@@ -69,6 +69,15 @@ object OpsQueries {
       graft.streaming.StreamingOps
         .maintainMart(agg, table, Seq("user_id", "day"), s"$base/ckpt")
         .awaitTermination()
+      // staged files and the checkpoint are dead once the drain
+      // completes (the returned frame reads the SINK table, which
+      // must outlive it) — reclaim them so repeated invocations
+      // don't grow tmpdir without bound
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
       s.read.format("graft.sources.UpsertSinkSource")
         .option("table", table).load()
     }),

@@ -5,20 +5,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-/** q94–q99: round-6 warehouse-serving tier — the multi-table analytic
-  * surface a mart consumer runs against the engine's outputs: a
-  * star-schema join (the reference's store/product dims around the
-  * sales fact, at TPC-H Q5 shape), GROUPING SETS beyond q39's rollup,
-  * wide→long unpivot (the inverse of q62's pivot), mergeable-sketch
-  * rollup (distinct counts maintained incrementally from daily
-  * partials — never rescanning raw events), typed cogroup attribution
-  * (the per-key two-stream merge that joins can't express without a
-  * blow-up), and a dynamic-partition-pruning round trip proving the
-  * fact scan prunes at runtime from a dim filter. Every query is
-  * deterministic and independently re-derived by the DuckDB oracle.
+/** q94–q99 + q105–q107: round-6 warehouse-serving tier — the
+  * multi-table analytic surface a mart consumer runs against the
+  * engine's outputs: a star-schema join (the reference's store/product
+  * dims around the sales fact, at TPC-H Q5 shape), GROUPING SETS
+  * beyond q39's rollup, wide→long unpivot (the inverse of q62's
+  * pivot), mergeable-sketch rollup (distinct counts maintained
+  * incrementally from daily partials — never rescanning raw events),
+  * typed cogroup attribution (the per-key two-stream merge that joins
+  * can't express without a blow-up), a dynamic-partition-pruning
+  * round trip proving the fact scan prunes at runtime from a dim
+  * filter, a recursive-CTE hierarchy rollup (Spark 4 UnionLoop),
+  * VARIANT semi-structured typed extraction, and batch gap-session
+  * windows. Every query is deterministic and independently re-derived
+  * by the DuckDB oracle.
   */
 object ServeQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  private val invocation = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Exact revenue term — q23's money discipline: the product stays
     * DECIMAL so partial-agg merge order can't drift a float sum, and
@@ -140,30 +145,21 @@ object ServeQueries {
     // GROUP BYs would scan three times. grouping() flags (cast to a
     // portable int) disambiguate "NULL because rolled up" from "NULL
     // in the data" — both engines restate them bit-for-bit.
-    "q98_grouping_sets" -> ((s, d) =>
+    "q98_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("g_orders_gs")
       s.sql(
-        s"""SELECT o_orderpriority, om,
-           |       CAST(grouping(o_orderpriority) AS INT) AS g_pri,
-           |       CAST(grouping(om) AS INT) AS g_om,
-           |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
-           |       count(*) AS n
-           |FROM (SELECT o_orderpriority,
-           |             date_format(o_orderdate, 'yyyy-MM') AS om,
-           |             o_totalprice
-           |      FROM parquet.`$d/orders.parquet`)
-           |GROUP BY GROUPING SETS ((o_orderpriority), (om), ())""".stripMargin)),
+        """SELECT o_orderpriority, om,
+          |       CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+          |       CAST(grouping(om) AS INT) AS g_om,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+          |       count(*) AS n
+          |FROM (SELECT o_orderpriority,
+          |             date_format(o_orderdate, 'yyyy-MM') AS om,
+          |             o_totalprice
+          |      FROM g_orders_gs)
+          |GROUP BY GROUPING SETS ((o_orderpriority), (om), ())""".stripMargin)
+    }),
 
-    // Dynamic partition pruning round trip: a month-partitioned fact
-    // joined to a dim filtered on a NON-partition attribute (quarter).
-    // The partition list is unknowable at plan time — it exists only
-    // in the dim — so static pruning can't help; Spark's DPP instead
-    // broadcasts the filtered dim, derives the surviving months at
-    // RUNTIME, and injects them into the fact scan's partition
-    // filters (PlanSpec asserts the dynamicpruning expression). At
-    // 100 TB this is the difference between scanning 3 directories
-    // and scanning 84: the fact never reads a partition the dim
-    // filter excluded. Write discipline matches q41 (repartition by
-    // the partition column — one file per directory, not tasks×dirs).
     // Recursive CTE (new engine surface in Spark 4): ancestor-chain
     // traversal over a deterministic parent = key DIV 2 hierarchy —
     // the org-chart / BOM-rollup query no finite set of self-joins
@@ -228,9 +224,24 @@ object ServeQueries {
           col("sw.end").as("session_end"),
           col("n_events"))),
 
+    // Dynamic partition pruning round trip: a month-partitioned fact
+    // joined to a dim filtered on a NON-partition attribute (quarter).
+    // The partition list is unknowable at plan time — it exists only
+    // in the dim — so static pruning can't help; Spark's DPP instead
+    // broadcasts the filtered dim, derives the surviving months at
+    // RUNTIME, and injects them into the fact scan's partition
+    // filters (PlanSpec asserts the dynamicpruning expression). At
+    // 100 TB this is the difference between scanning 3 directories
+    // and scanning 84: the fact never reads a partition the dim
+    // filter excluded. Write discipline matches q41 (repartition by
+    // the partition column — one file per directory, not tasks×dirs).
+    // Sink path carries a per-invocation nonce: the returned frame is
+    // lazy, so a second invocation's overwrite must not delete files
+    // a deferred reader of the first may still scan.
     "q99_dpp_prune" -> ((s, d) => {
       val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q99_dpp_" +
-        s.sparkContext.applicationId
+        (s.sparkContext.applicationId + "_" + d + "_" +
+          invocation.incrementAndGet()).replaceAll("[^A-Za-z0-9_]", "_")
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"),
           date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
@@ -270,7 +281,7 @@ object ServeQueries {
         | v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
         | a AS (SELECT c.event_id, c.user_id,
         |         max(CASE WHEN v.ts IS NOT NULL
-        |                   AND date_diff('second', v.ts, c.ts) <= 1800
+        |                   AND epoch_us(c.ts) - epoch_us(v.ts) <= 1800000000
         |              THEN 1 ELSE 0 END) AS attr
         |       FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.ts <= c.ts
         |       GROUP BY 1, 2)
