@@ -36,4 +36,16 @@ class EntrySpec extends SparkSpec {
     assert(result.exceptAll(again).count() === 0L)
     assert(again.exceptAll(result).count() === 0L)
   }
+
+  test("registry contract: every oracle key names a registered query; rows-only set is exactly the documented one") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    val orphanOracles = os -- qs
+    assert(orphanOracles.isEmpty,
+      s"oracle entries with no query (typo → silently ungraded): $orphanOracles")
+    // queries the driver grades rows-only, by declared design
+    val rowsOnlyByDesign = Set("q30_simhash")
+    assert((qs -- os) === rowsOnlyByDesign,
+      s"every new query needs an oracleSql entry (or add it to the documented rows-only set): ${(qs -- os) -- rowsOnlyByDesign}")
+  }
 }
