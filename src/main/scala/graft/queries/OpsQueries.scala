@@ -122,6 +122,38 @@ object OpsQueries {
           count(lit(1)).as("n_join_keys"))
     }),
 
+    // Same-pass pipeline observability: audit metrics collected by
+    // df.observe() DURING the production write action — the metrics
+    // (row count, exact amount total, max) ride the write's single
+    // scan as accumulator-style aggregates, so the nightly audit row
+    // costs ZERO extra passes. The alternative every naive pipeline
+    // ships — re-aggregating the table after the write — doubles the
+    // 100 TB I/O. The oracle recomputes the same metrics cold,
+    // certifying the observed values equal a from-scratch aggregation.
+    // (Observe expressions must be merge-associative — no distinct —
+    // exactly the constraint partial aggregation already imposes.)
+    "q108_observe_metrics" -> ((s, d) => {
+      val safe = (s.sparkContext.applicationId + "_" + d + "_" +
+        invocation.incrementAndGet()).replaceAll("[^A-Za-z0-9_]", "_")
+      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q108_$safe"
+      val obs = new org.apache.spark.sql.Observation(s"audit_$safe")
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1995-04-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("_amt"),
+          max(col("o_totalprice")).as("max_price"))
+        .write.mode("overwrite").parquet(sink) // the ONE action; metrics ride it
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("_amt").asInstanceOf[java.math.BigDecimal].doubleValue(),
+        m("max_price").asInstanceOf[Double]))
+        .toDF("n_rows", "amt", "max_price")
+    }),
+
     // Data-quality expectations gate: the nightly load contract as
     // one aggregation pass (RelationalOps.qualityGate) — key
     // non-null, primary-key uniqueness, value bounds, freshness
@@ -165,6 +197,13 @@ object OpsQueries {
         |       max(ca * cb) AS max_key_pairs,
         |       count(*) AS n_join_keys
         |FROM a JOIN b USING (k)""".stripMargin,
+    "q108_observe_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+        |       max(o_totalprice) AS max_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1995-04-01'""".stripMargin,
     "q103_dq_gate" ->
       """SELECT 'row_count_min_1000' AS check, CAST(count(*) AS DOUBLE) AS observed,
         |       count(*) >= 1000 AS passed FROM orders

@@ -224,6 +224,23 @@ object ServeQueries {
           col("sw.end").as("session_end"),
           col("n_events"))),
 
+    // SQL:2023 LISTAGG — the built-in ordered within-group string
+    // aggregate (new in Spark 4): the standard form every warehouse
+    // user types, vs q85's collect_list+sort_array emulation. The
+    // deterministic WITHIN GROUP order is the load-bearing part: an
+    // unordered string agg is partition-order-dependent and ungradable.
+    // Scale note: per-group strings must stay bounded (here ≤25
+    // nations per region); unbounded groups shard first like q85's
+    // postings.
+    "q109_listagg" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("g_nation_la")
+      s.sql(
+        """SELECT n_regionkey,
+          |       count(*) AS n_nations,
+          |       listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+          |FROM g_nation_la GROUP BY n_regionkey""".stripMargin)
+    }),
+
     // Dynamic partition pruning round trip: a month-partitioned fact
     // joined to a dim filtered on a NON-partition attribute (quarter).
     // The partition list is unknowable at plan time — it exists only
@@ -310,6 +327,10 @@ object ServeQueries {
         |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS om, o_totalprice
         |      FROM orders)
         |GROUP BY GROUPING SETS ((o_orderpriority), (om), ())""".stripMargin,
+    "q109_listagg" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
     "q107_session_window" ->
       """WITH e AS (SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
