@@ -22,6 +22,11 @@ object OpsQueries {
 
   private val invocation = new java.util.concurrent.atomic.AtomicLong(0)
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(): Unit
+  }
+
   /** Portable 60-bit digest of a canonical row string: both engines
     * md5 the identical text and parse the first 15 hex digits
     * (< 2^60, safely inside a signed 64-bit int). Spark side; the
@@ -73,11 +78,7 @@ object OpsQueries {
       // completes (the returned frame reads the SINK table, which
       // must outlive it) — reclaim them so repeated invocations
       // don't grow tmpdir without bound
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(base))
+      rmTree(new java.io.File(base))
       s.read.format("graft.sources.UpsertSinkSource")
         .option("table", table).load()
     }),
@@ -147,6 +148,7 @@ object OpsQueries {
           max(col("o_totalprice")).as("max_price"))
         .write.mode("overwrite").parquet(sink) // the ONE action; metrics ride it
       val m = obs.get
+      rmTree(new java.io.File(sink)) // the deliverable is the audit row
       import s.implicits._
       Seq((m("n_rows").asInstanceOf[Long],
         m("_amt").asInstanceOf[java.math.BigDecimal].doubleValue(),
