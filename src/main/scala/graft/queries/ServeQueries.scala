@@ -241,6 +241,25 @@ object ServeQueries {
           |FROM g_nation_la GROUP BY n_regionkey""".stripMargin)
     }),
 
+    // Correlated LATERAL subquery with ORDER+LIMIT — the "top-N per
+    // outer row" form every SQL user writes first. Executed naively
+    // this is a nested loop re-sorting the inner side once per outer
+    // row; Catalyst DECORRELATES it into one WindowGroupLimit pass +
+    // an equi-join (PlanSpec asserts exactly that and the absence of
+    // any nested loop), i.e. the same plan q23 writes by hand with
+    // row_number — proof the user-friendly formulation costs nothing
+    // at 100 TB. Ties broken by key so the top-2 is deterministic.
+    "q110_lateral_topn" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("g_nation_lt")
+      Tables.customer(s, d).createOrReplaceTempView("g_cust_lt")
+      s.sql(
+        """SELECT o.n_nationkey, o.n_name, l.c_custkey, l.c_acctbal
+          |FROM g_nation_lt o,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM g_cust_lt c
+          |         WHERE c.c_nationkey = o.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l""".stripMargin)
+    }),
+
     // Dynamic partition pruning round trip: a month-partitioned fact
     // joined to a dim filtered on a NON-partition attribute (quarter).
     // The partition list is unknowable at plan time — it exists only
@@ -327,6 +346,12 @@ object ServeQueries {
         |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS om, o_totalprice
         |      FROM orders)
         |GROUP BY GROUPING SETS ((o_orderpriority), (om), ())""".stripMargin,
+    "q110_lateral_topn" ->
+      """SELECT o.n_nationkey, o.n_name, l.c_custkey, l.c_acctbal
+        |FROM nation o,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = o.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l""".stripMargin,
     "q109_listagg" ->
       """SELECT n_regionkey, count(*) AS n_nations,
         |       string_agg(n_name, ',' ORDER BY n_name) AS nations

@@ -425,6 +425,14 @@ class PlanSpec extends SparkSpec {
       "the recursive reference must feed the loop, not a materialized copy")
   }
 
+  test("q110 lateral top-N: decorrelated to WindowGroupLimit + equi-join, never a per-row nested loop") {
+    val p = plan("q110_lateral_topn")
+    assert(p.contains("WindowGroupLimit"),
+      "the correlated LIMIT must rewrite to a group-limit window")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "decorrelation must eliminate the naive per-outer-row loop")
+  }
+
   test("whole-stage codegen covers the scan→filter→project spine of q02") {
     val p = plan("q02_filter_exclude_store")
     // formatted mode marks codegen stages with a "* " operator prefix;
