@@ -343,7 +343,7 @@ object PipelineQueries {
       """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
         |           FROM documents)
         |SELECT CAST(len(bin(n)) - 1 AS INT) AS len_bucket,
-        |       count(*) AS n_docs, sum(n) AS sum_tokens,
+        |       count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens,
         |       min(n) AS min_tokens, max(n) AS max_tokens
         |FROM t GROUP BY 1""".stripMargin,
     "q65_stratified_sample" ->

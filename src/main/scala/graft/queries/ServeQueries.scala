@@ -356,12 +356,19 @@ object ServeQueries {
       """SELECT n_regionkey, count(*) AS n_nations,
         |       string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+    // base pins ts to µs precision explicitly (make_timestamp of
+    // epoch_us) — Spark's side IS µs (Tables.events does ts div 1000),
+    // and relying on the driver DuckDB's implicit ns→µs handling of the
+    // TIMESTAMP_NS fixture would be version-sensitive for any fixture
+    // row that stopped being µs-aligned
     "q107_session_window" ->
-      """WITH e AS (SELECT user_id, ts,
+      """WITH base AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts
+        |  FROM events),
+        | e AS (SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS brk
-        |  FROM events
+        |  FROM base
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         | g AS (SELECT user_id, ts,
         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts

@@ -48,4 +48,61 @@ class EntrySpec extends SparkSpec {
     assert((qs -- os) === rowsOnlyByDesign,
       s"every new query needs an oracleSql entry (or add it to the documented rows-only set): ${(qs -- os) -- rowsOnlyByDesign}")
   }
+
+  // Round-6 lesson (q64/q101/q102): DuckDB sum(BIGINT) → HUGEINT and any
+  // DECIMAL surviving to the final schema diverge from Spark's int64 in
+  // the driver's arrow→pandas hash, even when values are byte-identical.
+  // The portability rule is "CAST every output aggregate"; this pins the
+  // textual half (the empirical half — no decimal in either engine's
+  // actual output schema — is tools/local_verify.py's DECIMAL-IN-FINAL-
+  // SCHEMA gate).
+  test("oracle portability contract: output-level sum( is CAST-wrapped; no '0x' hex-literal casts") {
+    // select-list regions at paren depth 0 — the text whose expressions
+    // become output columns (CTE bodies sit at depth > 0 and may carry
+    // bare decimal sums as long as the outer select casts them)
+    def outputRegions(sql: String): Seq[String] = {
+      val s = sql.toLowerCase
+      val out = Seq.newBuilder[String]
+      var depth = 0
+      var selStart = -1
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 0 && s.startsWith("select", i)) { selStart = i + 6; i += 5 }
+            else if (depth == 0 && selStart >= 0 && s.startsWith("from", i) &&
+              (i == 0 || !s.charAt(i - 1).isLetter) &&
+              (i + 4 >= s.length || !s.charAt(i + 4).isLetter)) {
+              out += s.substring(selStart, i); selStart = -1; i += 3
+            }
+        }
+        i += 1
+      }
+      if (selStart >= 0) out += s.substring(selStart) // FROM-less SELECT
+      out.result()
+    }
+    val sumRe = "(?<![a-z_])sum\\s*\\(".r
+    // cast( pins the type; round( always returns DOUBLE in DuckDB —
+    // both neutralize the HUGEINT
+    def wrapped(region: String, at: Int): Boolean =
+      Seq("cast", "round").exists { w =>
+        region.lastIndexOf(w, at) match {
+          case -1 => false
+          case c  => region.substring(c + w.length, at).trim.stripPrefix("(").trim.isEmpty
+        }
+      }
+    val bad = SparkEntry.oracleSql.flatMap { case (name, sql) =>
+      val uncast = outputRegions(sql).flatMap { region =>
+        sumRe.findAllMatchIn(region).filterNot(m => wrapped(region, m.start))
+          .map(m => s"$name: bare output sum( at offset ${m.start}")
+      }
+      val hexCast = if (sql.toLowerCase.contains("'0x'"))
+        Seq(s"$name: CAST('0x'||… AS BIGINT) is not portable across DuckDB versions — parse hex digit-wise (q101 pattern)")
+      else Seq.empty
+      uncast ++ hexCast
+    }
+    assert(bad.isEmpty, s"oracle portability violations:\n  ${bad.mkString("\n  ")}")
+  }
 }

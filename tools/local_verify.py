@@ -1,18 +1,29 @@
 #!/usr/bin/env python3
-"""THE dev-loop replica of the driver's correctness gate (the former
-dev/check_oracle.py and tools/check_oracle.py replicas disagreed on
-float normalization — 9-sig-digit rounding vs exact — and were removed
-in round 5; this single checker compares exactly, via pandas equals
-with dtype alignment, which matched the driver's verdict on every
-round-4 dump). Reads the Verify.scala dump (parquet per query +
-oracle_sql.json), runs each oracle in DuckDB over the same testdata,
-and compares rows / schema / value-hash. Dev tool only — the engine
-itself is pure Scala/Spark.
+"""THE dev-loop replica of the driver's correctness gate.
+
+Round-7 rewrite: the round-6 replica read the Spark parquet THROUGH
+DuckDB and then coerced oracle dtypes onto the Spark frame
+(`astype(s2.dtypes)`), so a DuckDB HUGEINT / DECIMAL(38,0) result
+silently compared equal to a Spark int64 column — the replica said
+ALL GREEN while the driver failed q64/q101/q102 on hash. This version
+is dtype-strict: the Spark side is read with pyarrow, the oracle side
+is fetched as arrow, and the two arrow schemas must agree (up to the
+normalizations the driver itself demonstrably applies — see
+`norm_type`) BEFORE any value comparison. A dtype mismatch is reported
+as its own failure class so the fix lands in the oracle's types, not
+in a value hunt.
+
+Calibration contract: the driver's CORRECTNESS_r06 pass-set is ground
+truth. Everything the driver passed must stay green here (so
+timestamp-tz and large_string differences are normalized away);
+everything it failed (int64 vs HUGEINT/DECIMAL) must fail here.
 
 Usage: python3 tools/local_verify.py <outDir> <sfDir>
 """
 import json, sys, glob, os
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -20,53 +31,121 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
+
+def norm_type(t: pa.DataType) -> pa.DataType:
+    """Normalizations the driver's compare demonstrably applies (its r6
+    verdict passed queries that differ in exactly these ways):
+    timestamp tz + unit (Spark writes timestamp[us, tz=UTC], DuckDB
+    emits timestamp[us]; ns-unit fixtures round-trip), string width
+    (large_string vs string), integer width (q70 passed with spark
+    int32 vs oracle int64), and list value-field nullability/width.
+    Everything else — crucially int vs decimal/float — must match."""
+    if pa.types.is_timestamp(t):
+        return pa.timestamp("us")
+    if pa.types.is_integer(t):
+        return pa.int64()
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return pa.string()
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pa.list_(norm_type(t.value_type))
+    if pa.types.is_dictionary(t):
+        return norm_type(t.value_type)
+    return t
+
+
+def decimal_cols(tbl: pa.Table):
+    """Decimal (incl. DuckDB HUGEINT→decimal128) in a FINAL schema is a
+    portability hazard even when both sides agree locally: the driver's
+    arrow→pandas conversion degrades decimals, and its DuckDB version
+    may render/convert them differently (round-6 q101 failed the
+    driver's hash while byte-identical under local DuckDB 1.0.0).
+    Repo rule: final schemas carry only BIGINT/DOUBLE/VARCHAR/DATE/
+    BOOLEAN — sum through DECIMAL internally, CAST on output."""
+    return [f.name for f in tbl.schema if pa.types.is_decimal(f.type)]
+
+
+def to_pandas_sorted(tbl: pa.Table, cols):
+    df = tbl.select(cols).to_pandas(types_mapper=None)
+    # tz-aware → naive, and one datetime unit, so tz/unit-normalized
+    # columns compare by instant; ints to one width (norm_type already
+    # gated signed-width only)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            if getattr(df[c].dt, "tz", None) is not None:
+                df[c] = df[c].dt.tz_localize(None)
+            df[c] = df[c].astype("datetime64[us]")
+        if str(df[c].dtype) in ("int8", "int16", "int32", "uint8", "uint16", "uint32", "uint64"):
+            df[c] = df[c].astype("int64")
+        # lists arrive as np.ndarray cells; normalize to tuples so equals() works
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list,)) or type(v).__name__ == "ndarray" else v)
+    return df.sort_values(cols).reset_index(drop=True)
+
+
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
 for name in sorted(os.listdir(outdir)):
     qdir = os.path.join(outdir, name)
     if not os.path.isdir(qdir):
         continue
-    files = glob.glob(f"{qdir}/*.parquet")
+    files = sorted(glob.glob(f"{qdir}/*.parquet"))
     if not files:
         print(f"{name}: NO SPARK OUTPUT")
         fails.append(name)
         continue
-    sdf = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+    stbl = pq.read_table(files)
     if name not in oracles:
-        print(f"{name}: rows-only (no oracle) spark_rows={len(sdf)}")
-        if len(sdf) == 0:
+        print(f"{name}: rows-only (no oracle) spark_rows={stbl.num_rows}")
+        if stbl.num_rows == 0:
             fails.append(name)
         continue
     try:
-        odf = con.execute(oracles[name]).fetchdf()
+        otbl = con.execute(oracles[name]).arrow()
     except Exception as e:
         print(f"{name}: ORACLE ERROR {e}")
         fails.append(name)
         continue
-    ok_rows = len(sdf) == len(odf)
-    scols = sorted(sdf.columns)
-    ocols = sorted(odf.columns)
+    ok_rows = stbl.num_rows == otbl.num_rows
+    scols, ocols = sorted(stbl.column_names), sorted(otbl.column_names)
     ok_schema = scols == ocols
+    ok_dtype = False
     ok_hash = False
-    if ok_rows and ok_schema:
-        s2 = sdf[scols].sort_values(scols).reset_index(drop=True)
-        o2 = odf[scols].sort_values(scols).reset_index(drop=True)
+    hazards = decimal_cols(stbl) + [c + " (oracle)" for c in decimal_cols(otbl)]
+    if hazards:
+        print(f"{name}: DECIMAL IN FINAL SCHEMA ({', '.join(hazards)}) — "
+              "driver-portability hazard; CAST the output to BIGINT/DOUBLE")
+        fails.append(name)
+        continue
+    if ok_schema:
+        mism = []
+        for c in scols:
+            st = norm_type(stbl.schema.field(c).type)
+            ot = norm_type(otbl.schema.field(c).type)
+            if not st.equals(ot):
+                mism.append(f"{c}: spark={stbl.schema.field(c).type} oracle={otbl.schema.field(c).type}")
+        ok_dtype = not mism
+        if mism:
+            print(f"{name}: DTYPE MISMATCH — fix the oracle's types, not the values")
+            for m in mism:
+                print(f"  {m}")
+    if ok_rows and ok_schema and ok_dtype:
         try:
-            import pandas as pd
-            ok_hash = s2.equals(o2.astype(s2.dtypes.to_dict()))
+            s2 = to_pandas_sorted(stbl, scols)
+            o2 = to_pandas_sorted(otbl, scols)
+            ok_hash = s2.equals(o2)
             if not ok_hash:
-                # show first diff
                 for c in scols:
-                    if not s2[c].equals(o2[c].astype(s2[c].dtype)):
-                        diffs = (s2[c] != o2[c].astype(s2[c].dtype))
-                        i = diffs[diffs].index[0]
+                    if not s2[c].equals(o2[c]):
+                        neq = ~(s2[c].eq(o2[c]) | (s2[c].isna() & o2[c].isna()))
+                        idx = neq[neq].index
+                        i = idx[0] if len(idx) else 0
                         print(f"  first diff col={c} row={i}: spark={s2[c][i]!r} oracle={o2[c][i]!r}")
                         break
         except Exception as e:
             print(f"  compare error: {e}")
-    status = "OK" if (ok_rows and ok_schema and ok_hash) else \
-        f"FAIL rows={ok_rows}({len(sdf)}/{len(odf)}) schema={ok_schema} hash={ok_hash}"
-    if not (ok_rows and ok_schema and ok_hash):
+    status = "OK" if (ok_rows and ok_schema and ok_dtype and ok_hash) else \
+        f"FAIL rows={ok_rows}({stbl.num_rows}/{otbl.num_rows}) schema={ok_schema} dtype={ok_dtype} hash={ok_hash}"
+    if not (ok_rows and ok_schema and ok_dtype and ok_hash):
         if not ok_schema:
             print(f"  spark cols={scols}\n  oracle cols={ocols}")
         fails.append(name)
