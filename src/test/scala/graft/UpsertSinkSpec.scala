@@ -62,6 +62,37 @@ class UpsertSinkSpec extends SparkSpec {
     UpsertSinkSource.drop(t)
   }
 
+  test("file-backed store: commits install manifests over bucketed spill files; no rows on the driver") {
+    val t = "t_manifest_" + System.nanoTime()
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save()
+    val m1 = UpsertSinkSource.readManifest(t).get
+    assert(m1.version === 1L && m1.segments.size === 1 && m1.keys === Seq("k"))
+    Seq((2L, "b2", 2.5)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save()
+    val m2 = UpsertSinkSource.readManifest(t).get
+    assert(m2.version === 2L && m2.segments.size === 2,
+      "append must add a segment, not rewrite the table")
+    // rows live in bucketed data files referenced by the manifest
+    val dataFiles = m2.segments.flatMap(_.files.values.flatten)
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach { f =>
+      assert(java.nio.file.Files.exists(
+        UpsertSinkSource.tableDir(t).resolve("data").resolve(f)), s"missing $f")
+    }
+    // merge-on-read resolves newest-wins across segments
+    assert(readBack(t) === Set((1L, "a", 1.0), (2L, "b2", 2.5)))
+    // truncate-and-load resets the segment chain
+    Seq((9L, "z", 9.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k")
+      .mode("overwrite").save()
+    assert(UpsertSinkSource.readManifest(t).get.segments.size === 1)
+    UpsertSinkSource.drop(t)
+    assert(UpsertSinkSource.readManifest(t).isEmpty, "drop must remove the store")
+  }
+
   test("read-back scan partitions the committed rows") {
     val t = "t_parts_" + System.nanoTime()
     (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("k", "name", "v")
