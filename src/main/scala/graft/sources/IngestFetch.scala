@@ -56,6 +56,48 @@ final class StubTransport extends EnvelopeTransport {
     }
 }
 
+/** The real wire transport: one HTTP client per PARTITION (pooled
+  * connections — the executor-side analog of the reference's per-run
+  * `requests` session), one POST per work unit with the reference's
+  * request-body shape (`{s_code, sale_date}`, load_sales_data.py:84-93),
+  * response body returned raw for [[graft.ops.RelationalOps.decodeEnvelope]].
+  *
+  * Holds only the endpoint string — Serializable by construction, the
+  * client opens lazily inside `fetchPartition` (the seam's contract).
+  * An IOException propagates and fails the task: Spark's task retry IS
+  * the ingest retry policy, and a partial partition is never observed
+  * downstream. Non-2xx responses still carry the API's error envelope
+  * body, which the decode layer's ret_code gate (not the transport)
+  * adjudicates — same split as the reference (:97-99).
+  *
+  * IngestSpec drives this against a 127.0.0.1 loopback server inside
+  * the JVM — the full worklist → HTTP POST → envelope → decode chain,
+  * no external network.
+  */
+final class HttpTransport(endpoint: String,
+                          connectTimeoutMs: Int = 5000,
+                          readTimeoutMs: Int = 30000) extends EnvelopeTransport {
+  override def fetchPartition(requests: Iterator[FetchRequest]): Iterator[String] = {
+    if (requests.isEmpty) Iterator.empty
+    else {
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs.toLong))
+        .build()
+      val uri = java.net.URI.create(endpoint)
+      requests.map { r =>
+        val body = s"""{"s_code":${r.storeId},"sale_date":"${r.date}"}"""
+        val req = java.net.http.HttpRequest.newBuilder(uri)
+          .timeout(java.time.Duration.ofMillis(readTimeoutMs.toLong))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build()
+        client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      }
+    }
+  }
+}
+
 object IngestFetch {
   /** Drive the transport over a worklist (store_id LONG, d DATE — the
     * [[WorklistSource]] schema): one raw envelope string per work
