@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.RelationalOps
+import graft.ops.{ReconcileOps, RelationalOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -27,22 +27,6 @@ object OpsQueries {
     f.delete(): Unit
   }
 
-  /** Portable row digest, split into two BIGINT halves: both engines
-    * md5 the identical canonical text, then parse hex digits 1–8
-    * (32 bits, `hi`) and 9–15 (28 bits, `lo`) as exact integers. Two
-    * independent sums of these halves are the checksum. Why halves and
-    * not one 60-bit digest summed through DECIMAL(38,0): the graded
-    * artifact's final schema must carry only BIGINT/DOUBLE/VARCHAR/
-    * DATE/BOOLEAN — DuckDB HUGEINT/DECIMAL results lose exactness in
-    * the driver's arrow→pandas conversion (the round-6 q64/q101/q102
-    * hash failures were all this), so no decimal may survive to the
-    * output. Sum of 2^32-bounded halves stays in BIGINT up to ~2^31
-    * rows per partition; at true 100-TB partition the scan finer or
-    * promote both engines to DECIMAL(38,0) *internally* and still emit
-    * split BIGINTs.
-    */
-  private def digestHalf(h: org.apache.spark.sql.Column, pos: Int, len: Int) =
-    conv(substring(h, pos, len), 16, 10).cast("long")
 
   val queries: Map[String, Q] = Map(
     // End-to-end streaming mart maintenance, executed for real (q46
@@ -93,36 +77,26 @@ object OpsQueries {
         .option("table", table).load()
     }),
 
-    // Order-insensitive table checksum (the pt-table-checksum /
-    // data-diff pattern): canonicalize each row to a delimiter-joined
-    // string with pinned, NULL-safe formatting — every field is
-    // coalesced to a '<NULL>' sentinel (so a NULL is digest-distinct
-    // from an empty string and from a NULL in a *different* field) and
-    // free-text fields escape the '|' delimiter, money renders through
-    // DECIMAL(18,2) and dates through DATE (identical text both
-    // engines) — md5 it, and SUM the digest's two hex halves per month
-    // partition. Equal (n_rows, checksum_hi, checksum_lo) per
-    // partition ⇒ equal content with no row shipped and no sort
-    // anywhere — comparing a 100 TB mart across systems costs one
-    // scan + a tiny agg on each side. See digestHalf for why the
-    // checksum is two BIGINTs rather than one decimal sum.
-    "q101_table_checksum" -> ((s, d) => {
-      val nul = lit("<NULL>")
-      def f(c: org.apache.spark.sql.Column) = coalesce(c.cast("string"), nul)
-      def esc(c: org.apache.spark.sql.Column) =
-        coalesce(regexp_replace(c, "\\|", "\\\\|"), nul)
-      val canon = concat_ws("|",
-        f(col("o_orderkey")), f(col("o_custkey")), esc(col("o_orderstatus")),
-        f(col("o_totalprice").cast(DecimalType(18, 2))),
-        f(col("o_orderdate").cast("date")), esc(col("o_orderpriority")))
-      Tables.orders(s, d)
-        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
-          md5(canon).as("h"))
-        .groupBy(col("month"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(digestHalf(col("h"), 1, 8)).as("checksum_hi"),
-          sum(digestHalf(col("h"), 9, 7)).as("checksum_lo"))
-    }),
+    // Order-insensitive table checksum via ops.ReconcileOps (the
+    // pt-table-checksum / data-diff pattern; canonicalization and
+    // two-BIGINT-halves rationale documented there): pinned DECIMAL
+    // money / DATE date rendering, delimiter-escaped free text, one
+    // (n_rows, checksum_hi, checksum_lo) row per month partition.
+    // Equal tuples ⇒ equal content with no row shipped — comparing a
+    // 100 TB mart across systems costs one scan + a tiny agg per side.
+    // ReconcileOpsSpec runs the two-sided migration proof over the
+    // flagship mart; this query grades the digest against DuckDB.
+    "q101_table_checksum" -> ((s, d) =>
+      graft.ops.ReconcileOps.tableChecksum(
+        Tables.orders(s, d),
+        Seq(ReconcileOps.canonField(col("o_orderkey")),
+          ReconcileOps.canonField(col("o_custkey")),
+          ReconcileOps.escaped(col("o_orderstatus")),
+          ReconcileOps.canonField(col("o_totalprice").cast(DecimalType(18, 2))),
+          ReconcileOps.canonField(col("o_orderdate").cast("date")),
+          ReconcileOps.escaped(col("o_orderpriority"))),
+        date_format(col("o_orderdate"), "yyyy-MM"))
+        .withColumnRenamed("part", "month")),
 
     // Exact join-cardinality profiler: predicted |orders ⋈ lineitem|
     // from the two sides' key histograms — Σ_k cnt_a(k)·cnt_b(k) —
