@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.RelationalOps._
-import graft.queries.{CurateQueries, DeepQueries, ExtQueries, HardenQueries, NorthQueries, OpsQueries, PipelineQueries, RefQueries, ServeQueries, WidenQueries}
+import graft.queries.{CurateQueries, DeepQueries, ExtQueries, HardenQueries, MaintainQueries, NorthQueries, OpsQueries, PipelineQueries, RefQueries, ServeQueries, WidenQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,7 +81,7 @@ object SparkEntry {
     RefQueries.queries ++ NorthQueries.queries ++ ExtQueries.queries ++
       HardenQueries.queries ++ WidenQueries.queries ++
       PipelineQueries.queries ++ DeepQueries.queries ++ CurateQueries.queries ++
-      ServeQueries.queries ++ OpsQueries.queries
+      ServeQueries.queries ++ OpsQueries.queries ++ MaintainQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -91,5 +91,5 @@ object SparkEntry {
     RefQueries.oracle ++ NorthQueries.oracle ++ ExtQueries.oracle ++
       HardenQueries.oracle ++ WidenQueries.oracle ++
       PipelineQueries.oracle ++ DeepQueries.oracle ++ CurateQueries.oracle ++
-      ServeQueries.oracle ++ OpsQueries.oracle
+      ServeQueries.oracle ++ OpsQueries.oracle ++ MaintainQueries.oracle
 }
