@@ -72,6 +72,11 @@ object OpsQueries {
         graft.streaming.StreamingOps
           .maintainMart(agg, table, Seq("user_id", "day"), s"$base/ckpt")
           .awaitTermination()
+        // maintenance duty cycle at drain end: fold the per-batch
+        // segment chain to one and reclaim the orphans, so the serving
+        // read opens O(buckets) files instead of O(batches x buckets)
+        graft.sources.UpsertSinkSource.compact(s, table)
+        graft.sources.UpsertSinkSource.vacuum(table)
       } finally rmTree(new java.io.File(base))
       s.read.format("graft.sources.UpsertSinkSource")
         .option("table", table).load()

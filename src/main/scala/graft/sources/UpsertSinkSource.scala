@@ -169,6 +169,47 @@ object UpsertSinkSource {
     }
   }
 
+  /** Segment compaction: fold the whole segment chain into ONE segment
+    * by round-tripping the table through the engine — merge-on-read
+    * resolves every key to its newest row, the truncate-write installs
+    * the result as a fresh single-segment manifest. Rows move executor
+    * →files→executor; the driver still only sees file names. Run it
+    * when the chain grows (a nightly stream adds one segment per
+    * batch; scan cost is O(segments) per bucket until folded) — the
+    * same duty cycle as parquet small-file compaction
+    * ([[Compaction]]), expressed through the sink's own protocol.
+    * Then [[vacuum]] reclaims the unreferenced files. Single-maintainer
+    * assumption: don't run concurrently with scans of the same table.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    readManifest(table).foreach { m =>
+      if (m.segments.size > 1) {
+        spark.read.format("graft.sources.UpsertSinkSource")
+          .option("table", table).load()
+          .write.format("graft.sources.UpsertSinkSource")
+          .option("table", table).option("keys", m.keys.mkString(","))
+          .mode("overwrite").save()
+      }
+    }
+  }
+
+  /** Delete data files no current manifest segment references (left
+    * behind by compaction/truncate — commits never delete eagerly, so
+    * a reader holding the PREVIOUS manifest snapshot stays consistent
+    * until vacuum runs).
+    */
+  def vacuum(table: String): Unit = {
+    readManifest(table).foreach { m =>
+      val live = m.segments.flatMap(_.files.values.flatten).toSet
+      val dataDir = tableDir(table).resolve("data")
+      if (Files.exists(dataDir)) {
+        Files.list(dataDir).iterator().asScala.toSeq
+          .filterNot(p => live.contains(p.getFileName.toString))
+          .foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** Test/ops hook: drop a table (not reachable from query plans). */
   def drop(name: String): Unit = {
     val dir = tableDir(name)

@@ -93,6 +93,35 @@ class UpsertSinkSpec extends SparkSpec {
     assert(UpsertSinkSource.readManifest(t).isEmpty, "drop must remove the store")
   }
 
+  test("compaction folds the segment chain to one; vacuum reclaims orphaned files") {
+    val t = "t_compact_" + System.nanoTime()
+    // 3 batches → 3 segments, with key overlap across batches
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k").mode("append").save()
+    Seq((2L, "b2", 2.5), (3L, "c", 3.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k").mode("append").save()
+    Seq((3L, "c2", 3.5)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k").mode("append").save()
+    assert(UpsertSinkSource.readManifest(t).get.segments.size === 3)
+    val before = readBack(t)
+    assert(before === Set((1L, "a", 1.0), (2L, "b2", 2.5), (3L, "c2", 3.5)))
+
+    UpsertSinkSource.compact(spark, t)
+    val m = UpsertSinkSource.readManifest(t).get
+    assert(m.segments.size === 1, "compaction must fold the chain to one segment")
+    assert(m.keys === Seq("k"), "compaction must preserve the merge-key property")
+    assert(readBack(t) === before, "compaction must not change table content")
+
+    val dataDir = UpsertSinkSource.tableDir(t).resolve("data")
+    val countFiles = () => java.nio.file.Files.list(dataDir).count()
+    val live = m.segments.flatMap(_.files.values.flatten).toSet
+    assert(countFiles() > live.size, "pre-vacuum: orphaned segment files remain on disk")
+    UpsertSinkSource.vacuum(t)
+    assert(countFiles() === live.size.toLong, "vacuum must keep exactly the referenced files")
+    assert(readBack(t) === before, "vacuum must not touch live data")
+    UpsertSinkSource.drop(t)
+  }
+
   test("read-back scan partitions the committed rows") {
     val t = "t_parts_" + System.nanoTime()
     (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("k", "name", "v")
