@@ -72,6 +72,39 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("non-2xx responses still surface the API's error envelope; the decode gate, not the transport, adjudicates") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/pos", (exchange: HttpExchange) => {
+      exchange.getRequestBody.readAllBytes()
+      val bytes = """{"ret_code":"9999","data":[]}""".getBytes("UTF-8")
+      exchange.sendResponseHeaders(503, bytes.length.toLong) // API down, body still an envelope
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.setExecutor(Executors.newFixedThreadPool(2))
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/pos"
+      val raw = IngestFetch.fetchEnvelopes(
+        worklist(4, "2024-03-01", "2024-03-01", 2), new HttpTransport(endpoint))
+        .as[String].collect().toSeq
+      assert(raw.size === 4 && raw.forall(_.contains("\"9999\"")),
+        "transport must hand the error envelope to the decode layer, not swallow or throw")
+    } finally server.stop(0)
+  }
+
+  test("connection failure fails the task (Spark retry IS the ingest retry policy)") {
+    // port 1 on loopback: nothing listens; connect must raise and the
+    // partition task must fail rather than emit partial results
+    val ex = intercept[Exception] {
+      IngestFetch.fetchEnvelopes(
+        worklist(2, "2024-03-01", "2024-03-01", 1),
+        new HttpTransport("http://127.0.0.1:1/pos", connectTimeoutMs = 500))
+        .as[String].collect()
+    }
+    assert(ex != null)
+  }
+
   test("full reference ingest chain over the wire: worklist → POST → decodeEnvelope gate") {
     val hits = new AtomicInteger(0)
     withPosServer(hits) { endpoint =>

@@ -84,6 +84,13 @@ def to_pandas_sorted(tbl: pa.Table, cols):
 
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
+# a query that THREW inside Verify writes no dump dir at all — without
+# this check it would silently vanish from the report (it has an oracle
+# entry, so the driver's gate would fail it; the replica must too)
+dumped = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
+for name in sorted(set(oracles) - dumped):
+    print(f"{name}: MISSING SPARK DUMP (query failed inside Verify?)")
+    fails.append(name)
 for name in sorted(os.listdir(outdir)):
     qdir = os.path.join(outdir, name)
     if not os.path.isdir(qdir):
