@@ -31,17 +31,76 @@ import org.apache.spark.sql.DataFrame
   */
 object JdbcUpsert {
 
+  /** The one statement that differs per backend: how `stage` merges
+    * into `table` by `keys`. Everything else — executor-parallel
+    * staging write, single transaction, create-on-first-use — is
+    * dialect-independent. This is the "dialect差 is config, not
+    * architecture" seam made concrete.
+    */
+  trait UpsertDialect {
+    def mergeStatement(table: String, stage: String,
+                       cols: Seq[String], keys: Seq[String]): String
+  }
+
+  /** ANSI `MERGE INTO` (Derby, Postgres 15+, SQL Server, Oracle).
+    * Double-quoted column identifiers, matching Spark's JDBC writer.
+    */
+  object AnsiMergeDialect extends UpsertDialect {
+    override def mergeStatement(table: String, stage: String,
+                                cols: Seq[String], keys: Seq[String]): String = {
+      def q(c: String) = "\"" + c + "\""
+      val nonKeys = cols.filterNot(keys.contains)
+      val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val setClause =
+        if (nonKeys.isEmpty) ""
+        else nonKeys.map(c => s"${q(c)} = s.${q(c)}")
+          .mkString(" WHEN MATCHED THEN UPDATE SET ", ", ", "")
+      val insertCols = cols.map(q).mkString(", ")
+      val insertVals = cols.map(c => s"s.${q(c)}").mkString(", ")
+      s"""MERGE INTO $table t USING $stage s ON $on$setClause
+         | WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"""
+        .stripMargin
+    }
+  }
+
+  /** MySQL `INSERT … ON DUPLICATE KEY UPDATE` — the REFERENCE'S exact
+    * sink statement shape (load_sales_data.py:42-53 builds precisely
+    * this against the `tb_sales_by_*` PK), set-based over the stage
+    * instead of one round trip per row. Backtick identifiers; the
+    * row alias (`AS s` … `s.col`, MySQL 8.0.19+) replaces the
+    * deprecated VALUES() form. A keys-only table degenerates to a
+    * no-op self-assignment on the first key (MySQL requires at least
+    * one assignment; matched rows are already identical).
+    */
+  object MySqlUpsertDialect extends UpsertDialect {
+    override def mergeStatement(table: String, stage: String,
+                                cols: Seq[String], keys: Seq[String]): String = {
+      def q(c: String) = "`" + c + "`"
+      val nonKeys = cols.filterNot(keys.contains)
+      val assignments =
+        if (nonKeys.isEmpty) Seq(s"${q(keys.head)} = s.${q(keys.head)}")
+        else nonKeys.map(c => s"${q(c)} = s.${q(c)}")
+      s"INSERT INTO ${q(table)} (${cols.map(q).mkString(", ")}) " +
+        s"SELECT ${cols.map(q).mkString(", ")} FROM ${q(stage)} AS s " +
+        s"ON DUPLICATE KEY UPDATE ${assignments.mkString(", ")}"
+    }
+  }
+
   /** Merge `df` into `table` by `keys`. Creates the target (empty,
     * stage-shaped) on first use. The staging table `<table>_stage` is
     * overwritten per call. String KEY columns must be given a VARCHAR
     * width via `createTableColumnTypes` (e.g. "dy VARCHAR(32)") —
     * Spark's default Derby mapping is CLOB, which SQL engines refuse
     * as an equality/merge key (the reference's DDL types its keys
-    * VARCHAR for the same reason).
+    * VARCHAR for the same reason). `dialect` picks the merge
+    * statement; the sandbox executes [[AnsiMergeDialect]] on embedded
+    * Derby, a MySQL deployment passes [[MySqlUpsertDialect]] with the
+    * same url/props swap.
     */
   def mergeInto(df: DataFrame, url: String, table: String,
                 keys: Seq[String], props: Properties,
-                createTableColumnTypes: Option[String] = None): Unit = {
+                createTableColumnTypes: Option[String] = None,
+                dialect: UpsertDialect = AnsiMergeDialect): Unit = {
     require(keys.nonEmpty, "keyed upsert requires at least one key column")
     val cols = df.columns.toSeq
     require(keys.forall(cols.contains), s"keys $keys must all be in ${cols}")
@@ -51,15 +110,7 @@ object JdbcUpsert {
     createTableColumnTypes.foreach(t => w.option("createTableColumnTypes", t))
     w.jdbc(url, stage, props)
 
-    def q(c: String) = "\"" + c + "\""
-    val nonKeys = cols.filterNot(keys.contains)
-    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-    val setClause =
-      if (nonKeys.isEmpty) ""
-      else nonKeys.map(c => s"${q(c)} = s.${q(c)}")
-        .mkString(" WHEN MATCHED THEN UPDATE SET ", ", ", "")
-    val insertCols = cols.map(q).mkString(", ")
-    val insertVals = cols.map(c => s"s.${q(c)}").mkString(", ")
+    def q(c: String) = "\"" + c + "\"" // target DDL below (Derby-create path)
 
     val conn = DriverManager.getConnection(url, props)
     try {
@@ -84,10 +135,7 @@ object JdbcUpsert {
             s"CREATE UNIQUE INDEX ${table}_pk ON $table " +
               keys.map(q).mkString("(", ", ", ")"))
         }
-        st.executeUpdate(
-          s"""MERGE INTO $table t USING $stage s ON $on$setClause
-             | WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"""
-            .stripMargin)
+        st.executeUpdate(dialect.mergeStatement(table, stage, cols, keys))
         conn.commit()
       } catch {
         case e: Throwable => conn.rollback(); throw e

@@ -97,4 +97,29 @@ class JdbcSpec extends SparkSpec {
     assert(state === Set((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 25.0),
       (3L, "2024-01-02", 30.0)))
   }
+
+  test("MySQL dialect emits the reference's INSERT … ON DUPLICATE KEY UPDATE shape") {
+    import graft.sources.JdbcUpsert
+    // the statement the reference hand-builds per row
+    // (load_sales_data.py:42-53), here set-based over the stage; no
+    // MySQL server in the sandbox, so the generated SQL itself is the
+    // pinned contract (the Derby-executed ANSI arm above proves the
+    // shared staging/transaction machinery live)
+    val sql = JdbcUpsert.MySqlUpsertDialect.mergeStatement(
+      "tb_sales_by_day", "tb_sales_by_day_stage",
+      Seq("chain", "dy", "amt", "cnt"), Seq("chain", "dy"))
+    assert(sql ===
+      "INSERT INTO `tb_sales_by_day` (`chain`, `dy`, `amt`, `cnt`) " +
+        "SELECT `chain`, `dy`, `amt`, `cnt` FROM `tb_sales_by_day_stage` AS s " +
+        "ON DUPLICATE KEY UPDATE `amt` = s.`amt`, `cnt` = s.`cnt`")
+    // keys-only degenerate form still emits a legal statement
+    val keysOnly = JdbcUpsert.MySqlUpsertDialect.mergeStatement(
+      "t", "t_stage", Seq("k"), Seq("k"))
+    assert(keysOnly.endsWith("ON DUPLICATE KEY UPDATE `k` = s.`k`"))
+    // both dialects agree on the update/insert column partition
+    val ansi = JdbcUpsert.AnsiMergeDialect.mergeStatement(
+      "t", "t_stage", Seq("chain", "dy", "amt"), Seq("chain", "dy"))
+    assert(ansi.contains("WHEN MATCHED THEN UPDATE SET \"amt\" = s.\"amt\"") &&
+      !ansi.contains("UPDATE SET \"chain\""))
+  }
 }
