@@ -240,29 +240,35 @@ private[sources] class UpsertSinkTable(tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SinkWriteBuilder(tblName, info.schema(),
-      UpsertSinkSource.keyCols(options))
+      UpsertSinkSource.keyCols(options),
+      options.getInt("buckets", UpsertSinkSource.DefaultBuckets))
 }
 
 private[sources] class SinkWriteBuilder(table: String, schema: StructType,
-                                        keys: Seq[String])
+                                        keys: Seq[String], requestedBuckets: Int)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new SinkBatchWrite(table, schema, keys, overwrite)
+    override def toBatch: BatchWrite =
+      new SinkBatchWrite(table, schema, keys, overwrite, requestedBuckets)
   }
 }
 
 private[sources] class SinkBatchWrite(table: String, schema: StructType,
-                                      keys: Seq[String], overwrite: Boolean)
+                                      keys: Seq[String], overwrite: Boolean,
+                                      requestedBuckets: Int)
     extends BatchWrite {
 
-  // bucket count is a table property fixed at first write — segments
-  // can only merge-on-read if every segment agrees on the layout
+  // bucket count is a table property fixed at FIRST write (segments
+  // can only merge-on-read if every segment agrees on the layout):
+  // an existing table keeps its layout; a new one takes the `buckets`
+  // write option — the scale knob (buckets ∝ data so a bucket's
+  // merge-on-read working set stays executor-sized at 100 TB)
   private val buckets: Int = UpsertSinkSource.readManifest(table)
-    .map(_.buckets).getOrElse(UpsertSinkSource.DefaultBuckets)
+    .map(_.buckets).getOrElse(requestedBuckets)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(UpsertSinkSource.tableDir(table).resolve("data"))

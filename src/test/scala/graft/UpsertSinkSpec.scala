@@ -122,6 +122,22 @@ class UpsertSinkSpec extends SparkSpec {
     UpsertSinkSource.drop(t)
   }
 
+  test("bucket count is a first-write table property, settable via the buckets option") {
+    val t = "t_buckets_" + System.nanoTime()
+    (1L to 40L).map(i => (i, s"n$i", i.toDouble)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k")
+      .option("buckets", "4").mode("append").save()
+    val m = UpsertSinkSource.readManifest(t).get
+    assert(m.buckets === 4)
+    // appends inherit the layout even with a different option value
+    Seq((41L, "x", 41.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k")
+      .option("buckets", "16").mode("append").save()
+    assert(UpsertSinkSource.readManifest(t).get.buckets === 4)
+    assert(readBack(t).size === 41)
+    UpsertSinkSource.drop(t)
+  }
+
   test("read-back scan partitions the committed rows") {
     val t = "t_parts_" + System.nanoTime()
     (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("k", "name", "v")
