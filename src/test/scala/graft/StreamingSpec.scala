@@ -230,6 +230,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart-resume: a second drain over the SAME checkpoint processes only newly staged files") {
+    // the O(delta) claim of maintainMart's scaladoc, pinned: after a
+    // drain, staging MORE arrival files and re-draining from the same
+    // checkpoint must (a) yield the full-history aggregate and
+    // (b) APPEND to the sink's segment chain rather than rebuild it —
+    // a restart that re-read history would also double the counts,
+    // so (a) alone already catches reprocessing; (b) pins incremental
+    // commit cost
+    import graft.sources.UpsertSinkSource
+    import org.apache.spark.sql.types.DecimalType
+    val nonce = System.nanoTime()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_resume_$nonce"
+    val staged = s"$base/staged"
+    val table = s"resume_mart_$nonce"
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, d).select(col("user_id"), col("ts"), col("value"))
+    val jan = ev.filter(dayofmonth(col("ts")) <= 15)
+    val rest = ev.filter(dayofmonth(col("ts")) > 15)
+    try {
+      jan.repartition(2).write.mode("append").parquet(staged)
+      def drain(): Unit = {
+        val stream = spark.readStream.schema(spark.read.parquet(staged).schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged)
+        val agg = stream
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast(DecimalType(18, 2))).as("_amt"),
+            count(lit(1)).as("n"))
+          .select(col("user_id"), col("day"),
+            col("_amt").cast("double").as("amt"), col("n"))
+        graft.streaming.StreamingOps
+          .maintainMart(agg, table, Seq("user_id", "day"), s"$base/ckpt")
+          .awaitTermination()
+      }
+      drain()
+      val segsAfterFirst = UpsertSinkSource.readManifest(table).get.segments.size
+      rest.repartition(2).write.mode("append").parquet(staged)
+      drain() // same checkpoint: must pick up ONLY the two new files
+      val m = UpsertSinkSource.readManifest(table).get
+      assert(m.segments.size > segsAfterFirst,
+        "second drain must append segments, not rebuild the table")
+      val mart = spark.read.format("graft.sources.UpsertSinkSource")
+        .option("table", table).load()
+        .select(col("user_id"), col("day").cast("string"), col("amt"), col("n"))
+        .as[(Long, String, Double, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val expected = ev
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("amt"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("day").cast("string"), col("amt"), col("n"))
+        .as[(Long, String, Double, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(mart === expected,
+        "resumed drain must converge to the full-history aggregate exactly")
+    } finally {
+      UpsertSinkSource.drop(table)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("q100 stream mart: a second invocation in the same session converges to the same table") {
     // regression pin: staging + checkpoint + table must be per-
     // invocation — re-staging under a reused checkpoint would surface
