@@ -49,6 +49,15 @@ class EntrySpec extends SparkSpec {
       s"every new query needs an oracleSql entry (or add it to the documented rows-only set): ${(qs -- os) -- rowsOnlyByDesign}")
   }
 
+  test("survey closure: every graded query is cited in SURVEY.md's operator inventory") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val cited = "`(q\\d{2,3}[a-z0-9_]*)`".r.findAllMatchIn(survey).map(_.group(1)).toSet
+    val uncited = SparkEntry.queries.keySet -- cited
+    assert(uncited.isEmpty,
+      s"graded queries missing from the SURVEY coverage checklist: $uncited")
+  }
+
   // Round-6 lesson (q64/q101/q102): DuckDB sum(BIGINT) → HUGEINT and any
   // DECIMAL surviving to the final schema diverge from Spark's int64 in
   // the driver's arrow→pandas hash, even when values are byte-identical.
