@@ -107,6 +107,10 @@ object JdbcUpsert {
     val stage = table + "_stage"
     val w = df.write.mode("overwrite")
       .option("driver", props.getProperty("driver", ""))
+      // 10k-row insert batches: the stage write is pure bulk load and
+      // the JDBC writer's 1000-row default spends its time in per-batch
+      // round trips (callers can still override via props)
+      .option("batchsize", props.getProperty("batchsize", "10000"))
     createTableColumnTypes.foreach(t => w.option("createTableColumnTypes", t))
     w.jdbc(url, stage, props)
 
