@@ -62,7 +62,12 @@ object MaintainQueries {
       val daily = ev.groupBy(col("day"))
         .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
       // integer epoch-day ordering: RANGE frames take numeric offsets
-      // (a DATE ordering would demand INTERVAL frame bounds)
+      // (a DATE ordering would demand INTERVAL frame bounds). The
+      // window is deliberately unpartitioned — its input is the
+      // DAY-level sketch table (≤1 row per day, bytes per row), so the
+      // single-partition window is metadata-sized at any corpus scale;
+      // a multi-tenant variant partitions by tenant
+      //
       val trailing = daily
         .withColumn("day_i", datediff(col("day"), to_date(lit("1970-01-01"))))
         .select(col("day"),

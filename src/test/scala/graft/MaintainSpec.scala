@@ -2,6 +2,7 @@ package graft
 
 import graft.queries.MaintainQueries
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 
 /** The plan lessons q111–q113 exist to pin (round-7 tier rule: each
   * new query names a plan property no existing query covers).
@@ -43,6 +44,33 @@ class MaintainSpec extends SparkSpec {
       val executed = df.queryExecution.executedPlan.toString
       assert(executed.contains("skew=true"),
         s"AQE did not split the skewed partition; executed plan:\n$executed")
+    }
+  }
+
+  test("AQE's other runtime re-plan: a statically-SMJ join converts to broadcast when runtime sizes allow") {
+    // the dual of q113's skew split: static stats say shuffle (we force
+    // them to, via a tiny threshold), runtime map-output sizes say the
+    // filtered dim is broadcast-small, and AQE rewrites the join mid-
+    // query. On a 100-TB cluster this is what saves the shuffle when a
+    // selective filter guts a dimension the optimizer couldn't predict.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "1b") // static: never broadcast
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "4MB") // runtime: allow
+      val dim = Tables.nation(spark, sf).filter(col("n_regionkey") === 0)
+      val fact = Tables.customer(spark, sf)
+        .join(dim, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      fact.collect()
+      val executed = fact.queryExecution.executedPlan.toString
+      assert(executed.contains("BroadcastHashJoin"),
+        s"AQE did not convert the shuffle join to broadcast at runtime:\n$executed")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
     }
   }
 
