@@ -49,6 +49,13 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // every ATTEMPTED query, oracle-backed or rows-only — the local
+    // replica diffs this against the dump dirs so a rows-only query
+    // that threw (no oracle entry to flag it) can't vanish silently
+    val attempted = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      attempted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   *
   * Canonicalization contract (what makes "equal checksum ⇒ equal
   * content" honest):
-  *   - every field is NULL-coalesced to a sentinel, so a NULL is
-  *     digest-distinct from '' and from a NULL in a different field;
-  *   - [[escaped]] fields escape the '|' delimiter, so field
-  *     boundaries can't collide;
+  *   - every field is NULL-coalesced to the sentinel `\N` (the mysqldump
+  *     convention), so a NULL is digest-distinct from '' and from a
+  *     NULL in a different field;
+  *   - [[escaped]] fields escape the escape char first (`\` → `\\`)
+  *     and then the delimiter (`|` → `\|`), so neither a field
+  *     boundary nor the sentinel can be forged by data: escaped text
+  *     only ever contains backslashes in pairs or before '|', while
+  *     the sentinel is a lone backslash + N;
   *   - callers pin value rendering (DECIMAL(18,2) money, DATE dates)
   *     so both engines print identical text — see q101's column list.
   *
@@ -27,18 +31,23 @@ import org.apache.spark.sql.functions._
   * ~2^31 rows per partition; partition finer at 100 TB.
   */
 object ReconcileOps {
-  private val NullSentinel = "<NULL>"
+  private val NullSentinel = "\\N" // lone \ + N: unforgeable once data \ are doubled
 
-  /** NULL-safe canonical rendering of one field. */
+  /** NULL-safe canonical rendering of a field whose string form can
+    * contain neither '\' nor '|' (numerics, dates, pinned decimals).
+    * Free text goes through [[escaped]] instead.
+    */
   def canonField(c: Column): Column =
     coalesce(c.cast("string"), lit(NullSentinel))
 
-  /** NULL-safe rendering for free-text fields that may contain the
-    * delimiter: '|' → '\|'. Apply the same escaping in the other
-    * system's SQL (`replace(col, '|', '\|')`).
+  /** NULL-safe rendering for free-text fields: escape char first
+    * ('\' → '\\'), then delimiter ('|' → '\|'). Apply the same two
+    * replaces in the same order in the other system's SQL
+    * (`replace(replace(col, '\', '\\'), '|', '\|')`).
     */
   def escaped(c: Column): Column =
-    coalesce(regexp_replace(c, "\\|", "\\\\|"), lit(NullSentinel))
+    coalesce(replace(replace(c, lit("\\"), lit("\\\\")), lit("|"), lit("\\|")),
+      lit(NullSentinel))
 
   /** Order-insensitive checksum of `df`, one row per value of
     * `partition`: (part, n_rows, checksum_hi, checksum_lo). `fields`

@@ -116,6 +116,8 @@ object HardenQueries {
     "q52_dsv2_sink_upsert" -> ((s, d) => {
       val table = ("mart_" + s.sparkContext.applicationId + "_" + d)
         .replaceAll("[^A-Za-z0-9_]", "_")
+      // served lazily by the returned frame — reclaimed at JVM exit
+      graft.sources.UpsertSinkSource.dropOnExit(table)
       val daily = Tables.orders(s, d)
         .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("day"))
         .agg(sumMoney(col("o_totalprice")).as("amt"), count(lit(1)).as("n"))

@@ -52,6 +52,9 @@ object OpsQueries {
       val staged = s"$base/staged"
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("value"))
       val table = s"stream_mart_$safe"
+      // the served table must outlive this call (the returned frame
+      // reads it lazily) — reclaim it at JVM exit, not eagerly
+      graft.sources.UpsertSinkSource.dropOnExit(table)
       // staged files and the checkpoint are dead once the drain
       // completes (the returned frame reads the SINK table, which
       // must outlive them) — reclaim them in finally so a failed
@@ -195,12 +198,12 @@ object OpsQueries {
     "q101_table_checksum" ->
       """WITH c AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  md5(concat_ws('|',
-        |    coalesce(CAST(o_orderkey AS VARCHAR), '<NULL>'),
-        |    coalesce(CAST(o_custkey AS VARCHAR), '<NULL>'),
-        |    coalesce(replace(o_orderstatus, '|', '\|'), '<NULL>'),
-        |    coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '<NULL>'),
-        |    coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '<NULL>'),
-        |    coalesce(replace(o_orderpriority, '|', '\|'), '<NULL>'))) AS h
+        |    coalesce(CAST(o_orderkey AS VARCHAR), '\N'),
+        |    coalesce(CAST(o_custkey AS VARCHAR), '\N'),
+        |    coalesce(replace(replace(o_orderstatus, '\', '\\'), '|', '\|'), '\N'),
+        |    coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '\N'),
+        |    coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '\N'),
+        |    coalesce(replace(replace(o_orderpriority, '\', '\\'), '|', '\|'), '\N'))) AS h
         |  FROM orders)
         |SELECT month, count(*) AS n_rows,
         |  CAST(sum(CAST(list_sum(list_transform(range(1,9), i ->

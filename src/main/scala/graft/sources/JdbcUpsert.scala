@@ -31,15 +31,28 @@ import org.apache.spark.sql.DataFrame
   */
 object JdbcUpsert {
 
-  /** The one statement that differs per backend: how `stage` merges
-    * into `table` by `keys`. Everything else — executor-parallel
-    * staging write, single transaction, create-on-first-use — is
+  /** What differs per backend: the merge statement, the
+    * create-on-first-use DDL, and how the catalog folds unquoted
+    * names. Everything else — executor-parallel staging write, single
+    * transaction, the probe-create-merge sequence — is
     * dialect-independent. This is the "dialect差 is config, not
     * architecture" seam made concrete.
     */
   trait UpsertDialect {
     def mergeStatement(table: String, stage: String,
                        cols: Seq[String], keys: Seq[String]): String
+
+    /** How this backend's catalog reports an unquoted table name
+      * (Derby folds to upper case; MySQL on Linux keeps it verbatim) —
+      * the create-on-first-use existence probe must match it.
+      */
+    def catalogName(table: String): String
+
+    /** Create the empty, stage-shaped target on first use. */
+    def createTableDdl(table: String, stage: String): String
+
+    /** UNIQUE index on the merge keys (see mergeInto for why). */
+    def createKeyIndexDdl(table: String, keys: Seq[String]): String
   }
 
   /** ANSI `MERGE INTO` (Derby, Postgres 15+, SQL Server, Oracle).
@@ -61,6 +74,15 @@ object JdbcUpsert {
          | WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"""
         .stripMargin
     }
+
+    override def catalogName(table: String): String = table.toUpperCase
+
+    override def createTableDdl(table: String, stage: String): String =
+      s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA"
+
+    override def createKeyIndexDdl(table: String, keys: Seq[String]): String =
+      s"CREATE UNIQUE INDEX ${table}_pk ON $table " +
+        keys.map(k => "\"" + k + "\"").mkString("(", ", ", ")")
   }
 
   /** MySQL `INSERT … ON DUPLICATE KEY UPDATE` — the REFERENCE'S exact
@@ -84,6 +106,16 @@ object JdbcUpsert {
         s"SELECT ${cols.map(q).mkString(", ")} FROM ${q(stage)} AS s " +
         s"ON DUPLICATE KEY UPDATE ${assignments.mkString(", ")}"
     }
+
+    // MySQL on case-sensitive filesystems stores the name verbatim
+    override def catalogName(table: String): String = table
+
+    override def createTableDdl(table: String, stage: String): String =
+      s"CREATE TABLE `$table` LIKE `$stage`"
+
+    override def createKeyIndexDdl(table: String, keys: Seq[String]): String =
+      s"CREATE UNIQUE INDEX `${table}_pk` ON `$table` " +
+        keys.map(k => s"`$k`").mkString("(", ", ", ")")
   }
 
   /** Merge `df` into `table` by `keys`. Creates the target (empty,
@@ -114,8 +146,6 @@ object JdbcUpsert {
     createTableColumnTypes.foreach(t => w.option("createTableColumnTypes", t))
     w.jdbc(url, stage, props)
 
-    def q(c: String) = "\"" + c + "\"" // target DDL below (Derby-create path)
-
     val conn = DriverManager.getConnection(url, props)
     try {
       conn.setAutoCommit(false)
@@ -123,21 +153,18 @@ object JdbcUpsert {
       try {
         val exists = {
           val rs = conn.getMetaData.getTables(null, null,
-            table.toUpperCase, null)
+            dialect.catalogName(table), null)
           try rs.next() finally rs.close()
         }
         if (!exists) {
-          st.executeUpdate(
-            s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+          st.executeUpdate(dialect.createTableDdl(table, stage))
           // UNIQUE index on the merge keys — the reference's tables
           // all carry a PK on exactly these columns (load_sales_data
           // .py:37, load_store_data.py:42-46) and MERGE without it
           // degenerates to a nested-loop of full scans (measured:
           // ~150k×150k row probes at sf0.1 — hours). With the index
           // the merge is |stage| index lookups.
-          st.executeUpdate(
-            s"CREATE UNIQUE INDEX ${table}_pk ON $table " +
-              keys.map(q).mkString("(", ", ", ")"))
+          st.executeUpdate(dialect.createKeyIndexDdl(table, keys))
         }
         st.executeUpdate(dialect.mergeStatement(table, stage, cols, keys))
         conn.commit()

@@ -103,9 +103,17 @@ object UpsertSinkSource {
     n
   }
 
+  // filter keeps ""/",," round-trips (compact rebuilds the option from
+  // manifest.keys.mkString) from resurfacing as a phantom "" key column
   private[sources] def keyCols(opts: CaseInsensitiveStringMap): Seq[String] =
-    Option(opts.get("keys")).map(_.split(",").map(_.trim).toSeq)
+    Option(opts.get("keys")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+
+  private[sources] def bucketCount(opts: CaseInsensitiveStringMap): Int = {
+    val b = opts.getInt("buckets", DefaultBuckets)
+    require(b > 0, s"option 'buckets' must be a positive int, got $b")
+    b
+  }
 
   private[sources] def keyOf(row: InternalRow, schema: StructType,
                              keys: Seq[String]): Seq[Any] =
@@ -203,18 +211,39 @@ object UpsertSinkSource {
       val live = m.segments.flatMap(_.files.values.flatten).toSet
       val dataDir = tableDir(table).resolve("data")
       if (Files.exists(dataDir)) {
-        Files.list(dataDir).iterator().asScala.toSeq
-          .filterNot(p => live.contains(p.getFileName.toString))
-          .foreach(Files.deleteIfExists(_))
+        scala.util.Using.resource(Files.list(dataDir)) { s =>
+          s.iterator().asScala.toSeq
+            .filterNot(p => live.contains(p.getFileName.toString))
+            .foreach(Files.deleteIfExists(_))
+        }
       }
     }
+  }
+
+  // tmpdir janitor: per-invocation nonce'd tables (q52/q100 create a
+  // fresh one per run) would otherwise outlive the JVM and accumulate
+  // on disk forever. Dropping at exit — not eagerly — keeps the served
+  // DataFrame readable for the query's whole lifetime.
+  private val exitDrops = ConcurrentHashMap.newKeySet[String]()
+  private lazy val exitHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitDrops.asScala.foreach(t => try drop(t) catch { case _: Exception => () })))
+    ()
+  }
+
+  /** Schedule a table for deletion at JVM exit (idempotent). */
+  def dropOnExit(table: String): Unit = {
+    exitHook
+    exitDrops.add(table): Unit
   }
 
   /** Test/ops hook: drop a table (not reachable from query plans). */
   def drop(name: String): Unit = {
     val dir = tableDir(name)
     if (Files.exists(dir)) {
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      scala.util.Using.resource(Files.walk(dir)) { s =>
+        s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
     }
     locks.remove(name): Unit
   }
@@ -241,7 +270,7 @@ private[sources] class UpsertSinkTable(tableSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SinkWriteBuilder(tblName, info.schema(),
       UpsertSinkSource.keyCols(options),
-      options.getInt("buckets", UpsertSinkSource.DefaultBuckets))
+      UpsertSinkSource.bucketCount(options))
 }
 
 private[sources] class SinkWriteBuilder(table: String, schema: StructType,
@@ -342,6 +371,7 @@ private[sources] class SinkDataWriter(table: String, schemaJson: String,
   private val streams = scala.collection.mutable.Map.empty[Int, DataOutputStream]
   private val fileNames = scala.collection.mutable.Map.empty[Int, String]
   private val copyBuf = new Array[Byte](64 * 1024) // off-heap-row chunk buffer
+  private var roundRobin = 0 // keyless tables: spread rows, no key to hash
 
   private def streamFor(bucket: Int): DataOutputStream =
     streams.getOrElseUpdate(bucket, {
@@ -353,8 +383,14 @@ private[sources] class SinkDataWriter(table: String, schemaJson: String,
 
   override def write(record: InternalRow): Unit = {
     val row = toUnsafe(record) // reused buffer — serialize immediately
-    val bucket = UpsertSinkSource.bucketOf(
-      UpsertSinkSource.keyOf(row, schema, keys), buckets)
+    // no keys → append-only table: every row is distinct, so hashing
+    // the (empty) key would funnel all data into one bucket AND the
+    // reader's keyed merge would collapse the table to one row —
+    // round-robin instead, and the reader replays without merging
+    val bucket =
+      if (keys.isEmpty) { roundRobin += 1; roundRobin % buckets }
+      else UpsertSinkSource.bucketOf(
+        UpsertSinkSource.keyOf(row, schema, keys), buckets)
     val out = streamFor(bucket)
     out.writeInt(row.getSizeInBytes)
     row.writeToStream(out, copyBuf)
@@ -433,9 +469,11 @@ private[sources] class SinkBucketReader(schemaJson: String, keys: Seq[String],
     if (bucketIdx >= bucketFiles.length) false
     else {
       // newest-wins merge for this bucket: replay oldest→newest,
-      // overwrite by serialized key bytes — two rows with equal key
-      // columns produce equal key-byte strings under one projection
+      // overwrite by key values — two rows with equal key columns
+      // produce equal key seqs under one projection. A keyless table
+      // is append-only: no merge, just replay every row.
       val merged = new util.LinkedHashMap[Seq[Any], UnsafeRow]()
+      val appended = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
       bucketFiles(bucketIdx).foreach { f =>
         val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
         try {
@@ -447,12 +485,13 @@ private[sources] class SinkBucketReader(schemaJson: String, keys: Seq[String],
               in.readFully(bytes)
               val row = new UnsafeRow(numFields)
               row.pointTo(bytes, size)
-              merged.put(UpsertSinkSource.keyOf(row, schema, keys), row): Unit
+              if (keys.isEmpty) appended += row
+              else merged.put(UpsertSinkSource.keyOf(row, schema, keys), row): Unit
             }
           }
         } finally in.close()
       }
-      rows = merged.values().iterator().asScala
+      rows = if (keys.isEmpty) appended.iterator else merged.values().iterator().asScala
       true
     }
   }

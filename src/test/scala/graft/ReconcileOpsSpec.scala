@@ -56,6 +56,10 @@ class ReconcileOpsSpec extends SparkSpec {
       "NULL and '' must not collide (round-6 ADVICE)")
     assert(one(Some("a|b"), "c") !== one(Some("a"), "b|c"),
       "delimiter inside a field must not shift field boundaries")
+    assert(one(None, "x") !== one(Some("\\N"), "x"),
+      "the literal string \\N must not collide with SQL NULL (sentinel forgery)")
+    assert(one(Some("a\\|b"), "c") !== one(Some("a|b"), "c"),
+      "a literal backslash-pipe must not collide with an escaped pipe")
   }
 
   private implicit class Tuple4Map(rows: Array[(String, Long, Long, Long)]) {

@@ -138,6 +138,36 @@ class UpsertSinkSpec extends SparkSpec {
     UpsertSinkSource.drop(t)
   }
 
+  test("keyless table is append-only: rows never merge, compaction keeps them all") {
+    val t = "t_keyless_" + System.nanoTime()
+    // identical rows across two batches — an append table must keep both
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).mode("append").save()
+    Seq((1L, "a", 1.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).mode("append").save()
+    val read = () => spark.read.format(fmt).option("table", t).load()
+    assert(read().count() === 3L, "keyless append must not merge rows")
+    assert(UpsertSinkSource.readManifest(t).get.keys === Nil)
+    // the keys option round-trips through compact as ""; must stay Nil
+    UpsertSinkSource.compact(spark, t)
+    assert(UpsertSinkSource.readManifest(t).get.keys === Nil)
+    assert(read().count() === 3L, "compaction must preserve keyless content")
+    UpsertSinkSource.drop(t)
+  }
+
+  test("buckets option must be a positive int") {
+    val t = "t_badbuckets_" + System.nanoTime()
+    val df = Seq((1L, "a", 1.0)).toDF("k", "name", "v")
+    Seq("0", "-8").foreach { b =>
+      val e = intercept[Exception] {
+        df.write.format(fmt).option("table", t).option("keys", "k")
+          .option("buckets", b).mode("append").save()
+      }
+      assert(e.getMessage.contains("buckets"), s"buckets=$b must be rejected")
+    }
+    assert(UpsertSinkSource.readManifest(t).isEmpty, "rejected write must not commit")
+  }
+
   test("read-back scan partitions the committed rows") {
     val t = "t_parts_" + System.nanoTime()
     (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("k", "name", "v")

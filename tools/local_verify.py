@@ -85,10 +85,16 @@ def to_pandas_sorted(tbl: pa.Table, cols):
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
 # a query that THREW inside Verify writes no dump dir at all — without
-# this check it would silently vanish from the report (it has an oracle
-# entry, so the driver's gate would fail it; the replica must too)
+# this check it would silently vanish from the report. queries.json is
+# the full attempted list (covers rows-only queries, which have no
+# oracle entry to flag them); oracle keys are the fallback for dumps
+# produced before it existed.
 dumped = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
-for name in sorted(set(oracles) - dumped):
+expected = set(oracles)
+qlist = os.path.join(outdir, "queries.json")
+if os.path.exists(qlist):
+    expected |= set(json.load(open(qlist)))
+for name in sorted(expected - dumped):
     print(f"{name}: MISSING SPARK DUMP (query failed inside Verify?)")
     fails.append(name)
 for name in sorted(os.listdir(outdir)):
