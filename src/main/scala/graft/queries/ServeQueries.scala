@@ -172,7 +172,22 @@ object ServeQueries {
     // IDENTICAL recursion — both engines derive the closure
     // independently.
     "q105_recursive_cte" -> ((s, d) => {
-      Tables.customer(s, d).createOrReplaceTempView("g_cust_r")
+      val cust = Tables.customer(s, d)
+      cust.createOrReplaceTempView("g_cust_r")
+      // Spark's recursion guard defaults to 1M rows TOTAL across all
+      // iterations — a runaway-recursion safety net sized for
+      // notebooks, not data: this closure is |customer| × ~log2(max
+      // key) rows (~4M at sf1 — the SCALING.md ladder caught the
+      // default failing this query at 10× data). Scale the guard with
+      // the anchor (64 ancestors/row = 2^64 keyspace headroom, capped
+      // at the conf's Int ceiling); the LEVEL limit (100) stays as the
+      // real non-termination guard. Deliberately not restored: the
+      // returned frame executes lazily after this builder returns, and
+      // the row guard shapes neither plans nor results — only the
+      // failure threshold.
+      val rowGuard = math.min(
+        math.max(1000000L, cust.count() * 64L), Int.MaxValue.toLong)
+      s.conf.set("spark.sql.cteRecursionRowLimit", rowGuard.toString)
       s.sql(
         """WITH RECURSIVE anc(custkey, anc_key, d) AS (
           |  SELECT c_custkey, c_custkey, 0 FROM g_cust_r

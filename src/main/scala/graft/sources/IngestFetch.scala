@@ -64,11 +64,21 @@ final class StubTransport extends EnvelopeTransport {
   *
   * Holds only the endpoint string — Serializable by construction, the
   * client opens lazily inside `fetchPartition` (the seam's contract).
-  * An IOException propagates and fails the task: Spark's task retry IS
-  * the ingest retry policy, and a partial partition is never observed
-  * downstream. Non-2xx responses still carry the API's error envelope
-  * body, which the decode layer's ret_code gate (not the transport)
-  * adjudicates — same split as the reference (:97-99).
+  *
+  * Failure split (matches the reference's catch-log-continue per
+  * store×day, kicc_to_tb_sales.py:97-98): a PER-UNIT wire failure —
+  * read timeout, connection reset mid-exchange, torn response — yields
+  * a synthetic error envelope (`ret_code` [[HttpTransport.UnitErrorCode]]
+  * carrying the unit's coordinates), which the decode layer's ret_code
+  * gate quarantines like any API error; the partition's remaining
+  * units still fetch. Only TRANSPORT-LEVEL faults — the endpoint
+  * unreachable (connection refused / connect timeout), where every
+  * subsequent unit would fail identically — propagate and fail the
+  * task, making Spark's task retry the retry policy. A partial
+  * partition is never observed either way: the task commits all units
+  * (some as quarantine envelopes) or none. Non-2xx responses still
+  * carry the API's error envelope body, which the decode gate (not the
+  * transport) adjudicates — same split as the reference (:97-99).
   *
   * IngestSpec drives this against a 127.0.0.1 loopback server inside
   * the JVM — the full worklist → HTTP POST → envelope → decode chain,
@@ -91,10 +101,38 @@ final class HttpTransport(endpoint: String,
           .header("Content-Type", "application/json")
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
           .build()
-        client.send(req,
+        try client.send(req,
           java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+        catch {
+          // endpoint unreachable: every later unit fails the same way —
+          // fail the task and let Spark's retry re-drive the partition
+          case e: java.net.ConnectException => throw e
+          case e: java.net.http.HttpConnectTimeoutException => throw e
+          // per-unit wire fault: isolate it as a quarantine envelope and
+          // keep fetching the partition's remaining units
+          case e: java.io.IOException =>
+            HttpTransport.unitErrorEnvelope(r, e)
+        }
       }
     }
+  }
+}
+
+object HttpTransport {
+  /** ret_code of a synthetic per-unit transport-failure envelope —
+    * non-"0000", so [[graft.ops.RelationalOps.decodeEnvelope]]'s gate
+    * quarantines it exactly like an API error envelope.
+    */
+  val UnitErrorCode = "9996"
+
+  private[sources] def unitErrorEnvelope(r: FetchRequest, e: Exception): String = {
+    // the message rides inside a JSON string: strip quotes/backslashes/
+    // control chars rather than carry a full escaper for a diagnostic
+    val msg = (e.getClass.getSimpleName +
+      Option(e.getMessage).map(": " + _).getOrElse(""))
+      .replaceAll("""["\\\p{Cntrl}]""", " ")
+    s"""{"ret_code":"$UnitErrorCode","data":[],""" +
+      s""""s_code":${r.storeId},"sale_date":"${r.date}","err":"$msg"}"""
   }
 }
 

@@ -88,11 +88,16 @@ object JdbcUpsert {
   /** MySQL `INSERT … ON DUPLICATE KEY UPDATE` — the REFERENCE'S exact
     * sink statement shape (load_sales_data.py:42-53 builds precisely
     * this against the `tb_sales_by_*` PK), set-based over the stage
-    * instead of one round trip per row. Backtick identifiers; the
-    * row alias (`AS s` … `s.col`, MySQL 8.0.19+) replaces the
-    * deprecated VALUES() form. A keys-only table degenerates to a
-    * no-op self-assignment on the first key (MySQL requires at least
-    * one assignment; matched rows are already identical).
+    * instead of one round trip per row. Backtick identifiers. In this
+    * INSERT … SELECT form, `AS s` is the SELECT's TABLE alias (MySQL's
+    * 8.0.19+ "row alias" applies only to INSERT … VALUES) — `s.col` in
+    * the UPDATE clause refers to the select-list columns, which MySQL
+    * permits only because the staged SELECT has no GROUP BY; keep it
+    * a plain projection or the statement becomes invalid. This
+    * replaces the deprecated VALUES() form. A keys-only table
+    * degenerates to a no-op self-assignment on the first key (MySQL
+    * requires at least one assignment; matched rows are already
+    * identical).
     */
   object MySqlUpsertDialect extends UpsertDialect {
     override def mergeStatement(table: String, stage: String,

@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 `SupportsWrite` sink with KEYED-UPSERT commit
@@ -115,6 +115,29 @@ object UpsertSinkSource {
     b
   }
 
+  /** Merge keys must be atomic, value-hashed types: bucket placement
+    * ([[bucketOf]]) and the reader's merge map both rely on JVM
+    * equality/hashCode of the objects `InternalRow.get` returns.
+    * BinaryType surfaces as `Array[Byte]` (identity equality — equal
+    * keys would land in different buckets and never merge) and
+    * array/map/struct keys have the same failure mode, so reject them
+    * at write-build time instead of corrupting silently.
+    */
+  private[sources] def validateKeyTypes(schema: StructType, keys: Seq[String]): Unit =
+    keys.foreach { k =>
+      require(schema.fieldNames.contains(k),
+        s"merge key '$k' is not a column of ${schema.fieldNames.mkString("[", ",", "]")}")
+      val dt = schema(k).dataType
+      val atomic = dt match {
+        case BinaryType => false
+        case _: ArrayType | _: MapType | _: StructType => false
+        case _ => true
+      }
+      require(atomic, s"merge key '$k' has type ${dt.simpleString}: " +
+        "binary/complex key types are not supported (bucket placement and " +
+        "read-side merge rely on value equality of the key objects)")
+    }
+
   private[sources] def keyOf(row: InternalRow, schema: StructType,
                              keys: Seq[String]): Seq[Any] =
     keys.map { k =>
@@ -186,20 +209,39 @@ object UpsertSinkSource {
     * batch; scan cost is O(segments) per bucket until folded) — the
     * same duty cycle as parquet small-file compaction
     * ([[Compaction]]), expressed through the sink's own protocol.
-    * Then [[vacuum]] reclaims the unreferenced files. Single-maintainer
-    * assumption: don't run concurrently with scans of the same table.
+    * Then [[vacuum]] reclaims the unreferenced files.
+    *
+    * The whole read-fold-install sequence runs under the table's
+    * commit lock: a concurrent append blocks at its own
+    * `BatchWrite.commit` until the folded manifest is installed, then
+    * lands as a segment on top of it — it cannot commit into the
+    * window between compact's snapshot and its overwrite, where the
+    * overwrite would silently discard it. (The inner write's commit
+    * re-enters the same monitor — safe.) Concurrent SCANS stay
+    * consistent too: they hold a manifest snapshot and commits never
+    * delete data files — only [[vacuum]] must not race in-flight
+    * scans of the pre-compaction snapshot.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
-    readManifest(table).foreach { m =>
-      if (m.segments.size > 1) {
-        spark.read.format("graft.sources.UpsertSinkSource")
-          .option("table", table).load()
-          .write.format("graft.sources.UpsertSinkSource")
-          .option("table", table).option("keys", m.keys.mkString(","))
-          .mode("overwrite").save()
+    lockFor(table).synchronized {
+      readManifest(table).foreach { m =>
+        if (m.segments.size > 1) {
+          val snapshot = spark.read.format("graft.sources.UpsertSinkSource")
+            .option("table", table).load()
+          compactInterleaveHook()
+          snapshot
+            .write.format("graft.sources.UpsertSinkSource")
+            .option("table", table).option("keys", m.keys.mkString(","))
+            .mode("overwrite").save()
+        }
       }
     }
   }
+
+  // test seam: runs inside compact's critical section, before the
+  // folded manifest is installed — lets a spec interleave a concurrent
+  // append there and prove the lock keeps it from being lost
+  private[graft] var compactInterleaveHook: () => Unit = () => ()
 
   /** Delete data files no current manifest segment references (left
     * behind by compaction/truncate — commits never delete eagerly, so
@@ -280,9 +322,12 @@ private[sources] class SinkWriteBuilder(table: String, schema: StructType,
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new SinkBatchWrite(table, schema, keys, overwrite, requestedBuckets)
+  override def build(): Write = {
+    UpsertSinkSource.validateKeyTypes(schema, keys)
+    new Write {
+      override def toBatch: BatchWrite =
+        new SinkBatchWrite(table, schema, keys, overwrite, requestedBuckets)
+    }
   }
 }
 
@@ -387,8 +432,11 @@ private[sources] class SinkDataWriter(table: String, schemaJson: String,
     // the (empty) key would funnel all data into one bucket AND the
     // reader's keyed merge would collapse the table to one row —
     // round-robin instead, and the reader replays without merging
+    // floorMod: a plain % would go negative once the counter wraps
+    // past Int.MaxValue in one task — a bucket id no read partition
+    // owns, i.e. silent row loss at the scale this sink claims
     val bucket =
-      if (keys.isEmpty) { roundRobin += 1; roundRobin % buckets }
+      if (keys.isEmpty) { roundRobin += 1; math.floorMod(roundRobin, buckets) }
       else UpsertSinkSource.bucketOf(
         UpsertSinkSource.keyOf(row, schema, keys), buckets)
     val out = streamFor(bucket)
@@ -469,9 +517,12 @@ private[sources] class SinkBucketReader(schemaJson: String, keys: Seq[String],
     if (bucketIdx >= bucketFiles.length) false
     else {
       // newest-wins merge for this bucket: replay oldest→newest,
-      // overwrite by key values — two rows with equal key columns
-      // produce equal key seqs under one projection. A keyless table
-      // is append-only: no merge, just replay every row.
+      // overwrite by key values. Equal key columns produce equal key
+      // seqs because the write side restricts keys to atomic
+      // non-binary types (validateKeyTypes) whose JVM objects hash by
+      // value — binary/complex keys (identity equality) never get
+      // this far. A keyless table is append-only: no merge, just
+      // replay every row.
       val merged = new util.LinkedHashMap[Seq[Any], UnsafeRow]()
       val appended = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
       bucketFiles(bucketIdx).foreach { f =>

@@ -102,15 +102,21 @@ object StreamingOps {
     * the state is the group count itself.
     */
   def maintainMart(aggregated: DataFrame, table: String, keys: Seq[String],
-                   checkpointDir: String): StreamingQuery =
+                   checkpointDir: String,
+                   afterBatchCommit: Long => Unit = _ => ()): StreamingQuery =
     aggregated.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         batch.write.format("graft.sources.UpsertSinkSource")
           .option("table", table).option("keys", keys.mkString(","))
           .mode("append").save()
+        // test seam: runs AFTER the sink's manifest install but BEFORE
+        // foreachBatch returns (i.e. before the checkpoint marks the
+        // batch committed) — throwing here simulates a crash in the
+        // torn window the idempotent keyed merge must absorb on restart
+        afterBatchCommit(batchId)
       }
       .start()
 

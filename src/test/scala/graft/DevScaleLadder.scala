@@ -1,0 +1,69 @@
+package graft
+
+/** Scale-ladder runner (SCALING.md): times the flagship `entry` plus a
+  * named list of graded queries against ONE SF dir, median-of-N, and
+  * prints a single JSON line. Invoked once per rung (the flagship
+  * reads SPARK_GRAFT_SF_DIR, so rungs are separate JVMs by design);
+  * the ratio table in SCALING.md is computed from the two lines.
+  * Session config matches Bench exactly — local[32], 32 shuffle
+  * partitions — so a ladder number is comparable to a bench number.
+  */
+object DevScaleLadder {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: DevScaleLadder <sfDir> [reps] [q1,q2,...]")
+    val sfDir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val wanted: Seq[String] =
+      if (args.length > 2) args(2).split(",").toSeq.filter(_.nonEmpty) else Nil
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scale-ladder")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft_warehouse")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // same warm-up discipline as Bench: footers, codegen, JIT outside
+    // the timed loop
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).count()
+      catch { case _: Throwable => () }
+    }
+
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def time(fn: () => Long): Seq[Double] = (1 to reps).map { i =>
+      val t0 = System.nanoTime()
+      try fn() catch {
+        case e: Throwable =>
+          System.err.println(s"[ladder] rep$i FAILED: ${e.getMessage}")
+          -1L
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val entrySamples =
+      if (sys.env.get("SPARK_GRAFT_SF_DIR").contains(sfDir))
+        time(() => SparkEntry.entry(spark).count())
+      else { // entry reads the env var; a mismatched dir would mislabel the rung
+        System.err.println(s"[ladder] SPARK_GRAFT_SF_DIR != $sfDir — skipping entry")
+        Seq.empty
+      }
+    val queries = SparkEntry.queries
+    val rows = (if (entrySamples.nonEmpty) Seq("entry" -> entrySamples) else Nil) ++
+      wanted.map { q =>
+        require(queries.contains(q), s"unknown query '$q'")
+        q -> time(() => queries(q)(spark, sfDir).count())
+      }
+    def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+    val body = rows.map { case (name, s) =>
+      s"""\"$name\":{\"min\":${r4(s.min)},\"med\":${r4(median(s))},\"max\":${r4(s.max)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"ladder":$body,"sf":"$sfDir","reps":$reps}""")
+    spark.stop()
+  }
+}

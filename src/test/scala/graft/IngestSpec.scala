@@ -93,6 +93,53 @@ class IngestSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("per-unit wire fault is isolated: one torn response quarantines that unit, the rest of the partition lands") {
+    // the reference's catch-log-continue per store×day
+    // (kicc_to_tb_sales.py:97-98): store 3's connection is killed
+    // mid-exchange (no response bytes → client-side IOException); the
+    // other units of the SAME partition must still fetch, and the bad
+    // unit must surface as a ret_code-gated quarantine envelope, not a
+    // task failure that re-fetches everything
+    val hits = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/pos", (exchange: HttpExchange) => {
+      val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+      hits.incrementAndGet()
+      if (body.contains("\"s_code\":3,")) exchange.close() // torn: no response
+      else {
+        val bytes = """{"ret_code":"0000","data":[{"id":1,"k":1}]}""".getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, bytes.length.toLong)
+        exchange.getResponseBody.write(bytes)
+        exchange.close()
+      }
+    })
+    server.setExecutor(Executors.newFixedThreadPool(2))
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/pos"
+      val raw = IngestFetch.fetchEnvelopes(
+        worklist(4, "2024-03-01", "2024-03-01", 1), // ONE partition holds all units
+        new HttpTransport(endpoint, readTimeoutMs = 5000))
+        .as[String].collect().toSeq
+      assert(hits.get() === 4, "each unit fetched exactly once — no partition-wide retry")
+      assert(raw.size === 4, "the torn unit must not erase its partition")
+      val quarantined = raw.filter(_.contains(s""""ret_code":"${graft.sources.HttpTransport.UnitErrorCode}""""))
+      assert(quarantined.size === 1 && quarantined.head.contains(""""s_code":3"""),
+        s"exactly the torn unit carries the synthetic envelope: $raw")
+      assert(raw.count(_.contains("\"0000\"")) === 3)
+      // and the decode layer's gate drops exactly the quarantined unit
+      val schema = new StructType()
+        .add("ret_code", StringType)
+        .add("data", ArrayType(new StructType()
+          .add("id", LongType).add("k", LongType)))
+      assert(RelationalOps.decodeEnvelope(
+        IngestFetch.fetchEnvelopes(
+          worklist(4, "2024-03-01", "2024-03-01", 1),
+          new HttpTransport(endpoint, readTimeoutMs = 5000)),
+        "payload", schema).count() === 3L)
+    } finally server.stop(0)
+  }
+
   test("connection failure fails the task (Spark retry IS the ingest retry policy)") {
     // port 1 on loopback: nothing listens; connect must raise and the
     // partition task must fail rather than emit partial results

@@ -98,6 +98,35 @@ class JdbcSpec extends SparkSpec {
       (3L, "2024-01-02", 30.0)))
   }
 
+  test("golden file pins the COMPLETE statement sequence (DDL + index + merge) of both dialects") {
+    import graft.sources.JdbcUpsert
+    // mergeInto's probe-create-merge sequence, rendered per dialect on
+    // the reference's sink fixture (load_sales_data.py:37-53). The
+    // MySQL arm never executes in the sandbox (no server), so this
+    // golden file IS its contract: any drift in any statement of
+    // either dialect fails here, not in production.
+    def render(name: String, d: JdbcUpsert.UpsertDialect): String = {
+      val table = "tb_sales_by_day"; val stage = table + "_stage"
+      val cols = Seq("chain", "dy", "amt", "cnt"); val keys = Seq("chain", "dy")
+      Seq(
+        s"== $name ==",
+        s"catalog-name: ${d.catalogName(table)}",
+        s"create-table: ${d.createTableDdl(table, stage)}",
+        s"create-index: ${d.createKeyIndexDdl(table, keys)}",
+        s"merge: ${d.mergeStatement(table, stage, cols, keys)}",
+        s"merge-keys-only: ${d.mergeStatement("t", "t_stage", Seq("k"), Seq("k"))}",
+        "").mkString("\n")
+    }
+    val actual = render("ansi", JdbcUpsert.AnsiMergeDialect) +
+      render("mysql", JdbcUpsert.MySqlUpsertDialect)
+    val in = getClass.getResourceAsStream("/jdbc_dialect_golden.txt")
+    assert(in != null, s"golden file missing; expected content:\n$actual")
+    val golden = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(actual === golden,
+      s"dialect statement sequence drifted from golden file; actual:\n$actual")
+  }
+
   test("MySQL dialect emits the reference's INSERT … ON DUPLICATE KEY UPDATE shape") {
     import graft.sources.JdbcUpsert
     // the statement the reference hand-builds per row

@@ -292,6 +292,74 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("torn checkpoint: crash after sink commit, before checkpoint commit — redelivered batch converges via the idempotent merge") {
+    // the harshest leg of the exactly-once story: the sink's manifest
+    // install and the checkpoint's batch commit are two separate
+    // durability points, and a crash can land BETWEEN them. Spark then
+    // re-delivers the sink-committed batch on restart (its offsets were
+    // never marked done), so table convergence rests entirely on the
+    // keyed merge being idempotent. Simulated exactly: afterBatchCommit
+    // throws on batch 1 of the first drain — the sink has batch 1's
+    // segment, the checkpoint does not.
+    import graft.sources.UpsertSinkSource
+    import org.apache.spark.sql.types.DecimalType
+    val nonce = System.nanoTime()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_torn_$nonce"
+    val staged = s"$base/staged"
+    val table = s"torn_mart_$nonce"
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("value"))
+    try {
+      // 3 staged files + maxFilesPerTrigger=1 → 3 micro-batches, with
+      // group rows straddling the batch boundaries (cumulative updates)
+      ev.repartition(3).write.mode("append").parquet(staged)
+      def drain(afterBatchCommit: Long => Unit): Unit = {
+        val stream = spark.readStream.schema(spark.read.parquet(staged).schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged)
+        val agg = stream
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast(DecimalType(18, 2))).as("_amt"),
+            count(lit(1)).as("n"))
+          .select(col("user_id"), col("day"),
+            col("_amt").cast("double").as("amt"), col("n"))
+        graft.streaming.StreamingOps
+          .maintainMart(agg, table, Seq("user_id", "day"), s"$base/ckpt",
+            afterBatchCommit)
+          .awaitTermination()
+      }
+      val died = intercept[Exception] {
+        drain(batchId => if (batchId == 1L)
+          throw new RuntimeException("simulated crash in the torn window"))
+      }
+      assert(died.getMessage != null)
+      // the tear is real: batch 1's segment IS in the sink (2 commits)
+      // while the checkpoint holds only batch 0 as committed
+      assert(UpsertSinkSource.readManifest(table).get.segments.size === 2,
+        "crash must land after the sink committed the batch")
+
+      drain(_ => ()) // restart from the same checkpoint: batch 1 redelivered
+      val mart = spark.read.format("graft.sources.UpsertSinkSource")
+        .option("table", table).load()
+        .select(col("user_id"), col("day").cast("string"), col("amt"), col("n"))
+        .as[(Long, String, Double, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val expected = ev
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("amt"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("day").cast("string"), col("amt"), col("n"))
+        .as[(Long, String, Double, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(mart === expected,
+        "redelivered batch must re-merge to the exact full-history aggregate — no double counts, no gaps")
+    } finally {
+      UpsertSinkSource.drop(table)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("q100 stream mart: a second invocation in the same session converges to the same table") {
     // regression pin: staging + checkpoint + table must be per-
     // invocation — re-staging under a reused checkpoint would surface

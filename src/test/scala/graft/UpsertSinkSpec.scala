@@ -168,6 +168,70 @@ class UpsertSinkSpec extends SparkSpec {
     assert(UpsertSinkSource.readManifest(t).isEmpty, "rejected write must not commit")
   }
 
+  test("merge keys must be atomic non-binary types; binary payload columns stay legal") {
+    val t = "t_binkey_" + System.nanoTime()
+    // BinaryType key: Array[Byte] hashes by identity — equal keys would
+    // land in different buckets and never merge. Must be rejected.
+    val binKey = intercept[Exception] {
+      Seq((Array[Byte](1, 2), 1.0)).toDF("k", "v")
+        .write.format(fmt).option("table", t).option("keys", "k")
+        .mode("append").save()
+    }
+    assert(binKey.getMessage.contains("binary/complex"), binKey.getMessage)
+    val arrKey = intercept[Exception] {
+      Seq((Seq(1L, 2L), 1.0)).toDF("k", "v")
+        .write.format(fmt).option("table", t).option("keys", "k")
+        .mode("append").save()
+    }
+    assert(arrKey.getMessage.contains("binary/complex"), arrKey.getMessage)
+    val noSuchKey = intercept[Exception] {
+      Seq((1L, 1.0)).toDF("k", "v")
+        .write.format(fmt).option("table", t).option("keys", "nope")
+        .mode("append").save()
+    }
+    assert(noSuchKey.getMessage.contains("not a column"), noSuchKey.getMessage)
+    assert(UpsertSinkSource.readManifest(t).isEmpty, "rejected write must not commit")
+
+    // binary as a NON-key column is fine: only key equality is load-bearing
+    Seq((1L, Array[Byte](1, 2)), (1L, Array[Byte](3, 4))).toDF("k", "payload")
+      .write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save()
+    val rows = spark.read.format(fmt).option("table", t).load()
+      .as[(Long, Array[Byte])].collect()
+    assert(rows.length === 1 && rows.head._1 === 1L &&
+      rows.head._2.toSeq === Seq[Byte](3, 4), "newest-wins merge on binary payload")
+    UpsertSinkSource.drop(t)
+  }
+
+  test("compact holds the table lock: a concurrent append is never lost") {
+    val t = "t_race_" + System.nanoTime()
+    Seq((1L, "a", 1.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k").mode("append").save()
+    Seq((2L, "b", 2.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k").mode("append").save()
+    assert(UpsertSinkSource.readManifest(t).get.segments.size === 2)
+
+    // interleave an append inside compact's read→install window: without
+    // the table lock held across compact, this commit lands between the
+    // snapshot and the overwrite and is silently discarded
+    @volatile var appender: Thread = null
+    UpsertSinkSource.compactInterleaveHook = () => {
+      appender = new Thread(() =>
+        Seq((3L, "c", 3.0)).toDF("k", "name", "v")
+          .write.format(fmt).option("table", t).option("keys", "k")
+          .mode("append").save())
+      appender.start()
+      Thread.sleep(500) // let the append reach (and block on) the commit lock
+    }
+    try UpsertSinkSource.compact(spark, t)
+    finally UpsertSinkSource.compactInterleaveHook = () => ()
+    appender.join(60000)
+    assert(!appender.isAlive, "interleaved append must complete")
+    assert(readBack(t) === Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)),
+      "append racing compact must not be discarded")
+    UpsertSinkSource.drop(t)
+  }
+
   test("read-back scan partitions the committed rows") {
     val t = "t_parts_" + System.nanoTime()
     (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("k", "name", "v")
