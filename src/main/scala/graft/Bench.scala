@@ -38,7 +38,14 @@ object Bench {
     // ingest/build cost shows up in rep-1 (visible in driver stderr),
     // not in the median.
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev knob for adjudication runs (comma-separated names): measure a
+    // subset IN BENCH CONTEXT — same session, same warm-up, same order.
+    // Unset (the driver's case) = all queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val samples = (1 to reps).map { i =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -64,7 +71,23 @@ object Bench {
       s"\"$k\":{\"min\":${r4(mn)},\"med\":${r4(med)},\"max\":${r4(mx)}}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+    println(line)
+    // The driver stores only a 2000-char tail of stdout, which
+    // truncates before ~80 of the 113 queries AND the total (round-8
+    // verdict: the spread was unreadable exactly when it was needed).
+    // So the full line is also appended to a committed repo file —
+    // bench history stays reviewable without the driver artifact.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_full.jsonl")
+    try {
+      val p = java.nio.file.Paths.get(out)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { // bench results must never be lost to a write failure
+      case e: Throwable => System.err.println(s"[bench] out-file write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

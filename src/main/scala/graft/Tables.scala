@@ -19,8 +19,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoized per (session, dir, table): `spark.read.parquet` runs a
+  // footer/schema-inference job on EVERY call, so an unmemoized
+  // registry pays one listing job per table per query BUILD — pure
+  // overhead repeated 113× per bench pass, and at 100 TB a re-listing
+  // of a large directory tree per query. These dirs are read-only
+  // test fixtures (TESTDATA.md); the returned frame is an immutable
+  // logical plan, safe to share. (This also gives builders their
+  // zero-jobs-at-construction contract — LazyRegistrySpec.)
+  private val frames =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    frames.computeIfAbsent((spark, sfDir, name),
+      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

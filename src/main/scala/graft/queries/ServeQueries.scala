@@ -174,20 +174,24 @@ object ServeQueries {
     "q105_recursive_cte" -> ((s, d) => {
       val cust = Tables.customer(s, d)
       cust.createOrReplaceTempView("g_cust_r")
-      // Spark's recursion guard defaults to 1M rows TOTAL across all
-      // iterations — a runaway-recursion safety net sized for
+      // Spark's recursion ROW guard defaults to 1M rows TOTAL across
+      // all iterations — a runaway-recursion safety net sized for
       // notebooks, not data: this closure is |customer| × ~log2(max
       // key) rows (~4M at sf1 — the SCALING.md ladder caught the
-      // default failing this query at 10× data). Scale the guard with
-      // the anchor (64 ancestors/row = 2^64 keyspace headroom, capped
-      // at the conf's Int ceiling); the LEVEL limit (100) stays as the
-      // real non-termination guard. Deliberately not restored: the
-      // returned frame executes lazily after this builder returns, and
-      // the row guard shapes neither plans nor results — only the
-      // failure threshold.
-      val rowGuard = math.min(
-        math.max(1000000L, cust.count() * 64L), Int.MaxValue.toLong)
-      s.conf.set("spark.sql.cteRecursionRowLimit", rowGuard.toString)
+      // default failing this query at 10× data). Data-sized guards
+      // would need the anchor's cardinality, and counting it here
+      // would run a Spark job at query-CONSTRUCTION time (breaking
+      // the registry's builders-are-lazy contract —
+      // LazyRegistrySpec). So the row guard goes to the conf's Int
+      // ceiling — i.e. out of the way at any data scale — and the
+      // LEVEL limit (default 100) stays as the real non-termination
+      // guard: this hierarchy halves its frontier per level, so a
+      // runaway recursion is a level-limit bug, not a row-count one.
+      // The set is a deterministic constant (idempotent across
+      // builds, no data dependence) and must OUTLIVE the builder:
+      // the returned frame reads the conf lazily at execution, so
+      // restoring it here would re-break the query.
+      s.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue.toString)
       s.sql(
         """WITH RECURSIVE anc(custkey, anc_key, d) AS (
           |  SELECT c_custkey, c_custkey, 0 FROM g_cust_r

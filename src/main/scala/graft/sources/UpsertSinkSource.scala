@@ -86,8 +86,10 @@ object UpsertSinkSource {
 
   private[sources] val DefaultBuckets = 8
 
-  // one commit mutex per table (single-JVM stand-in for the CAS a
-  // shared manifest store would provide)
+  // one commit mutex per table: orders commits WITHIN this driver JVM
+  // (cheap blocking instead of abort-retry). Across JVMs the monitor
+  // is invisible — there, the version-claim CAS in [[writeManifest]]
+  // plus the `expectedVersion` pin make a race fail loudly.
   private val locks = new ConcurrentHashMap[String, Object]()
   private[sources] def lockFor(table: String): Object =
     locks.computeIfAbsent(table, _ => new Object)
@@ -152,10 +154,30 @@ object UpsertSinkSource {
 
   /** MANIFEST text format, one fact per line (schema json is a single
     * line by construction; file names are uuid-based, no ',' or ':').
+    *
+    * Cross-process safety: the JVM-local [[lockFor]] monitor orders
+    * commits within ONE driver, but two driver JVMs writing the same
+    * table would race the read→install window unseen by any monitor.
+    * So every install first CLAIMS its version with an atomic
+    * create-new of a `.v{N}` marker file — the filesystem CAS a
+    * shared manifest store would provide. Two writers that both read
+    * version N-1 both try to claim `.v{N}`; `Files.createFile` lets
+    * exactly one succeed, and the loser fails LOUDLY with
+    * `ConcurrentModificationException` before touching the MANIFEST —
+    * a cross-process race can abort a batch, never silently clobber
+    * one. ([[vacuum]] reclaims superseded markers.)
     */
   private[sources] def writeManifest(table: String, m: Manifest): Unit = {
     val dir = tableDir(table)
     Files.createDirectories(dir)
+    try Files.createFile(dir.resolve(s".v${m.version}"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"upsert sink table '$table': version ${m.version} was already " +
+            "installed by a concurrent writer (another driver JVM?); " +
+            "this batch is aborted, the table is unchanged")
+    }
     val body = new StringBuilder
     body ++= s"v=${m.version}\n"
     body ++= s"buckets=${m.buckets}\n"
@@ -232,6 +254,11 @@ object UpsertSinkSource {
           snapshot
             .write.format("graft.sources.UpsertSinkSource")
             .option("table", table).option("keys", m.keys.mkString(","))
+            // pin the install to the snapshot's version: in-JVM the
+            // table lock already serializes appends; cross-process
+            // (where the monitor is invisible) a racing commit makes
+            // this fold fail loudly instead of discarding it
+            .option("expectedVersion", m.version.toString)
             .mode("overwrite").save()
         }
       }
@@ -258,6 +285,18 @@ object UpsertSinkSource {
             .filterNot(p => live.contains(p.getFileName.toString))
             .foreach(Files.deleteIfExists(_))
         }
+      }
+      // superseded version-claim markers (the install CAS tokens) —
+      // every version ≤ current is history; the current one stays so
+      // a lagging writer that read an old manifest still collides
+      scala.util.Using.resource(Files.list(tableDir(table))) { s =>
+        s.iterator().asScala.toSeq
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith(".v") && n.drop(2).forall(_.isDigit) &&
+              n.drop(2).nonEmpty && n.drop(2).toLong < m.version
+          }
+          .foreach(Files.deleteIfExists(_))
       }
     }
   }
@@ -312,11 +351,13 @@ private[sources] class UpsertSinkTable(tableSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SinkWriteBuilder(tblName, info.schema(),
       UpsertSinkSource.keyCols(options),
-      UpsertSinkSource.bucketCount(options))
+      UpsertSinkSource.bucketCount(options),
+      Option(options.get("expectedversion")).map(_.toLong))
 }
 
 private[sources] class SinkWriteBuilder(table: String, schema: StructType,
-                                        keys: Seq[String], requestedBuckets: Int)
+                                        keys: Seq[String], requestedBuckets: Int,
+                                        expectedVersion: Option[Long])
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
 
@@ -326,14 +367,16 @@ private[sources] class SinkWriteBuilder(table: String, schema: StructType,
     UpsertSinkSource.validateKeyTypes(schema, keys)
     new Write {
       override def toBatch: BatchWrite =
-        new SinkBatchWrite(table, schema, keys, overwrite, requestedBuckets)
+        new SinkBatchWrite(table, schema, keys, overwrite, requestedBuckets,
+          expectedVersion)
     }
   }
 }
 
 private[sources] class SinkBatchWrite(table: String, schema: StructType,
                                       keys: Seq[String], overwrite: Boolean,
-                                      requestedBuckets: Int)
+                                      requestedBuckets: Int,
+                                      expectedVersion: Option[Long])
     extends BatchWrite {
 
   // bucket count is a table property fixed at FIRST write (segments
@@ -362,6 +405,18 @@ private[sources] class SinkBatchWrite(table: String, schema: StructType,
       files.groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2) })
     UpsertSinkSource.lockFor(table).synchronized {
       val prev = UpsertSinkSource.readManifest(table)
+      // Optimistic pin for writes built from a SNAPSHOT of the table
+      // (compact's fold): if another writer — in-JVM blocked by the
+      // monitor, cross-process not — advanced the table since the
+      // snapshot, installing the fold would DISCARD that commit. The
+      // pin turns the stale install into a loud failure instead.
+      expectedVersion.foreach { ev =>
+        val cur = prev.map(_.version).getOrElse(0L)
+        if (cur != ev) throw new java.util.ConcurrentModificationException(
+          s"upsert sink table '$table': write expected version $ev but the " +
+            s"table is at $cur — a concurrent writer advanced it; aborting " +
+            "instead of discarding that commit")
+      }
       val base = prev match {
         case Some(m) if !overwrite =>
           require(m.schema == schema,

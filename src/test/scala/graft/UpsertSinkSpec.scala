@@ -221,7 +221,21 @@ class UpsertSinkSpec extends SparkSpec {
           .write.format(fmt).option("table", t).option("keys", "k")
           .mode("append").save())
       appender.start()
-      Thread.sleep(500) // let the append reach (and block on) the commit lock
+      // the interleave must actually HAPPEN for the test to prove
+      // anything: wait until the append's commit is blocked on the
+      // monitor THIS (compact) thread holds — BLOCKED alone could be
+      // a transient unrelated monitor — and FAIL, not pass vacuously,
+      // if it never gets there
+      val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      def blockedOnUs: Boolean = {
+        val info = tmx.getThreadInfo(appender.getId)
+        info != null && info.getThreadState == Thread.State.BLOCKED &&
+          info.getLockOwnerName == Thread.currentThread().getName
+      }
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!blockedOnUs && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(blockedOnUs,
+        "append never reached the commit lock inside compact's critical section")
     }
     try UpsertSinkSource.compact(spark, t)
     finally UpsertSinkSource.compactInterleaveHook = () => ()
@@ -229,6 +243,58 @@ class UpsertSinkSpec extends SparkSpec {
     assert(!appender.isAlive, "interleaved append must complete")
     assert(readBack(t) === Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)),
       "append racing compact must not be discarded")
+    UpsertSinkSource.drop(t)
+  }
+
+  // the messages Spark wraps around a commit failure vary; flatten the chain
+  private def causes(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .flatMap(t => Option(t.getMessage)).toSeq
+
+  test("cross-process CAS: a second writer claiming the same version fails loudly") {
+    val t = "t_xproc_cas_" + System.nanoTime()
+    Seq((1L, "a", 1.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save() // table at v1
+    // another driver JVM won the race to v2: on disk, that is exactly a
+    // claimed `.v2` marker — the JVM-local monitor cannot see it
+    java.nio.file.Files.createFile(UpsertSinkSource.tableDir(t).resolve(".v2"))
+    val e = intercept[Exception] {
+      Seq((2L, "b", 2.0)).toDF("k", "name", "v")
+        .write.format(fmt).option("table", t).option("keys", "k")
+        .mode("append").save()
+    }
+    assert(causes(e).exists(_.contains("concurrent writer")),
+      s"expected a loud concurrent-writer failure, got: ${causes(e)}")
+    assert(readBack(t) === Set((1L, "a", 1.0)),
+      "the losing batch must not have changed the table")
+    UpsertSinkSource.drop(t)
+  }
+
+  test("compact is pinned to its snapshot: a cross-process commit during the fold aborts the fold") {
+    val t = "t_xproc_pin_" + System.nanoTime()
+    Seq((1L, "a", 1.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k").mode("append").save()
+    Seq((2L, "b", 2.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k").mode("append").save()
+    // simulate an EXTERNAL writer (second driver JVM) committing inside
+    // compact's snapshot→install window: it claims the next version and
+    // advances the on-disk manifest — invisible to the in-JVM monitor
+    UpsertSinkSource.compactInterleaveHook = () => {
+      val dir = UpsertSinkSource.tableDir(t)
+      val mf = dir.resolve("MANIFEST")
+      val txt = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      java.nio.file.Files.createFile(dir.resolve(".v3"))
+      java.nio.file.Files.write(mf, txt.replaceFirst("v=2", "v=3").getBytes("UTF-8"))
+    }
+    val e =
+      try intercept[Exception] { UpsertSinkSource.compact(spark, t) }
+      finally UpsertSinkSource.compactInterleaveHook = () => ()
+    assert(causes(e).exists(m =>
+      m.contains("expected version 2") && m.contains("at 3")),
+      s"expected the stale fold to abort on the version pin, got: ${causes(e)}")
+    // aborting the fold discarded nothing: both committed rows survive
+    assert(readBack(t) === Set((1L, "a", 1.0), (2L, "b", 2.0)))
     UpsertSinkSource.drop(t)
   }
 
