@@ -71,7 +71,10 @@ object Bench {
       s"\"$k\":{\"min\":${r4(mn)},\"med\":${r4(med)},\"max\":${r4(mx)}}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+    // subset (adjudication) runs mark themselves so a reader of the
+    // committed history can't mistake an `only=` line for a full pass
+    val onlyField = only.map(s => s""","only":"${s.toSeq.sorted.mkString(",")}"""").getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"$onlyField}"""
     println(line)
     // The driver stores only a 2000-char tail of stdout, which
     // truncates before ~80 of the 113 queries AND the total (round-8
