@@ -72,8 +72,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // subset (adjudication) runs mark themselves so a reader of the
-    // committed history can't mistake an `only=` line for a full pass
-    val onlyField = only.map(s => s""","only":"${s.toSeq.sorted.mkString(",")}"""").getOrElse("")
+    // committed history can't mistake an `only=` line for a full pass.
+    // The marker lists the queries actually SELECTED (not the raw env
+    // value): registry keys are [A-Za-z0-9_]+ so the field needs no
+    // JSON escaping, and a typo'd name can't appear while matching
+    // nothing.
+    val onlyField = only.map(_ =>
+      s""","only":"${selected.map(_._1).mkString(",")}"""").getOrElse("")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"$onlyField}"""
     println(line)
     // The driver stores only a 2000-char tail of stdout, which

@@ -59,7 +59,21 @@ object OpsQueries {
       // completes (the returned frame reads the SINK table, which
       // must outlive them) — reclaim them in finally so a failed
       // drain can't leak the per-invocation nonce dirs either
+      //
+      // The stateful agg instantiates one state store PER SHUFFLE
+      // PARTITION PER MICRO-BATCH (provider init + delta file +
+      // commit each) — at the session's 32 partitions × ~5 batches
+      // that fixed cost dominates the whole pipeline for a ~4k-group
+      // state and is the most session-load-sensitive thing in the
+      // suite (the r8/r9 in-context inflation). 8 partitions carry
+      // the same state with 4× less fixed machinery; scoped to this
+      // pipeline and restored in finally. (At real scale the state
+      // partition count is sized to state volume, not left at the
+      // join/agg default — this IS the 100 TB posture, not a test
+      // shortcut.)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
         // 4 arrival files via round-robin repartition (no pre-count
         // scan); the staging write converts the ns-long ts to a proper
         // timestamp so the stream schema is self-describing
@@ -80,7 +94,10 @@ object OpsQueries {
         // read opens O(buckets) files instead of O(batches x buckets)
         graft.sources.UpsertSinkSource.compact(s, table)
         graft.sources.UpsertSinkSource.vacuum(table)
-      } finally rmTree(new java.io.File(base))
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        rmTree(new java.io.File(base))
+      }
       s.read.format("graft.sources.UpsertSinkSource")
         .option("table", table).load()
     }),

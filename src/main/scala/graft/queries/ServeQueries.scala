@@ -84,7 +84,12 @@ object ServeQueries {
     "q95_cogroup_attrib" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d)
-        .select(col("user_id"), unix_micros(col("ts")).as("tsm"), col("event_type"))
+        // cast through LTZ: the fixture's parquet timestamps may infer as
+        // TIMESTAMP_NTZ (unix_micros rejects NTZ), and under the pinned
+        // UTC session timezone the NTZ→LTZ cast yields the same epoch
+        // micros DuckDB's epoch_us computes on the naive value.
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp_ltz")).as("tsm"), col("event_type"))
       def side(t: String) = ev.filter(col("event_type") === t)
         .select(col("user_id"), col("tsm")).as[(Long, Long)]
       graft.ops.TemporalOps.trailingAttribution(
