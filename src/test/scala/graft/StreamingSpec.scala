@@ -373,4 +373,16 @@ class StreamingSpec extends SparkSpec {
     assert(first === second,
       "re-running the streaming mart must not double-count state")
   }
+
+  test("q100 restores the session's shuffle-partition conf after the drain") {
+    // The builder scopes spark.sql.shuffle.partitions to the stream
+    // (state stores are per-partition-per-batch; 8 carries its ~4k
+    // groups). If the restore is ever lost, every LATER query in a
+    // bench/Verify session silently runs at 8 partitions — a
+    // whole-suite perf regression no per-query assertion would name.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    SparkEntry.queries("q100_stream_mart")(spark, "/root/testdata/sf0.001").count()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before,
+      "q100 must restore the session shuffle-partition conf it scopes")
+  }
 }
