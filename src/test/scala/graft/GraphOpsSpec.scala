@@ -36,4 +36,37 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out.values.toSet === Set(1L), s"path not fully closed: $out")
   }
+
+  test("property: equals brute-force union-find on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val graphGen = for {
+      n <- Gen.choose(2, 30)            // node id space
+      m <- Gen.choose(1, 40)            // edge count
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(1L, n.toLong); b <- Gen.choose(1L, n.toLong)
+      } yield (a, b))
+    } yield edges.filter { case (a, b) => a != b } // self-loops excluded by contract
+    (0 until 10).foreach { i =>
+      val edges = graphGen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      if (edges.nonEmpty) {
+        // brute-force reference: path-compressed union-find, min id as root
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        def union(a: Long, b: Long): Unit = {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        edges.foreach { case (a, b) => union(a, b) }
+        val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+          .map(x => x -> find(x)).toMap
+        val got = GraphOps.connectedComponents(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === want, s"case $i: ${edges.size} edges diverged")
+      }
+    }
+  }
 }

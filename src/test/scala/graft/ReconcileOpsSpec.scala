@@ -62,6 +62,24 @@ class ReconcileOpsSpec extends SparkSpec {
       "a literal backslash-pipe must not collide with an escaped pipe")
   }
 
+  test("checksum is invariant to row order and physical partitioning") {
+    // the order-INSENSITIVE claim itself: a migration compares two
+    // systems that will never scan in the same order or partition
+    // layout, so the digest must depend on the multiset of rows only
+    val base = (1 to 200).map(i => (i.toLong, s"m${i % 3}", i * 1.5))
+      .toDF("k", "month", "v")
+    def ck(df: org.apache.spark.sql.DataFrame) =
+      tableChecksum(df, Seq(canonField(col("k")), canonField(col("v"))), col("month"))
+        .as[(String, Long, Long, Long)].collect().toMap2
+    val ref = ck(base)
+    assert(ck(base.repartition(7)) === ref,
+      "repartitioning must not move any partition checksum")
+    assert(ck(base.orderBy(desc("v"))) === ref,
+      "row order must not move any partition checksum")
+    assert(ck(base.repartition(13, col("k"))) === ref,
+      "key-hash partitioning must not move any partition checksum")
+  }
+
   private implicit class Tuple4Map(rows: Array[(String, Long, Long, Long)]) {
     def toMap2: Map[String, (Long, Long, Long)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
