@@ -59,6 +59,39 @@ class PrivacyOpsSpec extends SparkSpec {
       "null quasi-identifier rows form their own class and join back")
   }
 
+  test("kAnonymize property: the k-guarantee holds on random data") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the actual promise: among surviving (non-suppressed) rows, every
+    // quasi-identifier combination appears at least minK times, and
+    // no row is ever dropped (suppression nulls, it never filters)
+    val gen = for {
+      n <- Gen.choose(20, 120)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, 5); s <- Gen.oneOf("a", "b", "c")
+      } yield (g, s))
+      k <- Gen.choose(2L, 8L)
+    } yield (rows, k)
+    (0 until 6).foreach { i =>
+      val (rows, k) = gen.pureApply(Gen.Parameters.default, Seed(41L + i))
+      val df = rows.toDF("g", "s")
+      val out = PrivacyOps.kAnonymize(df, Seq("g", "s"), k)
+      assert(out.count() == rows.size, s"case $i: rows must never be filtered")
+      val survivorClasses = out
+        .filter(col("g").isNotNull && col("s").isNotNull)
+        .groupBy("g", "s").count()
+        .as[(Int, String, Long)].collect()
+      survivorClasses.foreach { case (g, s, c) =>
+        assert(c >= k, s"case $i: class ($g,$s) survives with $c < k=$k")
+      }
+      // and suppression is not over-eager: every class that met k survives
+      val wantKept = rows.groupBy(identity).filter(_._2.size >= k).keys.toSet
+      val gotKept = survivorClasses.map { case (g, s, _) => (g, s) }.toSet
+      assert(gotKept === wantKept, s"case $i: kept-class set diverged")
+    }
+  }
+
   test("kAnonymize: class count joins back broadcast") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i % 7, s"s${i % 3}")).toDF("g", "s")
