@@ -56,6 +56,17 @@ object Verify {
       .filter(n => only.forall(_.contains(n)))
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       attempted.map(q).mkString("[", ",", "]"))
+    // fixture-schema fingerprint: the driver regenerates the test
+    // tables between rounds and their types can drift (round 9→10:
+    // events.ts TIMESTAMP → TIMESTAMP_NTZ silently broke one query).
+    // Dumping what THIS run actually read makes any future drift
+    // diagnosable from the round artifacts alone.
+    val schemas = Tables.names.map { n =>
+      val s = try Tables.load(spark, sfDir, n).schema.simpleString
+              catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+      s"${q(n)}: ${q(s)}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/table_schemas.json"), schemas)
     spark.stop()
   }
 }
