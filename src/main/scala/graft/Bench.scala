@@ -45,7 +45,26 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Ambient-load canary: a fixed CPU-only probe (no I/O, no table,
+    // nothing query-specific) timed immediately before each query's
+    // rep loop, plus the query's wall-clock offset from bench start.
+    // Round 10's driver run inflated EVERY query in the back half of
+    // the suite 2.7-4x — including pure codegen projections — which
+    // reads as machine-wide external load, but the artifact alone
+    // couldn't prove it. With the canary series in the line the
+    // reading is direct: canary inflated at the same offset means the
+    // environment slowed down; canary flat while a query inflates
+    // means the query did.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(4000000L).selectExpr("sum(id * id)").collect(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    canary() // the canary's own codegen/JIT warm-up stays out of the series
+    val bench0 = System.nanoTime()
     val results = selected.map { case (name, fn) =>
+      val tOff = (System.nanoTime() - bench0) / 1e9
+      val cn = canary()
       val samples = (1 to reps).map { i =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -57,9 +76,9 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, median(samples), samples.min, samples.max)
+      (name, median(samples), samples.min, samples.max, tOff, cn)
     }
-    val qs = results.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
+    val qs = results.map { case (k, med, _, _, _, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     // per-query spread alongside the medians: a sandbox stall inflates
     // max while min stays at steady state (max >> min flags noise); a
@@ -67,8 +86,13 @@ object Bench {
     // judge re-run proving a +24% driver delta was a transient stall —
     // with the spread in the artifact that reading is immediate.
     def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
-    val spread = results.map { case (k, med, mn, mx) =>
+    val spread = results.map { case (k, med, mn, mx, _, _) =>
       s"\"$k\":{\"min\":${r4(mn)},\"med\":${r4(med)},\"max\":${r4(mx)}}"
+    }.mkString("{", ",", "}")
+    // t = seconds since bench start when this query's reps began;
+    // canary = the ambient probe's seconds right before them
+    val ambient = results.map { case (k, _, _, _, tOff, cn) =>
+      s"\"$k\":{\"t\":${r4(tOff)},\"canary\":${r4(cn)}}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // subset (adjudication) runs mark themselves so a reader of the
@@ -79,7 +103,12 @@ object Bench {
     // nothing.
     val onlyField = only.map(_ =>
       s""","only":"${selected.map(_._1).mkString(",")}"""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"$onlyField}"""
+    // fixture-content fingerprint (Fixtures.scala): the driver
+    // regenerates the test tables between rounds, so without this a
+    // builder-line vs driver-line delta can't rule out "different
+    // bytes" — with it, identical fingerprints close that question.
+    val fixtures = Fixtures.fingerprint(sfDir)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"ambient":$ambient,"fixtures":"$fixtures","reps":$reps,"sf":"$sfDir"$onlyField}"""
     println(line)
     // The driver stores only a 2000-char tail of stdout, which
     // truncates before ~80 of the 113 queries AND the total (round-8

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.zip.CRC32C
+
+/** Content fingerprints of the driver-generated fixture tables
+  * (TESTDATA.md).
+  *
+  * The driver regenerates /root/testdata between rounds and the bytes
+  * — even column TYPES — can drift silently (round 9→10 turned
+  * `events.ts` from TIMESTAMP into TIMESTAMP_NTZ and broke one query
+  * only AFTER the round's tests had run). Two consumers:
+  *
+  *   1. Run artifacts: Bench stamps the combined fingerprint into
+  *      every `bench_full.jsonl` line and Verify into its schema dump,
+  *      so a builder-run vs driver-run delta self-adjudicates against
+  *      fixture regeneration — identical fingerprints RULE OUT data
+  *      drift; different ones name it.
+  *   2. Persisted ingest artifacts (q35 IVF centroids, the q56/q89
+  *      near-dup pair/component tables): keyed by CONTENT, a cache
+  *      survives across sessions on identical data and invalidates
+  *      itself the moment the driver regenerates the table — the
+  *      "built once per dataset" story, not "once per session".
+  *
+  * CRC32C over the raw file bytes: hardware-accelerated, and the
+  * fixtures are single flat parquet files (17 MB at sf0.1 — one
+  * page-cached pass, re-hashed only when size/mtime changes).
+  */
+object Fixtures {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
+
+  /** 8-hex-digit CRC32C of one fixture file's bytes; "absent" if the
+    * file does not exist (a legal state for probe dirs in specs).
+    */
+  def tableFingerprint(sfDir: String, table: String): String = {
+    val p = Paths.get(sfDir, s"$table.parquet")
+    if (!Files.isRegularFile(p)) "absent"
+    else {
+      val key = (p.toString, Files.size(p),
+        Files.getLastModifiedTime(p).toMillis)
+      cache.computeIfAbsent(key, _ => {
+        val crc = new CRC32C()
+        val in = Files.newInputStream(p)
+        try {
+          val buf = new Array[Byte](1 << 20)
+          var n = in.read(buf)
+          while (n >= 0) { crc.update(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        f"${crc.getValue}%08x"
+      })
+    }
+  }
+
+  /** Combined fingerprint of every fixture table under `sfDir`. */
+  def fingerprint(sfDir: String): String = {
+    val crc = new CRC32C()
+    Tables.names.foreach { n =>
+      crc.update(s"$n:${tableFingerprint(sfDir, n)};".getBytes("UTF-8"))
+    }
+    f"${crc.getValue}%08x"
+  }
+}

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Source layer: parquet readers for the driver's test tables
   * (TESTDATA.md). At 100 TB these become date-partitioned parquet/ORC
@@ -41,17 +41,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark reads
-    * only as a long (spark.sql.legacy.parquet.nanosAsLong, set by the
-    * Verify/Bench/test sessions). Re-derive a proper timestamp via
-    * integer `div` — a double division would lose precision above
-    * 2^53 ns (~1970+104 days).
+  /** `events.ts` arrives in whatever flavor the driver's fixture
+    * writer chose THIS round, so normalize all of them to one session
+    * timestamp (LTZ) here — every downstream consumer then reasons
+    * about a single type instead of each remembering the drift story:
+    *   - nanosecond-precision parquet: Spark reads it only as a long
+    *     (spark.sql.legacy.parquet.nanosAsLong, set by the
+    *     Verify/Bench/test sessions). Re-derive the timestamp via
+    *     integer `div` — a double division would lose precision above
+    *     2^53 ns (~1970+104 days).
+    *   - TIMESTAMP_NTZ (the round-10 fixtures): epoch-equivalent to
+    *     LTZ under the pinned UTC session timezone, but functions like
+    *     unix_micros() hard-reject it (broke q95 in round 9's gate).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp_ltz"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -24,12 +24,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var nDumped = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        nDumped += 1
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -61,12 +64,26 @@ object Verify {
     // events.ts TIMESTAMP → TIMESTAMP_NTZ silently broke one query).
     // Dumping what THIS run actually read makes any future drift
     // diagnosable from the round artifacts alone.
-    val schemas = Tables.names.map { n =>
+    val schemas = (Tables.names.map { n =>
       val s = try Tables.load(spark, sfDir, n).schema.simpleString
               catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
       s"${q(n)}: ${q(s)}"
-    }.mkString("{", ",", "}")
+    } :+ s"${q("_fixtures")}: ${q(Fixtures.fingerprint(sfDir))}")
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/table_schemas.json"), schemas)
+    // A query whose builder throws VANISHES from the correctness
+    // artifact: round 9 shipped a 112-entry CORRECTNESS_r9.json and
+    // nobody noticed q95 was missing until round 10. Make that loud in
+    // the run itself: print the registered-vs-dumped counts (the
+    // driver keeps a stdout tail) and exit non-zero on a full run with
+    // missing dumps, so a silently-thrown builder fails the run
+    // instead of shrinking the artifact.
+    val nRegistered = SparkEntry.queries.keys
+      .count(n => only.forall(_.contains(n)))
+    val counts = s"""{"n_registered":$nRegistered,"n_dumped":$nDumped}"""
+    println(s"[verify] $counts")
+    Files.writeString(Paths.get(s"$outDir/counts.json"), counts)
     spark.stop()
+    if (only.isEmpty && nDumped != nRegistered) sys.exit(1)
   }
 }

@@ -116,10 +116,14 @@ object CurateQueries {
     // cluster, else its own id; the assignment itself is the same
     // portable multiplicative hash as q63. Scale shape: components
     // output is proportional to the DUPLICATE set, not the corpus, so
-    // it broadcasts; the corpus pays a projection only.
+    // it broadcasts; the corpus pays a projection only. The component
+    // table is READ from the persisted ingest artifact
+    // (HardenQueries.neardupComponents, content-keyed + _SUCCESS-
+    // gated) — re-running the iterative propagation per invocation
+    // was r10's q89 perf flag, and a nightly split job would never do
+    // it either.
     "q89_group_split" -> ((s, d) => {
-      val comps = graft.ops.GraphOps
-        .connectedComponents(HardenQueries.neardupPairs(s, d))
+      val comps = HardenQueries.neardupComponents(s, d)
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val corpus = docs.unionByName(
         docs.select((col("doc_id") + HardenQueries.DupOffset).as("doc_id")))

@@ -274,13 +274,17 @@ object NorthQueries {
     "q35_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       // Build/search split: the quantizer (per-cell centroids) is an
-      // INGEST artifact — built once per (application, dataset) and
-      // persisted to parquet; the query only READS it. The returned
-      // search plan therefore contains no full-corpus aggregation
-      // (PlanSpec-asserted) — at 100 TB the query scans nprobe cells
-      // plus a |cells|-row centroid table, nothing else.
-      val cpath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
-        s.sparkContext.applicationId + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      // INGEST artifact — built once per DATASET (content-keyed via
+      // graft.Fixtures, so it survives across sessions on identical
+      // data and self-invalidates when the driver regenerates the
+      // fixture; the literal tag is the code's part of the key — bump
+      // it if centroid training changes) and persisted to parquet;
+      // the query only READS it. The returned search plan therefore
+      // contains no full-corpus aggregation (PlanSpec-asserted) — at
+      // 100 TB the query scans nprobe cells plus a |cells|-row
+      // centroid table, nothing else.
+      val cpath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_v2_" +
+        graft.Fixtures.tableFingerprint(d, "embeddings")
       // gate on the _SUCCESS marker, not bare directory existence: a
       // crashed prior write leaves a partial parquet dir that would
       // pass an exists() check and silently serve incomplete centroids

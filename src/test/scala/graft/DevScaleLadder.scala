@@ -54,13 +54,20 @@ object DevScaleLadder {
     // and the warm-up bias cancels in the ratios either way (same on
     // both rungs); flip it only for runs whose ABSOLUTES you need.
     val warm = sys.env.get("SPARK_GRAFT_LADDER_WARM").contains("1")
-    def timed(fn: () => Long): Seq[Double] = {
-      if (warm) { try fn() catch { case _: Throwable => () } }
+    def timed(name: String, fn: () => Long): Seq[Double] = {
+      if (warm) {
+        // never silent: a failed warm rep means the first TIMED rep
+        // re-absorbs cold-start cost, so a run whose absolutes matter
+        // must be able to see that the warm-up didn't happen
+        try { fn(): Unit } catch { case e: Throwable =>
+          System.err.println(s"[ladder] warm rep for $name failed: ${e.getMessage}")
+        }
+      }
       time(fn)
     }
     val entrySamples =
       if (sys.env.get("SPARK_GRAFT_SF_DIR").contains(sfDir))
-        timed(() => SparkEntry.entry(spark).count())
+        timed("entry", () => SparkEntry.entry(spark).count())
       else { // entry reads the env var; a mismatched dir would mislabel the rung
         System.err.println(s"[ladder] SPARK_GRAFT_SF_DIR != $sfDir — skipping entry")
         Seq.empty
@@ -69,7 +76,7 @@ object DevScaleLadder {
     val rows = (if (entrySamples.nonEmpty) Seq("entry" -> entrySamples) else Nil) ++
       wanted.map { q =>
         require(queries.contains(q), s"unknown query '$q'")
-        q -> timed(() => queries(q)(spark, sfDir).count())
+        q -> timed(q, () => queries(q)(spark, sfDir).count())
       }
     def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
     val body = rows.map { case (name, s) =>

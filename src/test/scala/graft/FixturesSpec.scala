@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fixture-content fingerprint is the adjudication anchor for
+  * every cross-run comparison (bench lines, Verify dumps) and the
+  * cache key for persisted ingest artifacts (q35 centroids, q56/q89
+  * pairs/components) — so pin the properties those uses rely on:
+  * deterministic on identical bytes, sensitive to any byte change,
+  * and defined (not throwing) for absent tables.
+  */
+class FixturesSpec extends AnyFunSuite {
+
+  private def withDir(f: String => Unit): Unit = {
+    val d = Files.createTempDirectory("graft_fx_").toString
+    try f(d) finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+      }
+      rm(new java.io.File(d))
+    }
+  }
+
+  test("identical bytes => identical fingerprint; any byte change flips it") {
+    withDir { d =>
+      val p = Paths.get(d, "documents.parquet")
+      Files.write(p, Array[Byte](1, 2, 3, 4, 5))
+      val fp1 = Fixtures.tableFingerprint(d, "documents")
+      assert(fp1.matches("[0-9a-f]{8}"), s"hex fingerprint expected, got $fp1")
+      assert(Fixtures.tableFingerprint(d, "documents") === fp1)
+      // same content in a DIFFERENT directory: same fingerprint — the
+      // key is the data, not the path (spec fixtures sharing content
+      // share artifacts by design)
+      withDir { d2 =>
+        Files.write(Paths.get(d2, "documents.parquet"), Array[Byte](1, 2, 3, 4, 5))
+        assert(Fixtures.tableFingerprint(d2, "documents") === fp1)
+      }
+      // a one-byte change must flip it (mtime changes too, so the
+      // memo cannot serve the stale hash)
+      Thread.sleep(5) // ensure a distinct mtime on coarse filesystems
+      Files.write(p, Array[Byte](1, 2, 3, 4, 6))
+      assert(Fixtures.tableFingerprint(d, "documents") !== fp1)
+    }
+  }
+
+  test("absent table is 'absent', not an exception (probe dirs in specs)") {
+    withDir { d =>
+      assert(Fixtures.tableFingerprint(d, "documents") === "absent")
+      // combined fingerprint over a dir with no tables is still defined
+      assert(Fixtures.fingerprint(d).matches("[0-9a-f]{8}"))
+    }
+  }
+
+  test("combined fingerprint reacts to any one table changing") {
+    withDir { d =>
+      Files.write(Paths.get(d, "nation.parquet"), Array[Byte](9, 9))
+      val f1 = Fixtures.fingerprint(d)
+      Thread.sleep(5)
+      Files.write(Paths.get(d, "nation.parquet"), Array[Byte](9, 8))
+      assert(Fixtures.fingerprint(d) !== f1)
+    }
+  }
+}

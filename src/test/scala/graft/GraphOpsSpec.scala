@@ -63,7 +63,13 @@ class GraphOpsSpec extends SparkSpec {
         edges.foreach { case (a, b) => union(a, b) }
         val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
           .map(x => x -> find(x)).toMap
-        val got = GraphOps.connectedComponents(edges.toDF("id_a", "id_b"))
+        // explicit iteration cap at the node-count upper bound: the
+        // generated graphs allow path-like components whose diameter
+        // can exceed the default maxIters=20, and a widened gen range
+        // or new seed must produce a wrong-answer diff, not a
+        // confusing non-convergence
+        val got = GraphOps.connectedComponents(edges.toDF("id_a", "id_b"),
+            maxIters = 64)
           .as[(Long, Long)].collect().toMap
         assert(got === want, s"case $i: ${edges.size} edges diverged")
       }

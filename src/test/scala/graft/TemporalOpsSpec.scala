@@ -193,6 +193,7 @@ class TemporalOpsSpec extends SparkSpec {
     // flavors (under the suite's pinned UTC session timezone the two
     // encode the same instants).
     val base = java.nio.file.Files.createTempDirectory("graft_tsflavor_").toString
+    try {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), "view"),
       (1L, ts("2024-01-01 10:20:00"), "click"), // within 30m → attributed
@@ -214,6 +215,12 @@ class TemporalOpsSpec extends SparkSpec {
     assert(results("timestamp") === expect)
     assert(results("timestamp_ntz") === expect,
       "NTZ fixture must yield the same attribution as LTZ")
+    } finally { // don't leak a fixture dir per run
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+    }
   }
 
   test("changeHistory runs in ONE exchange (windows and run collapse share the key partitioning)") {
