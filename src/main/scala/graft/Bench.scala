@@ -55,9 +55,15 @@ object Bench {
     // reading is direct: canary inflated at the same offset means the
     // environment slowed down; canary flat while a query inflates
     // means the query did.
+    // 2M ids: sum(id²) ≈ 2.7e18 stays under Long.Max (ANSI overflow
+    // throws; 4M would exceed it). A canary failure must never kill
+    // the bench — time it anyway and let the queries run.
     def canary(): Double = {
       val t0 = System.nanoTime()
-      spark.range(4000000L).selectExpr("sum(id * id)").collect(): Unit
+      try spark.range(2000000L).selectExpr("sum(id * id)").collect(): Unit
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] canary failed: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     canary() // the canary's own codegen/JIT warm-up stays out of the series

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import java.util.zip.CRC32C
+import scala.jdk.CollectionConverters._
 
 /** Content fingerprints of the driver-generated fixture tables
   * (TESTDATA.md).
@@ -30,26 +31,47 @@ object Fixtures {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
 
-  /** 8-hex-digit CRC32C of one fixture file's bytes; "absent" if the
-    * file does not exist (a legal state for probe dirs in specs).
+  /** 8-hex-digit CRC32C of one fixture table's bytes; "absent" if it
+    * does not exist (a legal state for probe dirs in specs). The
+    * driver writes flat single files; spec fixtures (and partitioned
+    * production tables) are DIRECTORIES — those hash every contained
+    * regular file in sorted order, names included, so two dir-shaped
+    * fixtures with different content can never share an artifact
+    * cache key.
     */
   def tableFingerprint(sfDir: String, table: String): String = {
     val p = Paths.get(sfDir, s"$table.parquet")
-    if (!Files.isRegularFile(p)) "absent"
-    else {
+    def hashInto(crc: CRC32C, f: java.nio.file.Path): Unit = {
+      val in = Files.newInputStream(f)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var n = in.read(buf)
+        while (n >= 0) { crc.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    }
+    if (Files.isRegularFile(p)) {
       val key = (p.toString, Files.size(p),
         Files.getLastModifiedTime(p).toMillis)
       cache.computeIfAbsent(key, _ => {
         val crc = new CRC32C()
-        val in = Files.newInputStream(p)
-        try {
-          val buf = new Array[Byte](1 << 20)
-          var n = in.read(buf)
-          while (n >= 0) { crc.update(buf, 0, n); n = in.read(buf) }
-        } finally in.close()
+        hashInto(crc, p)
         f"${crc.getValue}%08x"
       })
-    }
+    } else if (Files.isDirectory(p)) {
+      // not memoized: spec-sized, and a dir has no single cheap
+      // (size, mtime) change signal
+      val crc = new CRC32C()
+      scala.util.Using.resource(Files.walk(p)) { s =>
+        s.iterator().asScala
+          .filter(Files.isRegularFile(_)).toSeq
+          .sortBy(_.toString)
+          .foreach { f =>
+            crc.update(s"${p.relativize(f)}:".getBytes("UTF-8"))
+            hashInto(crc, f)
+          }
+      }
+      f"${crc.getValue}%08x"
+    } else "absent"
   }
 
   /** Combined fingerprint of every fixture table under `sfDir`. */

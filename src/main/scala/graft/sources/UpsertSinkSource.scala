@@ -243,11 +243,18 @@ object UpsertSinkSource {
     * consistent too: they hold a manifest snapshot and commits never
     * delete data files — only [[vacuum]] must not race in-flight
     * scans of the pre-compaction snapshot.
+    *
+    * `minSegments` is the duty-cycle knob: folding rewrites the whole
+    * table, so a caller on a per-batch cadence (q52's nightly) raises
+    * it to amortize the rewrite over several batches while still
+    * bounding read amplification at `minSegments + batch` segments;
+    * the default 2 folds whenever there is anything to fold.
     */
-  def compact(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+  def compact(spark: org.apache.spark.sql.SparkSession, table: String,
+              minSegments: Int = 2): Unit = {
     lockFor(table).synchronized {
       readManifest(table).foreach { m =>
-        if (m.segments.size > 1) {
+        if (m.segments.size > 1 && m.segments.size >= minSegments) {
           val snapshot = spark.read.format("graft.sources.UpsertSinkSource")
             .option("table", table).load()
           compactInterleaveHook()
