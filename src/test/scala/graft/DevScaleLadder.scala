@@ -82,7 +82,9 @@ object DevScaleLadder {
     val body = rows.map { case (name, s) =>
       s"""\"$name\":{\"min\":${r4(s.min)},\"med\":${r4(median(s))},\"max\":${r4(s.max)}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"ladder":$body,"sf":"$sfDir","reps":$reps}""")
+    // same self-adjudication stamp as bench lines: a ladder table is
+    // only comparable to another if both ran on the same fixture bytes
+    println(s"""{"ladder":$body,"sf":"$sfDir","reps":$reps,"fixtures":"${Fixtures.fingerprint(sfDir)}"}""")
     spark.stop()
   }
 }
