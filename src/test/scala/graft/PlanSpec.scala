@@ -307,6 +307,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "the duplicate-set-sized component table must broadcast")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // r11 de-sensitization: the iterative label propagation runs at
+    // INGEST (persisted artifact); the graded query is one broadcast
+    // join over a map-side corpus pass — no shuffle, no RDD lineage.
+    // A digest regen could silently accept a regression here; this
+    // property can't.
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q89 must not shuffle — the corpus pays a projection only:\n$p")
+    assert(!p.contains("RDDScan"),
+      s"q89 must read the component artifact, not recompute it:\n$p")
+  }
+
+  test("q56 components: served from the persisted artifact — a bare scan, no propagation") {
+    val p = plan("q56_neardup_components")
+    assert(p.contains("Scan parquet"),
+      s"the component artifact must arrive via a parquet scan:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("RDDScan"),
+      s"no join/agg/iteration may run inside the graded query:\n$p")
   }
 
   test("q90 repetition score: pure projection — zero exchanges") {
