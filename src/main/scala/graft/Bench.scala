@@ -35,8 +35,14 @@ object Bench {
     // db) pay that build in rep 1 and reuse it in reps 2-3, so their
     // median reports the nightly steady-state cost — deliberately, as
     // that is what the reference's nightly re-runs pay; the one-time
-    // ingest/build cost shows up in rep-1 (visible in driver stderr),
-    // not in the median.
+    // ingest/build cost shows up in rep-1 (visible in the max of the
+    // spread and in driver stderr), not in the median. Since r11 the
+    // content-keyed ingest artifacts (q35 centroids, q56/q89
+    // pairs/components — Fixtures.scala) can survive from a PREVIOUS
+    // JVM on identical fixture bytes, in which case even rep 1 is a
+    // read: by design — that is the artifact's steady state — and
+    // visible in the artifact trail (a line whose q56 max ≈ med read
+    // a pre-built artifact; one with max >> med built it).
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     // dev knob for adjudication runs (comma-separated names): measure a
     // subset IN BENCH CONTEXT — same session, same warm-up, same order.
