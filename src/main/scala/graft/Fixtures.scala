@@ -25,7 +25,11 @@ import scala.jdk.CollectionConverters._
   *
   * CRC32C over the raw file bytes: hardware-accelerated, and the
   * fixtures are single flat parquet files (17 MB at sf0.1 — one
-  * page-cached pass, re-hashed only when size/mtime changes).
+  * page-cached pass, re-hashed only when size/mtime changes). At
+  * production scale the same role is played by a catalog snapshot id
+  * (table version / commit id), not a byte hash — the contract is
+  * "a stable token that changes iff the data changed", and this is
+  * the strongest such token the flat-file fixtures offer.
   */
 object Fixtures {
   private val cache =
