@@ -122,6 +122,30 @@ class UpsertSinkSpec extends SparkSpec {
     UpsertSinkSource.drop(t)
   }
 
+  test("compact's minSegments duty cycle: below threshold is a no-op, at threshold it folds") {
+    val t = "t_duty_" + System.nanoTime()
+    Seq((1L, "a", 1.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k").mode("append").save()
+    Seq((2L, "b", 2.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k").mode("append").save()
+    Seq((1L, "a2", 1.5)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k").mode("append").save()
+    assert(UpsertSinkSource.readManifest(t).get.segments.size === 3)
+    // 3 segments < threshold 4: the amortizing caller (q52) must not
+    // pay a full-table rewrite yet
+    UpsertSinkSource.compact(spark, t, minSegments = 4)
+    assert(UpsertSinkSource.readManifest(t).get.segments.size === 3,
+      "below the duty-cycle threshold compact must be a no-op")
+    Seq((3L, "c", 3.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k").mode("append").save()
+    UpsertSinkSource.compact(spark, t, minSegments = 4)
+    assert(UpsertSinkSource.readManifest(t).get.segments.size === 1,
+      "at the threshold compact must fold the chain")
+    assert(readBack(t) === Set((1L, "a2", 1.5), (2L, "b", 2.0), (3L, "c", 3.0)),
+      "newest-wins content must survive the thresholded fold")
+    UpsertSinkSource.drop(t)
+  }
+
   test("bucket count is a first-write table property, settable via the buckets option") {
     val t = "t_buckets_" + System.nanoTime()
     (1L to 40L).map(i => (i, s"n$i", i.toDouble)).toDF("k", "name", "v")
