@@ -72,11 +72,51 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    canary() // the canary's own codegen/JIT warm-up stays out of the series
+    // The CPU canary is blind to the other two slowdown mechanisms a
+    // shared sandbox has (r11 in-the-wild case: q113 7.5s vs 1.6s
+    // steady with the CPU canary FLAT), so the ambient block carries
+    // one probe per mechanism:
+    //   io — 8 MB fsync'd write + read-back in the Spark tmp dir,
+    //        timed beside the CPU canary: host-side disk contention
+    //        inflates it while the CPU canary stays flat (shuffle
+    //        spill, state stores, and sink tables all live here);
+    //   gc — delta of this JVM's total GC milliseconds across the
+    //        query's rep loop: a heap-pressure storm shows here while
+    //        BOTH canaries stay flat (external probes can't see it).
+    // Reading: query up + canary up = external CPU load; query up +
+    // io up = disk contention; query up + gc up = this process's own
+    // heap; all flat = the query itself changed.
+    val ioFile = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_bench_ioprobe.bin")
+    val ioBuf = new Array[Byte](8 * 1024 * 1024)
+    def ioProbe(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        val ch = java.nio.channels.FileChannel.open(ioFile,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        try { ch.write(java.nio.ByteBuffer.wrap(ioBuf)); ch.force(false) }
+        finally ch.close()
+        java.nio.file.Files.readAllBytes(ioFile): Unit
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] io probe failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var s = 0L
+      gcBeans.forEach(b => { val t = b.getCollectionTime; if (t > 0) s += t })
+      s
+    }
+    canary(); ioProbe() // probes' own JIT/codegen warm-up stays out of the series
     val bench0 = System.nanoTime()
     val results = selected.map { case (name, fn) =>
       val tOff = (System.nanoTime() - bench0) / 1e9
       val cn = canary()
+      val ioT = ioProbe()
+      val gc0 = gcMillis()
       val samples = (1 to reps).map { i =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -88,9 +128,10 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, median(samples), samples.min, samples.max, tOff, cn)
+      val gcMs = gcMillis() - gc0
+      (name, median(samples), samples.min, samples.max, tOff, cn, ioT, gcMs)
     }
-    val qs = results.map { case (k, med, _, _, _, _) => s"\"" + k + "\":" + med }
+    val qs = results.map { case (k, med, _, _, _, _, _, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     // per-query spread alongside the medians: a sandbox stall inflates
     // max while min stays at steady state (max >> min flags noise); a
@@ -98,13 +139,14 @@ object Bench {
     // judge re-run proving a +24% driver delta was a transient stall —
     // with the spread in the artifact that reading is immediate.
     def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
-    val spread = results.map { case (k, med, mn, mx, _, _) =>
+    val spread = results.map { case (k, med, mn, mx, _, _, _, _) =>
       s"\"$k\":{\"min\":${r4(mn)},\"med\":${r4(med)},\"max\":${r4(mx)}}"
     }.mkString("{", ",", "}")
     // t = seconds since bench start when this query's reps began;
-    // canary = the ambient probe's seconds right before them
-    val ambient = results.map { case (k, _, _, _, tOff, cn) =>
-      s"\"$k\":{\"t\":${r4(tOff)},\"canary\":${r4(cn)}}"
+    // canary/io = the CPU and disk probes' seconds right before them;
+    // gc = this JVM's GC milliseconds spent during the rep loop
+    val ambient = results.map { case (k, _, _, _, tOff, cn, ioT, gcMs) =>
+      s"\"$k\":{\"t\":${r4(tOff)},\"canary\":${r4(cn)},\"io\":${r4(ioT)},\"gc\":$gcMs}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // subset (adjudication) runs mark themselves so a reader of the
