@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Adjudicate a bench-line delta using the ambient probe fields.
+
+Usage:
+    python3 tools/bench_adjudicate.py [--ratio R] [BASE_IDX] [NEW_IDX]
+
+Reads bench/bench_full.jsonl (1-indexed lines; negatives count from the
+end, default BASE=-2 NEW=-1), compares per-query medians, and for every
+query whose med inflated by more than R (default 1.5x) attributes the
+inflation using the line's own evidence, in this order:
+
+  fixture-drift  the two lines carry different fixture fingerprints —
+                 stop: the comparison is between different bytes.
+  stall          max >> med in the new line while min stayed near base:
+                 one bad rep, the median survived; noise, not a change.
+  external-cpu   the CPU canary at this query's offset inflated with it.
+  disk           the io probe (8 MB fsync'd write + read-back in the
+                 Spark tmp dir) inflated with it.
+  gc             the rep loop's own-JVM GC-ms is a large share of the
+                 inflation (heap pressure inside this process).
+  query-change   all probes flat and min moved too — the query itself
+                 got slower; investigate the code or plan.
+  unattributed   probes flat but min did NOT move — ambient of a kind
+                 the probes missed (e.g. contention that ended before
+                 the probes re-ran); re-run in isolation before filing.
+
+Older lines without io/gc fields degrade to canary-only attribution.
+
+When more than a fifth of the comparable queries inflate at once the
+episode is machine-wide (the r10 driver-run signature: pure codegen
+projections inflating alongside shuffle queries) and PER-QUERY
+attribution is unreliable — a banner says so; re-run when idle before
+trusting any query-change tag printed under it.
+
+Exit code: 0 if nothing inflated or everything reads as environment /
+noise, 2 if any query reads query-change, 3 on fixture drift.
+"""
+import json
+import signal
+import sys
+
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # survive `| head`
+
+RATIO = 1.5
+CANARY_UP = 1.8   # probe inflation factors that count as "elevated":
+IO_UP = 2.0       # fsync latency is spiky, ask for 2x
+GC_SHARE = 0.4    # gc-ms must explain >=40% of the added wall time
+MIN_SECS = 0.25   # ignore sub-250ms queries: pure scheduling jitter
+
+
+def median(xs):
+    s = sorted(xs)
+    return s[len(s) // 2]
+
+
+def load(path):
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def pick(lines, idx):
+    # 1-indexed from the front, negative from the end (like tail)
+    return lines[idx - 1] if idx > 0 else lines[idx]
+
+
+def main(argv):
+    ratio = RATIO
+    args = []
+    it = iter(argv)
+    for a in it:
+        if a == "--ratio":
+            ratio = float(next(it))
+        else:
+            args.append(int(a))
+    base_idx = args[0] if len(args) > 0 else -2
+    new_idx = args[1] if len(args) > 1 else -1
+
+    lines = load("bench/bench_full.jsonl")
+    base, new = pick(lines, base_idx), pick(lines, new_idx)
+
+    if base.get("fixtures") != new.get("fixtures"):
+        print(f"fixture-drift: base={base.get('fixtures')} "
+              f"new={new.get('fixtures')} — different data, stop here")
+        return 3
+
+    # the line's idle probe level is its own median, not a constant:
+    # a loaded machine elevates every probe, and a query must be read
+    # against the probes AROUND it in the same line
+    amb = new.get("ambient", {})
+    cn_base = median([a.get("canary", 0) for a in amb.values()]) or 1e-9
+    io_base = median([a.get("io", 0) for a in amb.values()]) or 1e-9
+    has_io = any("io" in a for a in amb.values())
+
+    verdicts = []
+    for q, nv in sorted(new["queries"].items(), key=lambda kv: -kv[1]):
+        bv = base["queries"].get(q)
+        if bv is None or nv < MIN_SECS or nv / bv < ratio:
+            continue
+        a = amb.get(q, {})
+        sp = new.get("spread", {}).get(q, {})
+        bsp = base.get("spread", {}).get(q, {})
+        added = nv - bv
+        min_moved = sp.get("min", nv) > bsp.get("min", bv) * ratio
+        if sp.get("max", nv) > 2 * nv and not min_moved:
+            tag = "stall"
+        elif a.get("canary", 0) > CANARY_UP * cn_base:
+            tag = "external-cpu"
+        elif has_io and a.get("io", 0) > IO_UP * io_base:
+            tag = "disk"
+        elif a.get("gc", 0) / 1000.0 > GC_SHARE * added:
+            tag = "gc"
+        elif min_moved:
+            tag = "query-change"
+        else:
+            tag = "unattributed"
+        verdicts.append((tag, q, bv, nv, a, sp))
+
+    if not verdicts:
+        print(f"clean: no query inflated >={ratio}x "
+              f"(base {base['value']:.1f}s -> new {new['value']:.1f}s)")
+        return 0
+
+    comparable = sum(1 for q, nv in new["queries"].items()
+                     if q in base["queries"] and nv >= MIN_SECS)
+    machine_wide = comparable and len(verdicts) / comparable > 0.2
+    if machine_wide:
+        print(f"MACHINE-WIDE: {len(verdicts)}/{comparable} comparable "
+              f"queries inflated >={ratio}x — ambient episode; per-query "
+              f"tags below are unreliable, re-run idle before trusting "
+              f"any query-change")
+
+    bad = False
+    for tag, q, bv, nv, a, sp in verdicts:
+        probes = (f"canary={a.get('canary', '-')} io={a.get('io', '-')} "
+                  f"gc={a.get('gc', '-')}ms")
+        print(f"{tag:13s} {q:30s} {bv:6.2f} -> {nv:6.2f} "
+              f"({nv / bv:4.1f}x)  min/max={sp.get('min')}/{sp.get('max')}  {probes}")
+        bad |= tag == "query-change"
+    return 2 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
