@@ -33,7 +33,9 @@ attribution is unreliable — a banner says so; re-run when idle before
 trusting any query-change tag printed under it.
 
 Exit code: 0 if nothing inflated or everything reads as environment /
-noise, 2 if any query reads query-change, 3 on fixture drift.
+noise, 2 if any query reads query-change OUTSIDE a machine-wide
+episode, 3 on fixture drift, 4 on a machine-wide episode (per-query
+tags unreliable — re-run when idle before reading 2 from that pair).
 """
 import json
 import signal
@@ -136,6 +138,8 @@ def main(argv):
         print(f"{tag:13s} {q:30s} {bv:6.2f} -> {nv:6.2f} "
               f"({nv / bv:4.1f}x)  min/max={sp.get('min')}/{sp.get('max')}  {probes}")
         bad |= tag == "query-change"
+    if machine_wide:
+        return 4
     return 2 if bad else 0
 
 
