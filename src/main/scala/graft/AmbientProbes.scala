@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The three ambient-load probes stamped into bench and scale-ladder
+  * lines, one per slowdown mechanism a shared sandbox has (the r11
+  * flat-canary episode in SCALING.md is why one probe is not enough):
+  *
+  *   - `canary` — fixed CPU-only Spark job (no I/O, no table): external
+  *     CPU load inflates it at least as much as any query (measured in
+  *     the r11 load-injection experiment);
+  *   - `io` — 8 MB fsync'd write + read-back in the Spark tmp dir
+  *     (where shuffle spill, state stores, and sink tables live):
+  *     host-side disk contention inflates it while the CPU canary
+  *     stays flat;
+  *   - `gcMillis` — this JVM's cumulative GC time; the delta across a
+  *     rep loop exposes own-heap pressure that no external probe sees.
+  *
+  * Reading rule (tools/bench_adjudicate.py applies it mechanically):
+  * query up + canary up = external CPU; + io up = disk; + gc up = own
+  * heap; all flat with min moved = the query itself changed.
+  *
+  * Probes are deliberately cheap (~30–100 ms each at idle) so stamping
+  * every query costs a few seconds across a 113-query run, and they
+  * must NEVER kill the run they instrument — failures log to stderr
+  * and return the elapsed time anyway.
+  */
+final class AmbientProbes(spark: SparkSession) {
+
+  /** CPU probe. 2M ids: sum(id²) ≈ 2.7e18 stays under Long.Max (ANSI
+    * overflow throws; 4M would exceed it).
+    */
+  def canary(): Double = {
+    val t0 = System.nanoTime()
+    try spark.range(2000000L).selectExpr("sum(id * id)").collect(): Unit
+    catch { case e: Throwable =>
+      System.err.println(s"[probe] canary failed: ${e.getMessage}")
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private val ioFile = java.nio.file.Paths.get(
+    System.getProperty("java.io.tmpdir"), "graft_bench_ioprobe.bin")
+  private val ioBuf = new Array[Byte](8 * 1024 * 1024)
+
+  /** Disk probe: write + fsync + read-back in the tmp dir. */
+  def ioProbe(): Double = {
+    val t0 = System.nanoTime()
+    try {
+      val ch = java.nio.channels.FileChannel.open(ioFile,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try { ch.write(java.nio.ByteBuffer.wrap(ioBuf)); ch.force(false) }
+      finally ch.close()
+      java.nio.file.Files.readAllBytes(ioFile): Unit
+    } catch { case e: Throwable =>
+      System.err.println(s"[probe] io probe failed: ${e.getMessage}")
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private val gcBeans =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+
+  /** Cumulative GC milliseconds of this JVM; take a delta around a rep
+    * loop to charge heap pressure to the queries that caused it.
+    */
+  def gcMillis(): Long = {
+    var s = 0L
+    gcBeans.forEach(b => { val t = b.getCollectionTime; if (t > 0) s += t })
+    s
+  }
+
+  /** One untimed run of each probe, so their own codegen/JIT warm-up
+    * stays out of the recorded series.
+    */
+  def warmup(): Unit = { canary(); ioProbe(): Unit }
+}

@@ -64,59 +64,18 @@ object Bench {
     // 2M ids: sum(id²) ≈ 2.7e18 stays under Long.Max (ANSI overflow
     // throws; 4M would exceed it). A canary failure must never kill
     // the bench — time it anyway and let the queries run.
-    def canary(): Double = {
-      val t0 = System.nanoTime()
-      try spark.range(2000000L).selectExpr("sum(id * id)").collect(): Unit
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] canary failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
-    // The CPU canary is blind to the other two slowdown mechanisms a
-    // shared sandbox has (r11 in-the-wild case: q113 7.5s vs 1.6s
-    // steady with the CPU canary FLAT), so the ambient block carries
-    // one probe per mechanism:
-    //   io — 8 MB fsync'd write + read-back in the Spark tmp dir,
-    //        timed beside the CPU canary: host-side disk contention
-    //        inflates it while the CPU canary stays flat (shuffle
-    //        spill, state stores, and sink tables all live here);
-    //   gc — delta of this JVM's total GC milliseconds across the
-    //        query's rep loop: a heap-pressure storm shows here while
-    //        BOTH canaries stay flat (external probes can't see it).
-    // Reading: query up + canary up = external CPU load; query up +
-    // io up = disk contention; query up + gc up = this process's own
-    // heap; all flat = the query itself changed.
-    val ioFile = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_bench_ioprobe.bin")
-    val ioBuf = new Array[Byte](8 * 1024 * 1024)
-    def ioProbe(): Double = {
-      val t0 = System.nanoTime()
-      try {
-        val ch = java.nio.channels.FileChannel.open(ioFile,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE,
-          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-        try { ch.write(java.nio.ByteBuffer.wrap(ioBuf)); ch.force(false) }
-        finally ch.close()
-        java.nio.file.Files.readAllBytes(ioFile): Unit
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] io probe failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
-    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-    def gcMillis(): Long = {
-      var s = 0L
-      gcBeans.forEach(b => { val t = b.getCollectionTime; if (t > 0) s += t })
-      s
-    }
-    canary(); ioProbe() // probes' own JIT/codegen warm-up stays out of the series
+    // One probe per slowdown mechanism a shared sandbox has — CPU
+    // canary, fsync'd disk probe, own-JVM GC delta (the r11 flat-
+    // canary episode is why one probe is not enough; rationale and
+    // reading rule in AmbientProbes.scala / SCALING.md).
+    val probes = new AmbientProbes(spark)
+    probes.warmup()
     val bench0 = System.nanoTime()
     val results = selected.map { case (name, fn) =>
       val tOff = (System.nanoTime() - bench0) / 1e9
-      val cn = canary()
-      val ioT = ioProbe()
-      val gc0 = gcMillis()
+      val cn = probes.canary()
+      val ioT = probes.ioProbe()
+      val gc0 = probes.gcMillis()
       val samples = (1 to reps).map { i =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -128,7 +87,7 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val gcMs = gcMillis() - gc0
+      val gcMs = probes.gcMillis() - gc0
       (name, median(samples), samples.min, samples.max, tOff, cn, ioT, gcMs)
     }
     val qs = results.map { case (k, med, _, _, _, _, _, _) => s"\"" + k + "\":" + med }

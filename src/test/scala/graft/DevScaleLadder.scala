@@ -45,6 +45,12 @@ object DevScaleLadder {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // the ratio table is as exposed to ambient load as the bench is —
+    // an episode during ONE rung's reps silently corrupts a ratio, so
+    // every ladder row carries the same per-item probe stamp as bench
+    // lines (AmbientProbes.scala; bench_adjudicate.py's reading rule)
+    val probes = new AmbientProbes(spark)
+    probes.warmup()
 
     // SPARK_GRAFT_LADDER_WARM=1: one UNTIMED rep of each item before
     // its timed reps, so the first timed item (historically `entry`)
@@ -54,7 +60,10 @@ object DevScaleLadder {
     // and the warm-up bias cancels in the ratios either way (same on
     // both rungs); flip it only for runs whose ABSOLUTES you need.
     val warm = sys.env.get("SPARK_GRAFT_LADDER_WARM").contains("1")
-    def timed(name: String, fn: () => Long): Seq[Double] = {
+    // samples + the probe readings taken around them
+    final case class Item(samples: Seq[Double], canary: Double,
+                          io: Double, gcMs: Long)
+    def timed(name: String, fn: () => Long): Item = {
       if (warm) {
         // never silent: a failed warm rep means the first TIMED rep
         // re-absorbs cold-start cost, so a run whose absolutes matter
@@ -63,24 +72,30 @@ object DevScaleLadder {
           System.err.println(s"[ladder] warm rep for $name failed: ${e.getMessage}")
         }
       }
-      time(fn)
+      val cn = probes.canary()
+      val ioT = probes.ioProbe()
+      val gc0 = probes.gcMillis()
+      val samples = time(fn)
+      Item(samples, cn, ioT, probes.gcMillis() - gc0)
     }
-    val entrySamples =
+    val entryItem =
       if (sys.env.get("SPARK_GRAFT_SF_DIR").contains(sfDir))
-        timed("entry", () => SparkEntry.entry(spark).count())
+        Some(timed("entry", () => SparkEntry.entry(spark).count()))
       else { // entry reads the env var; a mismatched dir would mislabel the rung
         System.err.println(s"[ladder] SPARK_GRAFT_SF_DIR != $sfDir — skipping entry")
-        Seq.empty
+        None
       }
     val queries = SparkEntry.queries
-    val rows = (if (entrySamples.nonEmpty) Seq("entry" -> entrySamples) else Nil) ++
+    val rows = entryItem.map("entry" -> _).toSeq ++
       wanted.map { q =>
         require(queries.contains(q), s"unknown query '$q'")
         q -> timed(q, () => queries(q)(spark, sfDir).count())
       }
     def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
-    val body = rows.map { case (name, s) =>
-      s"""\"$name\":{\"min\":${r4(s.min)},\"med\":${r4(median(s))},\"max\":${r4(s.max)}}"""
+    val body = rows.map { case (name, it) =>
+      val s = it.samples
+      s"""\"$name\":{\"min\":${r4(s.min)},\"med\":${r4(median(s))},\"max\":${r4(s.max)},""" +
+        s"""\"canary\":${r4(it.canary)},\"io\":${r4(it.io)},\"gc\":${it.gcMs}}"""
     }.mkString("{", ",", "}")
     // same self-adjudication stamp as bench lines: a ladder table is
     // only comparable to another if both ran on the same fixture bytes
