@@ -38,7 +38,8 @@ object Bench {
     // ingest/build cost shows up in rep-1 (visible in the max of the
     // spread and in driver stderr), not in the median. Since r11 the
     // content-keyed ingest artifacts (q35 centroids, q56/q89
-    // pairs/components — Fixtures.scala) can survive from a PREVIOUS
+    // pairs/components, q99 partitioned layout, q45 bucketed tables,
+    // q93 standing band index — Fixtures.scala) can survive from a PREVIOUS
     // JVM on identical fixture bytes, in which case even rep 1 is a
     // read: by design — that is the artifact's steady state — and
     // visible in the artifact trail (a line whose q56 max ≈ med read

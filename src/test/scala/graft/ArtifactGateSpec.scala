@@ -57,4 +57,106 @@ class ArtifactGateSpec extends SparkSpec {
         s"graft_pairs_v2_$fp").toFile)
     } finally rm(new java.io.File(dir))
   }
+
+  test("q99 partitioned-layout artifact: _SUCCESS-gated rebuild over junk, pure read once committed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_art99_").toString
+    try {
+      val q2 = java.sql.Timestamp.valueOf("1995-05-15 00:00:00")
+      val q3 = java.sql.Timestamp.valueOf("1995-07-01 00:00:00")
+      Seq((1L, 10.0, q2), (2L, 20.0, q2), (3L, 30.0, q3))
+        .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+        .coalesce(1).write.parquet(s"$dir/orders.parquet")
+      val fp = Fixtures.tableFingerprint(dir, "orders")
+      val sink = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_q99_dpp_v2_$fp")
+      rm(sink.toFile)
+      Files.createDirectories(sink)
+      Files.write(sink.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+      val out = SparkEntry.queries("q99_dpp_prune")(spark, dir).collect()
+      // only 1995-05 falls in 1995-Q2 → one group of the two Q2 orders
+      assert(out.length === 1, s"expected the single Q2 month, got ${out.toSeq}")
+      assert(out.head.getAs[Long]("n_orders") === 2L)
+      assert(Files.exists(sink.resolve("_SUCCESS")),
+        "the rebuild must commit the marker")
+      val mt = Files.getLastModifiedTime(sink.resolve("_SUCCESS"))
+      val again = SparkEntry.queries("q99_dpp_prune")(spark, dir).collect()
+      assert(again.length === 1)
+      assert(Files.getLastModifiedTime(sink.resolve("_SUCCESS")) === mt,
+        "a committed layout must be served by read, not re-laid-out")
+      rm(sink.toFile)
+    } finally rm(new java.io.File(dir))
+  }
+
+  test("q45 bucketed tables: built once per fixture content, re-invocation reads the standing layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_art45_").toString
+    try {
+      Seq((1L, 10.0), (2L, 20.0), (1L, 5.0))
+        .toDF("o_custkey", "o_totalprice")
+        .coalesce(1).write.parquet(s"$dir/orders.parquet")
+      Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+        .toDF("c_custkey", "c_mktsegment")
+        .coalesce(1).write.parquet(s"$dir/customer.parquet")
+      val out = SparkEntry.queries("q45_bucketed_join")(spark, dir).collect()
+      assert(out.length === 2, s"two segments expected, got ${out.toSeq}")
+      // the bucketed files on disk are the artifact: a second
+      // invocation must serve the join from them, not re-bucket
+      val db = "g_" + spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val key = Fixtures.tableFingerprint(dir, "orders") + "_" +
+        Fixtures.tableFingerprint(dir, "customer")
+      val files = spark.table(s"$db.orders_b_$key").inputFiles
+      assert(files.nonEmpty)
+      val f = Paths.get(new java.net.URI(files.head))
+      val mt = Files.getLastModifiedTime(f)
+      val again = SparkEntry.queries("q45_bucketed_join")(spark, dir).collect()
+      assert(again.length === 2)
+      assert(Files.getLastModifiedTime(f) === mt,
+        "a standing bucketed layout must be read, not rewritten")
+      spark.sql(s"DROP TABLE $db.orders_b_$key")
+      spark.sql(s"DROP TABLE $db.customer_b_$key"): Unit
+    } finally rm(new java.io.File(dir))
+  }
+
+  test("q93 standing-index artifact: a crash between the two sub-writes forces a full rebuild") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_art93_").toString
+    try {
+      val docs = (0L to 9L)
+        .map(i => (i, s"alpha bravo charlie delta echo foxtrot golf token$i end"))
+        .toDF("doc_id", "text")
+      docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val fp = Fixtures.tableFingerprint(dir, "documents")
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_q93_idx_v1_$fp")
+      // simulate a crash AFTER the shingle write committed but BEFORE
+      // the band write: shingles carry a genuine _SUCCESS, bands are
+      // absent — the gate must treat the index as unbuilt (both parts
+      // or neither), not serve a half-index
+      rm(base.toFile)
+      import org.apache.spark.sql.functions.col
+      val shS = Tables.documents(spark, dir).select(col("doc_id"),
+        graft.ops.TextOps.ngramHashes64(graft.ops.TextOps.tokens(col("text")), 3).as("sh"))
+      shS.write.parquet(s"$base/shingles")
+      assert(Files.exists(base.resolve("shingles/_SUCCESS")))
+      assert(!Files.exists(base.resolve("bands/_SUCCESS")))
+      val out = SparkEntry.queries("q93_incremental_neardup")(spark, dir)
+        .collect()
+      // every 10th doc (doc 0) planted as a " graftdelta" append →
+      // exactly one verified near-dup pair
+      assert(out.length === 1, s"expected the planted delta pair, got ${out.toSeq}")
+      assert(Files.exists(base.resolve("bands/_SUCCESS")),
+        "the rebuild must commit the band half too")
+      // committed index: re-invocation reads, never rebuilds
+      val mtS = Files.getLastModifiedTime(base.resolve("shingles/_SUCCESS"))
+      val mtB = Files.getLastModifiedTime(base.resolve("bands/_SUCCESS"))
+      val again = SparkEntry.queries("q93_incremental_neardup")(spark, dir)
+        .collect()
+      assert(again.length === 1)
+      assert(Files.getLastModifiedTime(base.resolve("shingles/_SUCCESS")) === mtS &&
+        Files.getLastModifiedTime(base.resolve("bands/_SUCCESS")) === mtB,
+        "a committed index must be served by read, not rebuilt")
+      rm(base.toFile)
+    } finally rm(new java.io.File(dir))
+  }
 }
