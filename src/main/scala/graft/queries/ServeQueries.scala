@@ -300,21 +300,35 @@ object ServeQueries {
     // standing table instead of re-laying it out. Write-once also
     // subsumes the old per-invocation nonce: the dir is immutable
     // after its _SUCCESS lands, so a deferred reader of an earlier
-    // invocation's frame can never see its files deleted.
+    // invocation's frame can never see its files deleted. The layout
+    // is additionally REGISTERED as a catalog partitioned table
+    // (RECOVER PARTITIONS, once): partition pruning then comes from
+    // catalog metadata instead of a full 84-directory relisting +
+    // schema inference per invocation, and at execution only the
+    // DPP-surviving partitions are ever listed — at 100 TB the fact
+    // table lives in the metastore and this is exactly the path DPP
+    // takes in production.
     "q99_dpp_prune" -> ((s, d) => {
-      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q99_dpp_v2_" +
-        graft.Fixtures.tableFingerprint(d, "orders")
-      if (!new java.io.File(s"$sink/_SUCCESS").exists())
-        Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_totalprice"),
-            date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
-          .repartition(col("order_month"))
-          .write.partitionBy("order_month").mode("overwrite").parquet(sink)
+      val fp = graft.Fixtures.tableFingerprint(d, "orders")
+      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q99_dpp_v2_$fp"
+      val db = "g_" + s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val tbl = s"$db.orders_pm_$fp"
+      if (!s.catalog.tableExists(tbl)) {
+        if (!new java.io.File(s"$sink/_SUCCESS").exists())
+          Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+            .repartition(col("order_month"))
+            .write.partitionBy("order_month").mode("overwrite").parquet(sink)
+        s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+        s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$sink'")
+        s.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
+      }
       val monthDim = Tables.orders(s, d)
         .select(date_format(col("o_orderdate"), "yyyy-MM").as("m")).distinct()
         .withColumn("qtr", concat(substring(col("m"), 1, 4), lit("-Q"),
           ((substring(col("m"), 6, 2).cast("int") - 1) / 3 + 1).cast("int")))
-      s.read.parquet(sink)
+      s.table(tbl)
         .join(broadcast(monthDim.filter(col("qtr") === "1995-Q2")),
           col("order_month") === col("m"))
         .groupBy(col("order_month"))

@@ -84,6 +84,10 @@ class ArtifactGateSpec extends SparkSpec {
       assert(again.length === 1)
       assert(Files.getLastModifiedTime(sink.resolve("_SUCCESS")) === mt,
         "a committed layout must be served by read, not re-laid-out")
+      // drop the catalog registration WITH the files: a dangling table
+      // entry would shadow a future same-content rebuild in this JVM
+      val db = "g_" + spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      spark.sql(s"DROP TABLE IF EXISTS $db.orders_pm_$fp")
       rm(sink.toFile)
     } finally rm(new java.io.File(dir))
   }
