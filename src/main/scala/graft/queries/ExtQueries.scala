@@ -177,9 +177,9 @@ object ExtQueries {
     // bucketing is paying the shuffle once at ingest so every nightly
     // join reads co-located buckets — so the tables are content-keyed
     // (q35/q56/q99 pattern) and written only when this session hasn't
-    // built them for these fixture bytes; overwrite mode still covers
-    // stale warehouse files from a dead JVM whose in-memory catalog
-    // vanished with it.
+    // built them for these fixture bytes. Cross-JVM staleness cannot
+    // collide: the database name carries the applicationId, so a dead
+    // JVM's warehouse files sit under a db this session never opens.
     "q45_bucketed_join" -> ((s, d) => {
       val db = "g_" + s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
