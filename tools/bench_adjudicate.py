@@ -32,10 +32,21 @@ projections inflating alongside shuffle queries) and PER-QUERY
 attribution is unreliable — a banner says so; re-run when idle before
 trusting any query-change tag printed under it.
 
+A second machine-level signature bypasses the per-query threshold
+entirely: when the median PER-QUERY MINIMUM ratio across the two
+lines drifts >=1.2x, the machine itself changed speed between the
+lines (new boot, sustained co-tenant load) — every query's floor
+moves together, which no single query change can do. Session-6 case
+of record: two queries tagged query-change at 1.8x/4.3x while the
+line-wide median min-ratio was ~1.2x and isolation runs reproduced
+the elevated floors on identical code. A MACHINE-STATE banner fires
+and the pair exits 4.
+
 Exit code: 0 if nothing inflated or everything reads as environment /
-noise, 2 if any query reads query-change OUTSIDE a machine-wide
-episode, 3 on fixture drift, 4 on a machine-wide episode (per-query
-tags unreliable — re-run when idle before reading 2 from that pair).
+noise, 2 if any query reads query-change OUTSIDE a machine-wide or
+machine-state episode, 3 on fixture drift, 4 on a machine-wide /
+machine-state episode (per-query tags unreliable — re-run when idle
+before reading 2 from that pair).
 """
 import json
 import signal
@@ -48,6 +59,7 @@ CANARY_UP = 1.8   # probe inflation factors that count as "elevated":
 IO_UP = 2.0       # fsync latency is spiky, ask for 2x
 GC_SHARE = 0.4    # gc-ms must explain >=40% of the added wall time
 MIN_SECS = 0.25   # ignore sub-250ms queries: pure scheduling jitter
+MINSHIFT = 1.2    # median min-ratio above this = machine-state shift
 
 
 def median(xs):
@@ -131,6 +143,25 @@ def main(argv):
               f"tags below are unreliable, re-run idle before trusting "
               f"any query-change")
 
+    # uniform floor drift: median per-query MIN ratio across the two
+    # lines. Minimums of sub-MIN_SECS queries are scheduling jitter,
+    # so only queries with a meaningful base median participate.
+    min_ratios = [
+        new["spread"][q]["min"] / base["spread"][q]["min"]
+        for q in new.get("spread", {})
+        if q in base.get("spread", {})
+        and base["queries"].get(q, 0) >= MIN_SECS
+        and base["spread"][q].get("min", 0) > 0
+        and "min" in new["spread"][q]
+    ]
+    machine_shift = len(min_ratios) >= 5 and median(min_ratios) >= MINSHIFT
+    if machine_shift:
+        print(f"MACHINE-STATE: median per-query min-ratio "
+              f"{median(min_ratios):.2f}x across {len(min_ratios)} queries "
+              f"— the machine changed speed between these lines (boot / "
+              f"sustained co-tenant load); per-query tags below are "
+              f"unreliable, compare against a same-boot baseline instead")
+
     bad = False
     for tag, q, bv, nv, a, sp in verdicts:
         probes = (f"canary={a.get('canary', '-')} io={a.get('io', '-')} "
@@ -138,7 +169,7 @@ def main(argv):
         print(f"{tag:13s} {q:30s} {bv:6.2f} -> {nv:6.2f} "
               f"({nv / bv:4.1f}x)  min/max={sp.get('min')}/{sp.get('max')}  {probes}")
         bad |= tag == "query-change"
-    if machine_wide:
+    if machine_wide or machine_shift:
         return 4
     return 2 if bad else 0
 
