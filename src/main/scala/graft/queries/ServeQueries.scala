@@ -323,7 +323,13 @@ object ServeQueries {
         s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
         s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$sink'")
         s.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
-      }
+      } else if (s.sql(s"SHOW PARTITIONS $tbl").isEmpty)
+        // a crash BETWEEN the CREATE and the RECOVER leaves a table
+        // that exists but knows no partitions — every read of it
+        // would be silently empty. SHOW PARTITIONS is a pure catalog
+        // lookup (LocalTableScan, no job), so the steady state stays
+        // zero-job while the half-registered state self-heals.
+        s.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
       val monthDim = Tables.orders(s, d)
         .select(date_format(col("o_orderdate"), "yyyy-MM").as("m")).distinct()
         .withColumn("qtr", concat(substring(col("m"), 1, 4), lit("-Q"),

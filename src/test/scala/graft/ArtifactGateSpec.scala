@@ -84,10 +84,20 @@ class ArtifactGateSpec extends SparkSpec {
       assert(again.length === 1)
       assert(Files.getLastModifiedTime(sink.resolve("_SUCCESS")) === mt,
         "a committed layout must be served by read, not re-laid-out")
+      val db = "g_" + spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val tbl = s"$db.orders_pm_$fp"
+      // half-registered state: a crash between CREATE TABLE and
+      // RECOVER PARTITIONS leaves a table that knows no partitions —
+      // a read would be silently EMPTY; the gate must self-heal it
+      spark.sql(s"DROP TABLE $tbl")
+      spark.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$sink'")
+      assert(spark.sql(s"SHOW PARTITIONS $tbl").isEmpty)
+      val healed = SparkEntry.queries("q99_dpp_prune")(spark, dir).collect()
+      assert(healed.length === 1 && healed.head.getAs[Long]("n_orders") === 2L,
+        "a half-registered table must be recovered, not served empty")
       // drop the catalog registration WITH the files: a dangling table
       // entry would shadow a future same-content rebuild in this JVM
-      val db = "g_" + spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
-      spark.sql(s"DROP TABLE IF EXISTS $db.orders_pm_$fp")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
       rm(sink.toFile)
     } finally rm(new java.io.File(dir))
   }
