@@ -47,7 +47,19 @@ class PlanDigestSpec extends SparkSpec {
     }.toMap
 
   test("every graded query's physical plan shape matches the committed snapshot") {
-    val current = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> digest(n))
+    // the flagship rides along under a reserved pseudo-key: it is the
+    // one surface the driver smoke-checks that the registry digests
+    // didn't cover (EntrySpec pins its semantics, nothing pinned its
+    // shape). entry() honors SPARK_GRAFT_SF_DIR with an sf0.001
+    // default — the test env leaves it unset, so the digest data dir
+    // matches the registry's.
+    val entryDigest = {
+      val sb = new StringBuilder
+      render(SparkEntry.entry(spark).queryExecution.executedPlan, 0, sb)
+      "entry(flagship)" -> sb.toString
+    }
+    val current = entryDigest +:
+      SparkEntry.queries.keys.toSeq.sorted.map(n => n -> digest(n))
     if (sys.env.contains("GRAFT_REGEN_PLAN_DIGESTS")) {
       val rendered = current.map { case (n, d) => s"== $n\n$d" }.mkString
       Files.write(snapshotPath, rendered.getBytes(StandardCharsets.UTF_8))
