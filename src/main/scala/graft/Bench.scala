@@ -122,7 +122,19 @@ object Bench {
     // builder-line vs driver-line delta can't rule out "different
     // bytes" — with it, identical fingerprints close that question.
     val fixtures = Fixtures.fingerprint(sfDir)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"ambient":$ambient,"fixtures":"$fixtures","reps":$reps,"sf":"$sfDir"$onlyField}"""
+    // run + boot identity: "same code, same data" still spans machine
+    // states (this round's 41.5s vs 48.5s floors were different boots
+    // under different co-tenant load), so every line records when it
+    // ran and which boot it ran in — two lines from different boots
+    // are not floor-comparable and the adjudicator can say so from
+    // the artifact alone. /proc/uptime is Linux-only; absent, the
+    // boot field is skipped rather than guessed.
+    val nowSec = System.currentTimeMillis() / 1000
+    val bootField = scala.util.Try {
+      val up = scala.io.Source.fromFile("/proc/uptime")
+      try up.mkString.split("\\s+")(0).toDouble.toLong finally up.close()
+    }.toOption.map(up => s""","boot":${nowSec - up}""").getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"ambient":$ambient,"fixtures":"$fixtures","reps":$reps,"ts":$nowSec$bootField,"sf":"$sfDir"$onlyField}"""
     println(line)
     // The driver stores only a 2000-char tail of stdout, which
     // truncates before ~80 of the 113 queries AND the total (round-8

@@ -97,6 +97,14 @@ def main(argv):
               f"new={new.get('fixtures')} — different data, stop here")
         return 3
 
+    # boot identity (lines since r11 session 6 carry it): floors are
+    # only comparable within one boot — across boots the machine-state
+    # check below is the expected outcome, not a surprise
+    bb, nb = base.get("boot"), new.get("boot")
+    if bb is not None and nb is not None and abs(bb - nb) > 60:
+        print(f"note: lines are from DIFFERENT BOOTS "
+              f"(base boot epoch {bb}, new {nb}) — floors not comparable")
+
     # the line's idle probe level is its own median, not a constant:
     # a loaded machine elevates every probe, and a query must be read
     # against the probes AROUND it in the same line
