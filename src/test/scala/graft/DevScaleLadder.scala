@@ -97,9 +97,16 @@ object DevScaleLadder {
       s"""\"$name\":{\"min\":${r4(s.min)},\"med\":${r4(median(s))},\"max\":${r4(s.max)},""" +
         s"""\"canary\":${r4(it.canary)},\"io\":${r4(it.io)},\"gc\":${it.gcMs}}"""
     }.mkString("{", ",", "}")
-    // same self-adjudication stamp as bench lines: a ladder table is
-    // only comparable to another if both ran on the same fixture bytes
-    println(s"""{"ladder":$body,"sf":"$sfDir","reps":$reps,"fixtures":"${Fixtures.fingerprint(sfDir)}"}""")
+    // same self-adjudication stamps as bench lines: a ladder table is
+    // only comparable to another if both ran on the same fixture
+    // bytes, and its ABSOLUTES only within one boot (ts/boot mirror
+    // Bench.scala — floors move with machine state across reboots)
+    val nowSec = System.currentTimeMillis() / 1000
+    val bootField = scala.util.Try {
+      val up = scala.io.Source.fromFile("/proc/uptime")
+      try up.mkString.split("\\s+")(0).toDouble.toLong finally up.close()
+    }.toOption.map(up => s""","boot":${nowSec - up}""").getOrElse("")
+    println(s"""{"ladder":$body,"sf":"$sfDir","reps":$reps,"ts":$nowSec$bootField,"fixtures":"${Fixtures.fingerprint(sfDir)}"}""")
     spark.stop()
   }
 }
