@@ -54,6 +54,13 @@ class PlanDigestSpec extends SparkSpec {
     // default — the test env leaves it unset, so the digest data dir
     // matches the registry's.
     val entryDigest = {
+      // EntrySpec cache()s this exact frame; if it ran earlier in the
+      // same JVM the cache manager would swap the scan for an
+      // InMemoryTableScan and the digest would depend on SUITE ORDER.
+      // Suites run sequentially, so dropping the cache here cannot
+      // interleave with another suite's use of it — EntrySpec
+      // re-caches on its own first access either way.
+      spark.catalog.clearCache()
       val sb = new StringBuilder
       render(SparkEntry.entry(spark).queryExecution.executedPlan, 0, sb)
       "entry(flagship)" -> sb.toString
