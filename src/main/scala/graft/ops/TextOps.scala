@@ -267,12 +267,20 @@ object TextOps {
     // once so the df-rank window over the full inverted index runs
     // once, not per consumer. It is ~(1−t)·|corpus tokens| skinny
     // rows; a 100-TB run persists exactly this table between stages
-    // (it IS the PPJoin index).
+    // (it IS the PPJoin index). persist(DISK_ONLY), NOT
+    // localCheckpoint: a localCheckpoint truncates lineage into
+    // non-replicated executor blocks, so losing one executor after
+    // the materialization fails the whole job — acceptable nowhere
+    // that claims a 1000-executor posture. persist keeps the lineage,
+    // so a lost block recomputes from the parquet scan; DISK_ONLY
+    // because at corpus scale the index will not fit in storage
+    // memory and eviction would silently re-run the window per
+    // consumer anyway (r12; was localCheckpoint through r11).
     val pref = ranked
       .filter(col("_rn") <= probeLen)
       .select(col(idCol), col("_tok"), col("_sz"), col("_rn"),
         (col("_rn") <= indexLen).as("_inIdx"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // length filter (PPJoin): J ≥ t forces t·|A| ≤ |B| ≤ |A|/t — prune
     // size-mismatched pairs before they ever reach the verify stage
     val matched = pref
