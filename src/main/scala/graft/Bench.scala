@@ -127,21 +127,38 @@ object Bench {
     // under different co-tenant load), so every line records when it
     // ran and which boot it ran in — two lines from different boots
     // are not floor-comparable and the adjudicator can say so from
-    // the artifact alone. /proc/uptime is Linux-only; absent, the
-    // boot field is skipped rather than guessed.
-    val nowSec = System.currentTimeMillis() / 1000
-    val bootField = scala.util.Try {
-      val up = scala.io.Source.fromFile("/proc/uptime")
-      try up.mkString.split("\\s+")(0).toDouble.toLong finally up.close()
-    }.toOption.map(up => s""","boot":${nowSec - up}""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"ambient":$ambient,"fixtures":"$fixtures","reps":$reps,"ts":$nowSec$bootField,"sf":"$sfDir"$onlyField}"""
+    // the artifact alone. Derivation shared with DevScaleLadder
+    // (BenchStamp) so the two emitters can never drift.
+    val (nowSec, bootOpt) = BenchStamp.stamp()
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_full.jsonl")
+    // Storm-robust self-report (r11 VERDICT item 1): the r11 driver
+    // line read 59.6s inside an ambient episode the adjudicator flags,
+    // vs 44.5s in the same-boot calm window — but nothing in the line
+    // itself said so. Three fields close that: the contamination-
+    // robust min-sum, the count of probe-flagged queries, and a
+    // machine-state verdict against the last committed comparable
+    // line (same fixtures + boot, full suite). BenchLine.scala holds
+    // the rules (mirroring tools/bench_adjudicate.py); the history
+    // read must never kill the bench — a damaged jsonl degrades to
+    // "no-baseline".
+    val totalMin = results.map(_._3).sum
+    val pf = BenchLine.probeFlagged(results.map(r => (r._6, r._7)))
+    val history = scala.util.Try {
+      val p = java.nio.file.Paths.get(out)
+      if (java.nio.file.Files.exists(p))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala.toSeq
+      else Seq.empty[String]
+    }.getOrElse(Seq.empty[String])
+    val ms = BenchLine.machineState(BenchLine.parseBaselines(history),
+      bootOpt, fixtures, results.map(r => r._1 -> r._3).toMap)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_min":${r4(totalMin)},"probe_flagged":$pf,"machine_state":${ms.json},"queries":$qs,"spread":$spread,"ambient":$ambient,"fixtures":"$fixtures","reps":$reps${BenchStamp.fragment(nowSec, bootOpt)},"sf":"$sfDir"$onlyField}"""
     println(line)
     // The driver stores only a 2000-char tail of stdout, which
     // truncates before ~80 of the 113 queries AND the total (round-8
     // verdict: the spread was unreadable exactly when it was needed).
     // So the full line is also appended to a committed repo file —
     // bench history stays reviewable without the driver artifact.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_full.jsonl")
     try {
       val p = java.nio.file.Paths.get(out)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

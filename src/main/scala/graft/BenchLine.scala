@@ -1,0 +1,169 @@
+package graft
+
+/** One derivation for the run/boot identity stamp every measurement
+  * line carries. Bench.scala and DevScaleLadder.scala used to inline
+  * this block separately, each truncating now/uptime on its own, so
+  * the derivation (and the adjudicator's 60 s same-boot tolerance it
+  * must stay inside) could drift apart — r11 ADVICE item. The ±1 s
+  * jitter between two reads is inherent (both fields truncate a
+  * moving clock); what the shared helper pins is that both emitters
+  * compute boot the same way from the same reads.
+  */
+object BenchStamp {
+  /** (epoch seconds now, boot epoch = now − /proc/uptime). Linux-only
+    * uptime; absent, the boot half is skipped rather than guessed. */
+  def stamp(): (Long, Option[Long]) = {
+    val nowSec = System.currentTimeMillis() / 1000
+    val boot = scala.util.Try {
+      val up = scala.io.Source.fromFile("/proc/uptime")
+      try up.mkString.split("\\s+")(0).toDouble.toLong finally up.close()
+    }.toOption.map(nowSec - _)
+    (nowSec, boot)
+  }
+
+  /** The `,"ts":…[,"boot":…]` JSON fragment both emitters append. */
+  def fragment(nowSec: Long, boot: Option[Long]): String =
+    s""","ts":$nowSec""" + boot.map(b => s""","boot":$b""").getOrElse("")
+}
+
+/** Storm-robust bench-line self-adjudication (r11 VERDICT item 1).
+  *
+  * The driver's r11 bench line landed inside an ambient episode — the
+  * repo's own adjudicator flags it (18/52 queries inflated, per-query
+  * minima drifted together) — but the only number a casual reader
+  * sees is `"value": 59.6` where the same-boot calm window measured
+  * 44.5 s. These helpers make every line carry the adjudication
+  * evidence itself:
+  *
+  *   - `total_min`  — sum of per-query MINIMA. A transient stall
+  *     inflates medians but rarely all three back-to-back reps, so
+  *     the min-sum is the contamination-robust aggregate of the same
+  *     run (it is NOT a replacement for the median contract — a
+  *     sustained storm inflates minima too — but it bounds how much
+  *     of `value` is one-rep noise).
+  *   - `probe_flagged` — how many queries' ambient probes (CPU
+  *     canary / fsync'd io probe) read elevated against this line's
+  *     OWN probe medians: intra-line evidence of a mid-run episode.
+  *   - `machine_state` — verdict vs the most recent committed line
+  *     that is actually floor-comparable (same fixture bytes, same
+  *     boot, full suite): median per-query min-ratio ≥ 1.2 ⇒ the
+  *     machine changed speed under this run ("storm"), ≤ 1/1.2 ⇒ it
+  *     sped up ("faster" — i.e. the BASELINE was the stormy one),
+  *     else "calm". No comparable line ⇒ "no-baseline".
+  *
+  * Thresholds mirror tools/bench_adjudicate.py — one reading rule,
+  * two implementations, both pinned by BenchLineSpec.
+  */
+object BenchLine {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  /** tools/bench_adjudicate.py: MINSHIFT / MIN_SECS / CANARY_UP / IO_UP */
+  val MinShift = 1.2
+  val MinSecs = 0.25
+  val CanaryUp = 1.8
+  val IoUp = 2.0
+  /** same-boot tolerance (seconds) — covers the stamp's ±1 s jitter */
+  val BootTolSecs = 60L
+  /** fewer comparable queries than this is not a floor signal */
+  val MinRatios = 5
+
+  def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  /** A committed line reduced to what floor comparison needs. */
+  final case class Baseline(ts: Long, boot: Option[Long], fixtures: String,
+                            mins: Map[String, Double], meds: Map[String, Double])
+
+  final case class MachineState(verdict: String, minRatio: Option[Double],
+                                n: Int, vsTs: Option[Long]) {
+    /** `"machine_state":{…}` fragment (absent sub-fields omitted). */
+    def json: String = {
+      def r2(x: Double): Double = math.rint(x * 100) / 100
+      val mr = minRatio.map(r => s""","min_ratio":${r2(r)}""").getOrElse("")
+      val vs = vsTs.map(t => s""","vs_ts":$t""").getOrElse("")
+      s"""{"verdict":"$verdict"$mr,"n":$n$vs}"""
+    }
+  }
+
+  private def num(v: JValue): Option[Double] = v match {
+    case JDouble(d)  => Some(d)
+    case JInt(i)     => Some(i.toDouble)
+    case JLong(l)    => Some(l.toDouble)
+    case JDecimal(d) => Some(d.toDouble)
+    case _           => None
+  }
+
+  /** Parse committed jsonl lines into comparable baselines. Excluded
+    * by design: subset (`"only"`) lines — they measure in a different
+    * suite context — and lines without a spread block or stamp
+    * (pre-r7 history). A malformed line is skipped, never fatal: the
+    * bench must run even if the history file is damaged.
+    */
+  def parseBaselines(lines: Seq[String]): Seq[Baseline] = lines.flatMap { ln =>
+    scala.util.Try {
+      val j = JsonMethods.parse(ln)
+      val fields = j match { case JObject(fs) => fs.toMap; case _ => Map.empty[String, JValue] }
+      if (fields.contains("only")) None
+      else for {
+        ts <- fields.get("ts").flatMap(num).map(_.toLong)
+        fx <- fields.get("fixtures").collect { case JString(s) => s }
+        spread <- fields.get("spread").collect { case JObject(fs) => fs }
+        meds <- fields.get("queries").collect { case JObject(fs) =>
+          fs.flatMap { case (k, v) => num(v).map(k -> _) }.toMap }
+      } yield {
+        val mins = spread.flatMap { case (q, v) =>
+          v match {
+            case JObject(qs) => qs.toMap.get("min").flatMap(num).map(q -> _)
+            case _           => None
+          }
+        }.toMap
+        Baseline(ts, fields.get("boot").flatMap(num).map(_.toLong), fx, mins, meds)
+      }
+    }.toOption.flatten
+  }
+
+  /** Verdict for a run with per-query minima `mins` against the most
+    * recent comparable line in `history` (same fixtures; both boots
+    * known and within [[BootTolSecs]]). Ratios are restricted to
+    * queries whose BASELINE median clears [[MinSecs]] — sub-250 ms
+    * floors are scheduling jitter (adjudicator rule, verbatim).
+    */
+  def machineState(history: Seq[Baseline], boot: Option[Long],
+                   fixtures: String, mins: Map[String, Double]): MachineState = {
+    val base = history.reverseIterator.find { b =>
+      b.fixtures == fixtures &&
+        (for (x <- b.boot; y <- boot) yield math.abs(x - y) <= BootTolSecs)
+          .getOrElse(false)
+    }
+    base match {
+      case None => MachineState("no-baseline", None, 0, None)
+      case Some(b) =>
+        val ratios = for {
+          (q, m) <- mins.toSeq
+          bm <- b.mins.get(q)
+          bmed <- b.meds.get(q)
+          if bmed >= MinSecs && bm > 0
+        } yield m / bm
+        if (ratios.size < MinRatios) MachineState("no-baseline", None, ratios.size, Some(b.ts))
+        else {
+          val r = median(ratios)
+          val v =
+            if (r >= MinShift) "storm"
+            else if (r <= 1.0 / MinShift) "faster"
+            else "calm"
+          MachineState(v, Some(r), ratios.size, Some(b.ts))
+        }
+    }
+  }
+
+  /** Count of queries whose (canary, io) probes read elevated against
+    * this line's own probe medians — the adjudicator's per-query
+    * elevation rule applied intra-line. */
+  def probeFlagged(probes: Seq[(Double, Double)]): Int =
+    if (probes.isEmpty) 0
+    else {
+      val cnMed = math.max(median(probes.map(_._1)), 1e-9)
+      val ioMed = math.max(median(probes.map(_._2)), 1e-9)
+      probes.count { case (cn, io) => cn > CanaryUp * cnMed || io > IoUp * ioMed }
+    }
+}

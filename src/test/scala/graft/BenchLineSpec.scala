@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the storm-robust bench-line self-report (BenchLine.scala,
+  * r11 VERDICT item 1): the parse of committed history lines, the
+  * machine-state verdict rule (mirroring tools/bench_adjudicate.py's
+  * MINSHIFT floor-drift check), and the intra-line probe-flag count.
+  * Pure functions — no SparkSession.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def mkLine(ts: Long, boot: Long, fixtures: String,
+                     qs: Map[String, (Double, Double)],
+                     only: Option[String] = None): String = {
+    val queries = qs.map { case (k, (med, _)) => s""""$k":$med""" }.mkString("{", ",", "}")
+    val spread = qs.map { case (k, (med, mn)) =>
+      s""""$k":{"min":$mn,"med":$med,"max":${med * 2}}"""
+    }.mkString("{", ",", "}")
+    val onlyF = only.map(o => s""","only":"$o"""").getOrElse("")
+    s"""{"metric":"total","value":1.0,"unit":"sec","queries":$queries,"spread":$spread,"fixtures":"$fixtures","reps":3,"ts":$ts,"boot":$boot,"sf":"x"$onlyF}"""
+  }
+
+  // five queries, all over the MIN_SECS floor, min = 0.9 × med
+  private val calmQs: Map[String, (Double, Double)] =
+    (1 to 5).map(i => s"q$i" -> (1.0 + i * 0.1, 0.9 * (1.0 + i * 0.1))).toMap
+
+  test("parseBaselines keeps full stamped lines, drops subset/malformed/unstamped ones") {
+    val good = mkLine(100, 50, "abc", calmQs)
+    val subset = mkLine(200, 50, "abc", calmQs, only = Some("q1"))
+    val noSpread = """{"metric":"total","value":1.0,"queries":{"q1":1.0},"fixtures":"abc","ts":300,"boot":50}"""
+    val garbage = "not json at all {"
+    val bs = BenchLine.parseBaselines(Seq(good, subset, noSpread, garbage))
+    assert(bs.map(_.ts) === Seq(100L))
+    assert(bs.head.boot === Some(50L))
+    assert(bs.head.mins("q3") === 0.9 * 1.3)
+    assert(bs.head.meds("q3") === 1.3)
+  }
+
+  test("machine-state verdict: calm / storm / faster against the same-boot baseline") {
+    val hist = BenchLine.parseBaselines(Seq(mkLine(100, 50, "abc", calmQs)))
+    def verdictAt(factor: Double): String =
+      BenchLine.machineState(hist, Some(50L), "abc",
+        calmQs.map { case (k, (_, mn)) => k -> mn * factor }).verdict
+    assert(verdictAt(1.0) === "calm")
+    assert(verdictAt(1.19) === "calm")   // just under MINSHIFT
+    assert(verdictAt(1.25) === "storm")  // floors inflated together
+    assert(verdictAt(0.7) === "faster")  // the BASELINE was the stormy one
+    val ms = BenchLine.machineState(hist, Some(50L), "abc",
+      calmQs.map { case (k, (_, mn)) => k -> mn * 1.3 })
+    assert(ms.minRatio.exists(r => math.abs(r - 1.3) < 1e-9))
+    assert(ms.n === 5 && ms.vsTs === Some(100L))
+  }
+
+  test("no-baseline when boot, fixtures, or comparable-query count disqualify every line") {
+    val hist = BenchLine.parseBaselines(Seq(mkLine(100, 50, "abc", calmQs)))
+    val mins = calmQs.map { case (k, (_, mn)) => k -> mn }
+    // different boot (beyond the 60s stamp tolerance)
+    assert(BenchLine.machineState(hist, Some(500L), "abc", mins).verdict === "no-baseline")
+    // within stamp jitter of the same boot → comparable
+    assert(BenchLine.machineState(hist, Some(55L), "abc", mins).verdict === "calm")
+    // different fixture bytes
+    assert(BenchLine.machineState(hist, Some(50L), "xyz", mins).verdict === "no-baseline")
+    // current boot unknown (no /proc/uptime)
+    assert(BenchLine.machineState(hist, None, "abc", mins).verdict === "no-baseline")
+    // too few comparable queries: baseline meds under the 0.25s floor
+    val tiny = (1 to 5).map(i => s"q$i" -> (0.1, 0.09)).toMap
+    val histTiny = BenchLine.parseBaselines(Seq(mkLine(100, 50, "abc", tiny)))
+    assert(BenchLine.machineState(histTiny, Some(50L), "abc",
+      tiny.map { case (k, (_, mn)) => k -> mn }).verdict === "no-baseline")
+  }
+
+  test("most recent comparable line wins, not the first") {
+    val hist = BenchLine.parseBaselines(Seq(
+      mkLine(100, 50, "abc", calmQs.map { case (k, (md, mn)) => k -> (md, mn * 0.5) }),
+      mkLine(200, 50, "abc", calmQs)))
+    val ms = BenchLine.machineState(hist, Some(50L), "abc",
+      calmQs.map { case (k, (_, mn)) => k -> mn })
+    assert(ms.vsTs === Some(200L) && ms.verdict === "calm")
+  }
+
+  test("probe-flag count: elevated canary or io against the line's own medians") {
+    // 10 calm probes + one canary spike + one io spike
+    val calm = Seq.fill(10)((0.05, 0.1))
+    assert(BenchLine.probeFlagged(calm) === 0)
+    assert(BenchLine.probeFlagged(calm :+ ((0.05 * 2.0, 0.1))) === 1)
+    assert(BenchLine.probeFlagged(calm :+ ((0.05, 0.1 * 2.5))) === 1)
+    assert(BenchLine.probeFlagged(
+      calm ++ Seq((0.12, 0.1), (0.05, 0.25))) === 2)
+    assert(BenchLine.probeFlagged(Nil) === 0)
+  }
+
+  test("machine-state json fragment omits absent sub-fields") {
+    assert(BenchLine.MachineState("no-baseline", None, 0, None).json ===
+      """{"verdict":"no-baseline","n":0}""")
+    assert(BenchLine.MachineState("calm", Some(1.034), 52, Some(77L)).json ===
+      """{"verdict":"calm","min_ratio":1.03,"n":52,"vs_ts":77}""")
+  }
+}

@@ -99,14 +99,12 @@ object DevScaleLadder {
     }.mkString("{", ",", "}")
     // same self-adjudication stamps as bench lines: a ladder table is
     // only comparable to another if both ran on the same fixture
-    // bytes, and its ABSOLUTES only within one boot (ts/boot mirror
-    // Bench.scala — floors move with machine state across reboots)
-    val nowSec = System.currentTimeMillis() / 1000
-    val bootField = scala.util.Try {
-      val up = scala.io.Source.fromFile("/proc/uptime")
-      try up.mkString.split("\\s+")(0).toDouble.toLong finally up.close()
-    }.toOption.map(up => s""","boot":${nowSec - up}""").getOrElse("")
-    println(s"""{"ladder":$body,"sf":"$sfDir","reps":$reps,"ts":$nowSec$bootField,"fixtures":"${Fixtures.fingerprint(sfDir)}"}""")
+    // bytes, and its ABSOLUTES only within one boot. The ts/boot
+    // derivation is the SHARED BenchStamp helper (r11 ADVICE: the
+    // block was duplicated verbatim from Bench.scala, letting the
+    // derivation and the adjudicator's 60s tolerance drift apart).
+    val (nowSec, bootOpt) = BenchStamp.stamp()
+    println(s"""{"ladder":$body,"sf":"$sfDir","reps":$reps${BenchStamp.fragment(nowSec, bootOpt)},"fixtures":"${Fixtures.fingerprint(sfDir)}"}""")
     spark.stop()
   }
 }

@@ -40,7 +40,18 @@ moves together, which no single query change can do. Session-6 case
 of record: two queries tagged query-change at 1.8x/4.3x while the
 line-wide median min-ratio was ~1.2x and isolation runs reproduced
 the elevated floors on identical code. A MACHINE-STATE banner fires
-and the pair exits 4.
+and the pair exits 4 — including when NO single query clears the
+per-query threshold (r12: the drift check runs before the
+no-verdicts early return, so a uniform sub-threshold drift can no
+longer exit 0 as "clean").
+
+Since r12 every full bench line also SELF-reports (BenchLine.scala):
+machine_state (its own verdict vs the last committed comparable
+line), probe_flagged (queries whose canary/io probes read elevated
+intra-line), and total_min (contamination-robust min-sum). The new
+line's self-report is printed first when present; it and this
+script implement the same rule, so they should agree whenever BASE
+here is the line the self-report compared against.
 
 Exit code: 0 if nothing inflated or everything reads as environment /
 noise, 2 if any query reads query-change OUTSIDE a machine-wide or
@@ -113,6 +124,21 @@ def main(argv):
     io_base = median([a.get("io", 0) for a in amb.values()]) or 1e-9
     has_io = any("io" in a for a in amb.values())
 
+    # self-reported storm-robust fields (r12, BenchLine.scala): every
+    # full line now carries its own verdict vs the last committed
+    # comparable line, the contamination-robust min-sum, and the count
+    # of probe-flagged queries — surface them first, they are the
+    # emitting run's own view of its machine state
+    ms = new.get("machine_state")
+    if ms is not None:
+        detail = ""
+        if ms.get("min_ratio") is not None:
+            detail = (f" (min_ratio {ms['min_ratio']:.2f} over {ms.get('n')} "
+                      f"queries vs ts={ms.get('vs_ts')})")
+        print(f"new line self-reports: machine_state={ms.get('verdict')}{detail} "
+              f"probe_flagged={new.get('probe_flagged')} "
+              f"total_min={new.get('total_min')}")
+
     verdicts = []
     for q, nv in sorted(new["queries"].items(), key=lambda kv: -kv[1]):
         bv = base["queries"].get(q)
@@ -137,23 +163,14 @@ def main(argv):
             tag = "unattributed"
         verdicts.append((tag, q, bv, nv, a, sp))
 
-    if not verdicts:
-        print(f"clean: no query inflated >={ratio}x "
-              f"(base {base['value']:.1f}s -> new {new['value']:.1f}s)")
-        return 0
-
-    comparable = sum(1 for q, nv in new["queries"].items()
-                     if q in base["queries"] and nv >= MIN_SECS)
-    machine_wide = comparable and len(verdicts) / comparable > 0.2
-    if machine_wide:
-        print(f"MACHINE-WIDE: {len(verdicts)}/{comparable} comparable "
-              f"queries inflated >={ratio}x — ambient episode; per-query "
-              f"tags below are unreliable, re-run idle before trusting "
-              f"any query-change")
-
     # uniform floor drift: median per-query MIN ratio across the two
     # lines. Minimums of sub-MIN_SECS queries are scheduling jitter,
     # so only queries with a meaningful base median participate.
+    # Computed BEFORE the no-verdicts early return (r11 ADVICE): a
+    # uniform 1.2-1.5x floor drift where no single query clears the
+    # per-query threshold is still a machine-state shift — exiting 0
+    # as "clean" let a cross-state total-time drift read as a
+    # same-state comparison.
     min_ratios = [
         new["spread"][q]["min"] / base["spread"][q]["min"]
         for q in new.get("spread", {})
@@ -167,8 +184,23 @@ def main(argv):
         print(f"MACHINE-STATE: median per-query min-ratio "
               f"{median(min_ratios):.2f}x across {len(min_ratios)} queries "
               f"— the machine changed speed between these lines (boot / "
-              f"sustained co-tenant load); per-query tags below are "
-              f"unreliable, compare against a same-boot baseline instead")
+              f"sustained co-tenant load); per-query tags are unreliable, "
+              f"compare against a same-boot baseline instead")
+
+    if not verdicts:
+        print(f"{'shifted' if machine_shift else 'clean'}: no query "
+              f"inflated >={ratio}x "
+              f"(base {base['value']:.1f}s -> new {new['value']:.1f}s)")
+        return 4 if machine_shift else 0
+
+    comparable = sum(1 for q, nv in new["queries"].items()
+                     if q in base["queries"] and nv >= MIN_SECS)
+    machine_wide = comparable and len(verdicts) / comparable > 0.2
+    if machine_wide:
+        print(f"MACHINE-WIDE: {len(verdicts)}/{comparable} comparable "
+              f"queries inflated >={ratio}x — ambient episode; per-query "
+              f"tags below are unreliable, re-run idle before trusting "
+              f"any query-change")
 
     bad = False
     for tag, q, bv, nv, a, sp in verdicts:
