@@ -313,6 +313,16 @@ object ServeQueries {
       val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q99_dpp_v2_$fp"
       val db = "g_" + s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
       val tbl = s"$db.orders_pm_$fp"
+      // a catalog entry can outlive its files: the sink lives in
+      // java.io.tmpdir, which a tmp cleaner (systemd-tmpfiles) can
+      // empty under a long-lived session — the table would then
+      // dangle over nothing and every later read fail instead of
+      // self-healing. So the steady state re-gates on the _SUCCESS
+      // marker every call, exactly like the sibling artifacts
+      // (q35/q56/q93); gone marker ⇒ drop and rebuild (r11 ADVICE).
+      if (s.catalog.tableExists(tbl) &&
+          !new java.io.File(s"$sink/_SUCCESS").exists())
+        s.sql(s"DROP TABLE $tbl")
       if (!s.catalog.tableExists(tbl)) {
         if (!new java.io.File(s"$sink/_SUCCESS").exists())
           Tables.orders(s, d)

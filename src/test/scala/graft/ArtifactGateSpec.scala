@@ -95,6 +95,18 @@ class ArtifactGateSpec extends SparkSpec {
       val healed = SparkEntry.queries("q99_dpp_prune")(spark, dir).collect()
       assert(healed.length === 1 && healed.head.getAs[Long]("n_orders") === 2L,
         "a half-registered table must be recovered, not served empty")
+      // dangling catalog entry: the table stands but its tmpdir files
+      // were cleaned (systemd-tmpfiles under a long-lived session) —
+      // the steady state must re-gate on _SUCCESS every call, DROP
+      // the dangling entry, and rebuild, not fail every later read
+      // (r11 ADVICE item)
+      rm(sink.toFile)
+      assert(spark.catalog.tableExists(tbl), "precondition: entry dangles")
+      val rebuilt = SparkEntry.queries("q99_dpp_prune")(spark, dir).collect()
+      assert(rebuilt.length === 1 && rebuilt.head.getAs[Long]("n_orders") === 2L,
+        "a dangling catalog entry over vanished files must self-heal by rebuild")
+      assert(Files.exists(sink.resolve("_SUCCESS")),
+        "the self-heal must have re-laid-out and re-committed the artifact")
       // drop the catalog registration WITH the files: a dangling table
       // entry would shadow a future same-content rebuild in this JVM
       spark.sql(s"DROP TABLE IF EXISTS $tbl")

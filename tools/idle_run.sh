@@ -12,11 +12,19 @@
 # The gate requires TWO consecutive under-threshold readings 15 s
 # apart, so a momentary dip between storm waves doesn't open it.
 set -u
+usage() { echo "usage: $0 [MAX_LOAD] [MAX_WAIT_MIN] -- cmd args..." >&2; exit 64; }
 MAX_LOAD=0.5
 MAX_WAIT=45
 if [[ "${1:-}" != "--" && -n "${1:-}" ]]; then MAX_LOAD=$1; shift; fi
 if [[ "${1:-}" != "--" && -n "${1:-}" ]]; then MAX_WAIT=$1; shift; fi
-[[ "${1:-}" == "--" ]] && shift
+# fail LOUDLY on a malformed invocation (r11 ADVICE): without the
+# `--` the first command words were silently eaten as thresholds and
+# `exec` could run with no args — exit 0 having measured nothing,
+# the worst failure mode a measurement gate can have.
+[[ "${1:-}" == "--" ]] || usage
+shift
+[[ $# -gt 0 ]] || usage
+[[ "$MAX_LOAD" =~ ^[0-9.]+$ && "$MAX_WAIT" =~ ^[0-9]+$ ]] || usage
 deadline=$(( $(date +%s) + MAX_WAIT*60 ))
 ok=0
 while (( $(date +%s) < deadline )); do
