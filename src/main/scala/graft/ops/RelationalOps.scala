@@ -153,11 +153,18 @@ object RelationalOps {
     * reference's dict.get(...) → None semantics
     * (load_sales_data.py:104-127).
     */
-  def decodeEnvelope(raw: DataFrame, jsonCol: String, schema: StructType): DataFrame =
+  def decodeEnvelope(raw: DataFrame, jsonCol: String, schema: StructType,
+                     keep: Seq[String] = Nil): DataFrame = {
+    // `keep`: pass-through columns that ride next to the decoded
+    // records (r12, for the nightly composition: the work unit's
+    // (store_id, d) coordinates override the API's own date — the
+    // reference's loop-date-wins rule, load_sales_data.py:106)
+    val kept = keep.map(col)
     raw.withColumn("_env", from_json(col(jsonCol), schema))
       .filter(col("_env.ret_code") === "0000")
-      .select(explode(col("_env.data")).as("_rec"))
-      .select(col("_rec.*"))
+      .select(kept :+ explode(col("_env.data")).as("_rec"): _*)
+      .select(kept :+ col("_rec.*"): _*)
+  }
 
   /** Malformed-record quarantine: PERMISSIVE parse of a JSON string
     * column where rows that fail to parse are KEPT, with the raw text

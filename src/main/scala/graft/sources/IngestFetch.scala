@@ -156,4 +156,32 @@ object IngestFetch {
       }
       .toDF("payload")
   }
+
+  /** Coordinate-preserving fetch: one row per work unit —
+    * (store_id, d, payload). The reference stamps every decoded record
+    * with the LOOP date, not the API's echo (load_sales_data.py:106
+    * overrides the record's sale_date with the iteration date), which
+    * requires the request coordinates to survive next to the response
+    * envelope; this is the fetch the nightly composition
+    * ([[graft.pipeline.NightlyRun]]) uses. Same transport seam and
+    * partition lifecycle as [[fetchEnvelopes]]. The zip is lazy: a
+    * transport that yields one envelope per request as it goes keeps
+    * the duplicate-iterator gap at O(1); a transport that drains its
+    * request iterator before answering buffers one partition's
+    * coordinates (two longs per unit) — still executor-bounded.
+    */
+  def fetchEnvelopesWithCoords(worklist: DataFrame,
+                               transport: EnvelopeTransport): DataFrame = {
+    val spark = worklist.sparkSession
+    import spark.implicits._
+    worklist.select(col("store_id"), col("d"))
+      .as[(Long, java.sql.Date)]
+      .mapPartitions { it =>
+        val (forReq, forZip) = it.duplicate
+        forZip.zip(transport.fetchPartition(
+          forReq.map { case (s, dt) => FetchRequest(s, dt.toLocalDate) }))
+          .map { case ((s, dt), payload) => (s, dt, payload) }
+      }
+      .toDF("store_id", "d", "payload")
+  }
 }
