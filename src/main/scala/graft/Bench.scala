@@ -72,6 +72,15 @@ object Bench {
     val probes = new AmbientProbes(spark)
     probes.warmup()
     val bench0 = System.nanoTime()
+    // failed reps per query, stamped into the emitted line itself.
+    // stderr alone proved insufficient in r12: a JVM launched without
+    // the jdk17 --add-opens set failed q92 in ALL reps, and the line
+    // recorded its time-to-fail (~0.5s) as a plausible median — a
+    // reader of the committed artifact had no way to know. A failed
+    // rep's elapsed time still participates in the spread (the
+    // contract is unchanged for clean runs), but any query with a
+    // nonzero fail count is named in the line's "failed" field.
+    val failCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = selected.map { case (name, fn) =>
       val tOff = (System.nanoTime() - bench0) / 1e9
       val cn = probes.canary()
@@ -82,9 +91,10 @@ object Bench {
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             // never silent: a broken query must be visible in the
-            // driver's stderr, not just a suspiciously fast median
+            // driver's stderr AND in the committed line's "failed"
+            // field, not just as a suspiciously fast median
             System.err.println(s"[bench] $name rep$i FAILED: ${e.getMessage}")
-            -1L
+            failCounts(name) = failCounts.getOrElse(name, 0) + 1
         }
         (System.nanoTime() - t0) / 1e9
       }
@@ -151,8 +161,15 @@ object Bench {
       else Seq.empty[String]
     }.getOrElse(Seq.empty[String])
     val ms = BenchLine.machineState(BenchLine.parseBaselines(history),
-      bootOpt, fixtures, results.map(r => r._1 -> r._3).toMap)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_min":${r4(totalMin)},"probe_flagged":$pf,"machine_state":${ms.json},"queries":$qs,"spread":$spread,"ambient":$ambient,"fixtures":"$fixtures","reps":$reps${BenchStamp.fragment(nowSec, bootOpt)},"sf":"$sfDir"$onlyField}"""
+      bootOpt, fixtures, results.map(r => r._1 -> r._3).toMap,
+      failCounts.keySet.toSet)
+    // query names are [A-Za-z0-9_]+ (same argument as onlyField), so
+    // the failed map needs no JSON escaping; absent when all reps ran.
+    val failedField =
+      if (failCounts.isEmpty) ""
+      else failCounts.map { case (k, v) => s""""$k":$v""" }
+        .mkString(""","failed":{""", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_min":${r4(totalMin)},"probe_flagged":$pf,"machine_state":${ms.json}$failedField,"queries":$qs,"spread":$spread,"ambient":$ambient,"fixtures":"$fixtures","reps":$reps${BenchStamp.fragment(nowSec, bootOpt)},"sf":"$sfDir"$onlyField}"""
     println(line)
     // The driver stores only a 2000-char tail of stdout, which
     // truncates before ~80 of the 113 queries AND the total (round-8

@@ -70,9 +70,13 @@ object BenchLine {
 
   def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
-  /** A committed line reduced to what floor comparison needs. */
+  /** A committed line reduced to what floor comparison needs.
+    * `failed` — queries whose reps threw in that run (r12 field): their
+    * recorded numbers are time-to-fail, not measurements, so they are
+    * excluded from floor comparison on either side. */
   final case class Baseline(ts: Long, boot: Option[Long], fixtures: String,
-                            mins: Map[String, Double], meds: Map[String, Double])
+                            mins: Map[String, Double], meds: Map[String, Double],
+                            failed: Set[String] = Set.empty)
 
   final case class MachineState(verdict: String, minRatio: Option[Double],
                                 n: Int, vsTs: Option[Long]) {
@@ -117,7 +121,11 @@ object BenchLine {
             case _           => None
           }
         }.toMap
-        Baseline(ts, fields.get("boot").flatMap(num).map(_.toLong), fx, mins, meds)
+        val failed = fields.get("failed") match {
+          case Some(JObject(fs)) => fs.map(_._1).toSet
+          case _                 => Set.empty[String]
+        }
+        Baseline(ts, fields.get("boot").flatMap(num).map(_.toLong), fx, mins, meds, failed)
       }
     }.toOption.flatten
   }
@@ -127,9 +135,13 @@ object BenchLine {
     * known and within [[BootTolSecs]]). Ratios are restricted to
     * queries whose BASELINE median clears [[MinSecs]] — sub-250 ms
     * floors are scheduling jitter (adjudicator rule, verbatim).
+    * Queries that failed in either run (`failed` here = current run;
+    * `b.failed` = baseline's own field) carry time-to-fail numbers and
+    * are excluded from the ratio set.
     */
   def machineState(history: Seq[Baseline], boot: Option[Long],
-                   fixtures: String, mins: Map[String, Double]): MachineState = {
+                   fixtures: String, mins: Map[String, Double],
+                   failed: Set[String] = Set.empty): MachineState = {
     val base = history.reverseIterator.find { b =>
       b.fixtures == fixtures &&
         (for (x <- b.boot; y <- boot) yield math.abs(x - y) <= BootTolSecs)
@@ -140,6 +152,7 @@ object BenchLine {
       case Some(b) =>
         val ratios = for {
           (q, m) <- mins.toSeq
+          if !failed.contains(q) && !b.failed.contains(q)
           bm <- b.mins.get(q)
           bmed <- b.meds.get(q)
           if bmed >= MinSecs && bm > 0

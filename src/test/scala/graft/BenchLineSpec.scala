@@ -90,6 +90,33 @@ class BenchLineSpec extends AnyFunSuite {
     assert(BenchLine.probeFlagged(Nil) === 0)
   }
 
+  test("failed queries are excluded from floor comparison on either side") {
+    // r12: a JVM without the jdk17 --add-opens set failed q92 in all
+    // reps and the line recorded time-to-fail as a plausible median.
+    // A query named in a line's "failed" field must not contribute a
+    // ratio — from the baseline side (its own field) or the current
+    // run side (the failed-set argument).
+    val failedLine = mkLine(100, 50, "abc", calmQs).replace(
+      """"metric":"total",""",
+      """"metric":"total","failed":{"q3":3},""")
+    val hist = BenchLine.parseBaselines(Seq(failedLine))
+    assert(hist.head.failed === Set("q3"))
+    // q3's baseline min is garbage (say, 100x off); with q3 excluded
+    // the verdict stays calm on the other four... but four < MinRatios,
+    // so first check exclusion drops the ratio count.
+    val mins = calmQs.map { case (k, (_, mn)) => k -> mn }
+    val ms = BenchLine.machineState(hist, Some(50L), "abc", mins)
+    assert(ms.n === 4 && ms.verdict === "no-baseline") // 4 < MinRatios
+    // six queries, one failed → five comparable, verdict computed
+    val sixQs = (1 to 6).map(i => s"q$i" -> (1.0 + i * 0.1, 0.9 * (1.0 + i * 0.1))).toMap
+    val histSix = BenchLine.parseBaselines(Seq(mkLine(100, 50, "abc", sixQs)))
+    val msSix = BenchLine.machineState(histSix, Some(50L), "abc",
+      // q6 failed in the CURRENT run with an absurd time-to-fail min
+      sixQs.map { case (k, (_, mn)) => k -> (if (k == "q6") mn * 50 else mn) },
+      failed = Set("q6"))
+    assert(msSix.n === 5 && msSix.verdict === "calm")
+  }
+
   test("machine-state json fragment omits absent sub-fields") {
     assert(BenchLine.MachineState("no-baseline", None, 0, None).json ===
       """{"verdict":"no-baseline","n":0}""")

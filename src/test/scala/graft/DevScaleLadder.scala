@@ -36,14 +36,23 @@ object DevScaleLadder {
     }
 
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    def time(fn: () => Long): Seq[Double] = (1 to reps).map { i =>
-      val t0 = System.nanoTime()
-      try fn() catch {
-        case e: Throwable =>
-          System.err.println(s"[ladder] rep$i FAILED: ${e.getMessage}")
-          -1L
+    // (samples, failed-rep count): a failed rep's elapsed is timed
+    // (spread contract unchanged for clean runs) but the count travels
+    // into the line's "failed" field — same r12 rule as Bench.scala,
+    // where stderr-only reporting let a JVM without the --add-opens
+    // set record q92's time-to-fail as a plausible median.
+    def time(fn: () => Long): (Seq[Double], Int) = {
+      var fails = 0
+      val samples = (1 to reps).map { i =>
+        val t0 = System.nanoTime()
+        try fn() catch {
+          case e: Throwable =>
+            System.err.println(s"[ladder] rep$i FAILED: ${e.getMessage}")
+            fails += 1
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      (System.nanoTime() - t0) / 1e9
+      (samples, fails)
     }
     // the ratio table is as exposed to ambient load as the bench is —
     // an episode during ONE rung's reps silently corrupts a ratio, so
@@ -62,7 +71,7 @@ object DevScaleLadder {
     val warm = sys.env.get("SPARK_GRAFT_LADDER_WARM").contains("1")
     // samples + the probe readings taken around them
     final case class Item(samples: Seq[Double], canary: Double,
-                          io: Double, gcMs: Long)
+                          io: Double, gcMs: Long, fails: Int)
     def timed(name: String, fn: () => Long): Item = {
       if (warm) {
         // never silent: a failed warm rep means the first TIMED rep
@@ -75,8 +84,8 @@ object DevScaleLadder {
       val cn = probes.canary()
       val ioT = probes.ioProbe()
       val gc0 = probes.gcMillis()
-      val samples = time(fn)
-      Item(samples, cn, ioT, probes.gcMillis() - gc0)
+      val (samples, fails) = time(fn)
+      Item(samples, cn, ioT, probes.gcMillis() - gc0, fails)
     }
     val entryItem =
       if (sys.env.get("SPARK_GRAFT_SF_DIR").contains(sfDir))
@@ -104,7 +113,12 @@ object DevScaleLadder {
     // block was duplicated verbatim from Bench.scala, letting the
     // derivation and the adjudicator's 60s tolerance drift apart).
     val (nowSec, bootOpt) = BenchStamp.stamp()
-    println(s"""{"ladder":$body,"sf":"$sfDir","reps":$reps${BenchStamp.fragment(nowSec, bootOpt)},"fixtures":"${Fixtures.fingerprint(sfDir)}"}""")
+    // item names are registry keys / "entry" — no escaping needed
+    val failedField = {
+      val f = rows.collect { case (n, it) if it.fails > 0 => s""""$n":${it.fails}""" }
+      if (f.isEmpty) "" else f.mkString(""","failed":{""", ",", "}")
+    }
+    println(s"""{"ladder":$body,"sf":"$sfDir","reps":$reps$failedField${BenchStamp.fragment(nowSec, bootOpt)},"fixtures":"${Fixtures.fingerprint(sfDir)}"}""")
     spark.stop()
   }
 }

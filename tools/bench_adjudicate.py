@@ -138,11 +138,21 @@ def main(argv):
         print(f"new line self-reports: machine_state={ms.get('verdict')}{detail} "
               f"probe_flagged={new.get('probe_flagged')} "
               f"total_min={new.get('total_min')}")
+    # a query named here recorded time-to-fail, not a measurement —
+    # its per-query numbers (in either line) must be disregarded
+    for side, d in (("base", base), ("new", new)):
+        if d.get("failed"):
+            print(f"{side.upper()} LINE HAS FAILED QUERIES (timings are "
+                  f"time-to-fail, not measurements): {d['failed']}")
+
+    # queries that failed in either run carry time-to-fail numbers —
+    # exclude them from per-query verdicts and the floor-drift median
+    excluded = set(base.get("failed", {})) | set(new.get("failed", {}))
 
     verdicts = []
     for q, nv in sorted(new["queries"].items(), key=lambda kv: -kv[1]):
         bv = base["queries"].get(q)
-        if bv is None or nv < MIN_SECS or nv / bv < ratio:
+        if q in excluded or bv is None or nv < MIN_SECS or nv / bv < ratio:
             continue
         a = amb.get(q, {})
         sp = new.get("spread", {}).get(q, {})
@@ -175,6 +185,7 @@ def main(argv):
         new["spread"][q]["min"] / base["spread"][q]["min"]
         for q in new.get("spread", {})
         if q in base.get("spread", {})
+        and q not in excluded
         and base["queries"].get(q, 0) >= MIN_SECS
         and base["spread"][q].get("min", 0) > 0
         and "min" in new["spread"][q]
