@@ -44,7 +44,10 @@ object Bench {
     // read: by design — that is the artifact's steady state — and
     // visible in the artifact trail (a line whose q56 max ≈ med read
     // a pre-built artifact; one with max >> med built it).
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // ONE median rule for emitted medians AND the machine-state
+    // verdict (same argument as BenchStamp: two local copies of the
+    // upper-mid convention could silently drift from the adjudicator)
+    def median(xs: Seq[Double]): Double = BenchLine.median(xs)
     // dev knob for adjudication runs (comma-separated names): measure a
     // subset IN BENCH CONTEXT — same session, same warm-up, same order.
     // Unset (the driver's case) = all queries.

@@ -86,11 +86,11 @@ object NightlyRun {
       .upsertLatestWins(standingSlice(spark, martDir, lo, hi), enriched,
         Seq("id"))
       .observe(mergedObs, count(lit(1)).as("n"))
-    commitSlice(merged, martDir)
+    commitSlice(merged, martDir, lo, hi)
     // gate what LANDED, not what was about to land: the reference's
-    // contract is on the loaded table. Partition-pruned to the slice.
-    val landed = spark.read.parquet(martDir)
-      .filter(col("sale_d").between(lit(lo).cast("date"), lit(hi).cast("date")))
+    // contract is on the loaded table. Directory-level slice read —
+    // the rest of the mart is not even listed.
+    val landed = sliceRead(spark, martDir, lo, hi)
     val gate = RelationalOps.qualityGate(landed, Seq(
       ("key_no_nulls", count(when(col("id").isNull, lit(1))),
         (m: Column) => m === 0),
@@ -107,23 +107,52 @@ object NightlyRun {
   private def obsLong(o: Observation): Long =
     o.get("n") match { case l: java.lang.Long => l.longValue(); case x => x.toString.toLong }
 
-  /** The standing mart rows of THIS slice only — a partition-pruned
-    * read (sale_d is the partition column, so the filter prunes at
-    * directory level; partitions outside the slice are never listed
-    * into the scan). Before the first committed tick there is no
-    * mart: an empty, schema-matching frame. */
+  /** The standing mart rows of THIS slice only. Before the first
+    * committed tick there is no mart: an empty, schema-matching
+    * frame. */
   private def standingSlice(spark: SparkSession, martDir: String,
                             lo: String, hi: String): DataFrame =
-    if (!new java.io.File(martDir, "_SUCCESS").exists())
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        new StructType()
-          .add("id", LongType).add("store_id", LongType)
-          .add("sale_d", org.apache.spark.sql.types.DateType)
-          .add("k", LongType).add("region", StringType))
-    else
-      spark.read.parquet(martDir)
-        .filter(col("sale_d").between(lit(lo).cast("date"), lit(hi).cast("date")))
-        .select(martCols.map(col): _*)
+    if (!new java.io.File(martDir, "_SUCCESS").exists()) emptyMart(spark)
+    else sliceRead(spark, martDir, lo, hi)
+
+  private def emptyMart(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      new StructType()
+        .add("id", LongType).add("store_id", LongType)
+        .add("sale_d", org.apache.spark.sql.types.DateType)
+        .add("k", LongType).add("region", StringType))
+
+  /** Directory-level slice read: enumerate the slice's dates and hand
+    * Spark ONLY the partition dirs that exist (`basePath` keeps
+    * `sale_d` as a partition column). A plain
+    * `spark.read.parquet(martDir).filter(...)` would prune the SCAN
+    * to the slice but still build an InMemoryFileIndex over the whole
+    * mart first — an O(all-partitions) driver-side listing per tick
+    * that grows with mart age, and past
+    * `spark.sql.sources.parallelPartitionDiscovery.threshold` (32
+    * dirs ≈ a month of dailies) starts launching listing JOBS, which
+    * would also break the steady-tick job-count pin in
+    * NightlyRunSpec. Here the listing work is O(slice) regardless of
+    * mart size. */
+  private def sliceRead(spark: SparkSession, martDir: String,
+                        lo: String, hi: String): DataFrame = {
+    val dirs = sliceDates(lo, hi)
+      .map(d => new java.io.File(martDir, s"sale_d=$d"))
+      .filter(_.isDirectory)
+    if (dirs.isEmpty) emptyMart(spark)
+    else spark.read.option("basePath", martDir)
+      .parquet(dirs.map(_.toString): _*)
+      .select(martCols.map(col): _*)
+  }
+
+  /** The slice's dates as ISO strings, inclusive. Nightly slices are
+    * days-sized (the reference re-extracts a trailing window), so the
+    * enumeration is always tiny. */
+  private def sliceDates(lo: String, hi: String): Seq[String] = {
+    val h = java.time.LocalDate.parse(hi)
+    Iterator.iterate(java.time.LocalDate.parse(lo))(_.plusDays(1))
+      .takeWhile(!_.isAfter(h)).map(_.toString).toSeq
+  }
 
   /** Commit the merged slice: write to a `_staging` dir under the
     * mart root (leading underscore — invisible to parquet listings,
@@ -145,7 +174,8 @@ object NightlyRun {
     * that the NEXT tick's latest-wins merge repairs, never a
     * half-written partition visible as committed.
     */
-  private def commitSlice(merged: DataFrame, martDir: String): Unit = {
+  private def commitSlice(merged: DataFrame, martDir: String,
+                          lo: String, hi: String): Unit = {
     val root = java.nio.file.Paths.get(martDir)
     java.nio.file.Files.createDirectories(root)
     val staging = root.resolve("_staging")
@@ -153,13 +183,23 @@ object NightlyRun {
     merged.repartition(col("sale_d"))
       .write.partitionBy("sale_d").mode("overwrite")
       .parquet(staging.toString)
-    Option(staging.toFile.listFiles()).getOrElse(Array.empty)
+    val staged = Option(staging.toFile.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("sale_d="))
-      .foreach { p =>
-        val dst = root.resolve(p.getName)
-        rm(dst.toFile)
-        java.nio.file.Files.move(p.toPath, dst): Unit
-      }
+    staged.foreach { p =>
+      val dst = root.resolve(p.getName)
+      rm(dst.toFile)
+      java.nio.file.Files.move(p.toPath, dst): Unit
+    }
+    // a slice date whose MERGED output is empty writes no staging dir
+    // — but its old partition dir must still be retired, or rows the
+    // merge superseded away (e.g. a key re-sent under a corrected
+    // date) would survive as duplicates the gate then flags forever.
+    // Only in-slice dirs are candidates; the rest of the mart stays
+    // untouched.
+    val stagedNames = staged.map(_.getName).toSet
+    sliceDates(lo, hi).map(d => s"sale_d=$d")
+      .filterNot(stagedNames)
+      .foreach(n => rm(root.resolve(n).toFile))
     rm(staging.toFile)
     java.nio.file.Files.write(root.resolve("_SUCCESS"), Array.empty[Byte]): Unit
   }

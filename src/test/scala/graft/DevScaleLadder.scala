@@ -35,7 +35,8 @@ object DevScaleLadder {
       catch { case _: Throwable => () }
     }
 
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // shared derivation with Bench + BenchLine (one median rule)
+    def median(xs: Seq[Double]): Double = BenchLine.median(xs)
     // (samples, failed-rep count): a failed rep's elapsed is timed
     // (spread contract unchanged for clean runs) but the count travels
     // into the line's "failed" field — same r12 rule as Bench.scala,

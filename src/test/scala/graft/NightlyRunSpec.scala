@@ -89,6 +89,53 @@ class NightlyRunSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("a slice date emptied by the merge retires its partition dir (no stale duplicates)") {
+    // the reference's correction case: a booking re-sent under a
+    // corrected date. Key X stands on d1; the re-extraction window
+    // [d1,d2] returns X on d2. Latest-wins keeps only (X,d2) — so d1's
+    // merged output is EMPTY, no staging dir is written for it, and
+    // the commit must RETIRE the old d1 dir or (X,d1) survives as a
+    // duplicate the key_unique gate then flags forever.
+    val martDir = Files.createTempDirectory("graft_nightly_move_").toString
+    val dim = Seq((1L, "north")).toDF("store_id", "region_nm")
+    val d1 = "2024-05-01"
+    val d2 = "2024-05-02"
+    val d1Epoch = java.time.LocalDate.parse(d1).toEpochDay
+    // every store's d1 ids re-sent under d2; d1 requests answer non-OK
+    final class DateShiftTransport extends EnvelopeTransport {
+      override def fetchPartition(rs: Iterator[FetchRequest]): Iterator[String] =
+        rs.map { r =>
+          val code =
+            if (r.storeId % 50 == 0 || r.date.toString == d1) "9999" else "0000"
+          s"""{"ret_code":"$code","data":[{"id":${r.storeId * 100000 + d1Epoch},"k":42}]}"""
+        }
+    }
+    try {
+      val r1 = NightlyRun.run(spark, martDir, stores = 120, lo = d1, hi = d1,
+        transport = new StubTransport, storeDim = dim)
+      val exp = expectedRows(120, d1, d1)
+      assert(r1.merged === exp.size.toLong && r1.gatePassed)
+      assert(new java.io.File(martDir, s"sale_d=$d1").isDirectory)
+
+      val r2 = NightlyRun.run(spark, martDir, stores = 120, lo = d1, hi = d2,
+        transport = new DateShiftTransport, storeDim = dim)
+      assert(r2.merged === exp.size.toLong,
+        "latest-wins must collapse each re-dated key to one row")
+      assert(!new java.io.File(martDir, s"sale_d=$d1").exists(),
+        "the emptied slice date's partition dir must be retired")
+      val mart = spark.read.parquet(martDir)
+      assert(mart.count() === exp.size.toLong,
+        "the superseded rows must not survive as duplicates")
+      assert(mart.filter(col("sale_d") =!= lit(d2).cast("date")).count() === 0L)
+      assert(r2.gatePassed, s"gate failed: ${r2.gate.filterNot(_.passed)}")
+    } finally {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(new java.io.File(martDir))
+    }
+  }
+
   test("nightly ticks: cold build, slice isolation, idempotent steady state with stable job count") {
     val martDir = Files.createTempDirectory("graft_nightly_").toString
     val dim = Seq((1L, "north"), (2L, "south"), (3L, "north"))
@@ -153,11 +200,28 @@ class NightlyRunSpec extends SparkSpec {
       // ...and slice A's original rows are bit-untouched
       assert(partitionFiles(martDir).view.filterKeys(filesA.contains).toMap
         === filesANow, "steady-state tick leaked writes into a foreign slice")
-      // the artifact-reuse claim, end to end: a steady tick pays the
-      // same job count as the previous tick — no rebuild jobs, no
-      // per-run growth with mart size/partition count
-      assert(jobs3 === jobs2,
-        s"steady-state job count drifted: tick2=$jobs2 tick3=$jobs3")
+      // a tick over a NEW slice skips the standing read entirely (its
+      // partition dirs don't exist yet), so the first re-send pays at
+      // most the footer-read of its own slice on top — never more
+      assert(jobs3 <= jobs2 + 1,
+        s"re-send job count grew beyond the standing read: tick2=$jobs2 tick3=$jobs3")
+
+      // ---- tick 4: second steady-state re-send — the stable shape ----
+      // the artifact-reuse claim, end to end: two steady re-sends of
+      // the same slice pay IDENTICAL job counts — no rebuild jobs, no
+      // per-run growth with mart size or partition count (the mart
+      // outside the slice is never even listed, so its age cannot
+      // leak into the count)
+      val (r4, jobs4) = countJobs {
+        NightlyRun.run(spark, martDir, stores = 120,
+          lo = "2024-03-03", hi = "2024-03-04",
+          transport = new RevisedTransport, storeDim = dim)
+      }
+      assert(r4.gatePassed && r4.merged === expB.size.toLong)
+      assert(spark.read.parquet(martDir).count() ===
+        (expA.size + expB.size).toLong)
+      assert(jobs4 === jobs3,
+        s"steady-state job count drifted: tick3=$jobs3 tick4=$jobs4")
     } finally {
       def del(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(del)); f.delete(): Unit

@@ -204,8 +204,12 @@ def main(argv):
               f"(base {base['value']:.1f}s -> new {new['value']:.1f}s)")
         return 4 if machine_shift else 0
 
+    # failed queries are excluded from the verdict numerator above, so
+    # counting them here would dilute the >0.2 fraction and suppress
+    # the banner exactly when a run is already known-broken
     comparable = sum(1 for q, nv in new["queries"].items()
-                     if q in base["queries"] and nv >= MIN_SECS)
+                     if q in base["queries"] and nv >= MIN_SECS
+                     and q not in excluded)
     machine_wide = comparable and len(verdicts) / comparable > 0.2
     if machine_wide:
         print(f"MACHINE-WIDE: {len(verdicts)}/{comparable} comparable "

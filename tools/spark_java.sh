@@ -28,6 +28,8 @@ PKGS=(
 OPENS=()
 for p in "${PKGS[@]}"; do OPENS+=(--add-opens "$p=ALL-UNNAMED"); done
 [[ $# -gt 0 ]] || { echo "usage: $0 [java-opts...] <MainClass> [args...]" >&2; exit 64; }
+# test-classes is on the path because graft.DevScaleLadder (a dev
+# main, not a spec) compiles there; harmless for main-only launches
 exec java "${OPENS[@]}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
+  -cp "target/scala-2.13/classes:target/scala-2.13/test-classes:/opt/spark/jars/*" "$@"
