@@ -29,8 +29,15 @@ object GraphOps {
     * `maxIters` (near-dup graphs are overwhelmingly tiny cliques —
     * diameter 1-2; a pathological chain converges in O(chain length),
     * which the iteration cap bounds deliberately: at 100 TB you cap
-    * and re-run rather than loop unbounded). Labels localCheckpoint
-    * per round — iterative lineage otherwise grows exponentially.
+    * and re-run rather than loop unbounded). Each round's labels are
+    * RELIABLY checkpointed: iterative lineage grows exponentially
+    * (each round's plan embeds the previous round's twice), so it
+    * must be truncated — but with `checkpoint()` to the configured
+    * checkpoint directory, not the `localCheckpoint()` used through
+    * r12, whose non-replicated executor blocks die with an executor.
+    * A cluster deployment points the checkpoint dir at durable shared
+    * storage and the truncation survives node loss; here it defaults
+    * to a local tmp dir if the session has not set one.
     *
     * Input: pairs (id_a, id_b). Output: (doc_id, component) for every
     * doc appearing in at least one pair; docs with no pair are their
@@ -45,15 +52,19 @@ object GraphOps {
     // self-union): pairs is typically the output of an expensive
     // near-dup join and a union would execute that lineage twice
     // before the checkpoint cuts it
-    val edges = pairs.select(explode(array(
-        struct(col(idA).as("u"), col(idB).as("v")),
-        struct(col(idB).as("u"), col(idA).as("v")))).as("_e"))
-      .select(col("_e.u").as("u"), col("_e.v").as("v"))
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
-      .localCheckpoint()
+    val edges = Materialize.once("graph.edges",
+      pairs.select(explode(array(
+          struct(col(idA).as("u"), col(idB).as("v")),
+          struct(col(idB).as("u"), col(idA).as("v")))).as("_e"))
+        .select(col("_e.u").as("u"), col("_e.v").as("v")))
+    var labels = Materialize.once("graph.labels0",
+      edges.select(col("u").as("doc_id")).distinct()
+        .withColumn("component", col("doc_id")))
     val idType = labels.schema("component").dataType
+    // reliable checkpoints need a checkpoint dir; Materialize owns
+    // the default (tmp-scoped, removed at JVM exit) — a cluster
+    // deployment points it at durable shared storage instead
+    Materialize.ensureCheckpointDir(pairs.sparkSession.sparkContext)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -71,10 +82,17 @@ object GraphOps {
           lit(null).cast(idType).as("_own"))
       val self = labels.select(col("doc_id"),
         col("component").as("_cand"), col("component").as("_own"))
+      // eager reliable checkpoint: truncates the per-round lineage
+      // (labels' plan would otherwise double every round) into files
+      // under the checkpoint dir — recomputable-from-durable, unlike
+      // executor-local blocks. Checkpoint files are round-sized
+      // (|dup docs| rows) and live under the checkpoint dir until the
+      // context stops; q56 builds its artifact once per content key,
+      // so the residue is bounded.
       val updated = msgs.unionByName(self)
         .groupBy(col("doc_id"))
         .agg(min(col("_cand")).as("component"), min(col("_own")).as("_old"))
-        .localCheckpoint()
+        .checkpoint()
       val changed = updated.filter(col("component") =!= col("_old")).count()
       labels = updated.drop("_old")
       converged = changed == 0

@@ -28,10 +28,15 @@ object TextOps {
     * idempotent PK upsert collapsing re-sent rows
     * (load_sales_data.py:129-134) generalized to content identity.
     * One hash-partitioned aggregation; at 100 TB this is the standard
-    * exact-dedup shuffle on a 256-bit key.
+    * exact-dedup shuffle on a 256-bit key. Null-text docs are
+    * EXCLUDED: sha2(null) is null and groupBy keeps the null key, so
+    * without the filter every contentless doc in the corpus would
+    * merge into one giant "duplicate" group and all but one would be
+    * retired — absent content is not shared content.
     */
   def exactDedupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
+    docs.filter(col(textCol).isNotNull)
+      .groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct word n-gram shingles of a token array, joined by a
@@ -142,7 +147,7 @@ object TextOps {
     */
   def lshBands(docs: DataFrame, idCol: String, sigCol: String,
                bands: Int, rows: Int): DataFrame =
-    docs.select(col(idCol), posexplode(
+    docs.select(col(idCol), explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_idx"),
             aggregate(slice(col(sigCol), b * rows + 1, lit(rows)), lit(0L),
@@ -178,11 +183,16 @@ object TextOps {
     */
   def lshCandidates(banded: DataFrame, idCol: String,
                     maxBucket: Int): DataFrame = {
-    val hot = banded.groupBy(col("band_idx"), col("band_sig"))
+    // the banded table feeds the hot-bucket aggregation AND the capped
+    // self-join (whose a/b sides share one exchange, but the agg
+    // cannot) — without materialization the whole upstream
+    // minhash/banding pipeline runs at least twice per action
+    val mat = Materialize.once("textops.lshBands", banded)
+    val hot = mat.groupBy(col("band_idx"), col("band_sig"))
       .agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") > maxBucket)
       .select(col("band_idx"), col("band_sig"))
-    val capped = banded.join(broadcast(hot),
+    val capped = mat.join(broadcast(hot),
       Seq("band_idx", "band_sig"), "left_anti")
     val a = capped.select(col("band_idx"), col("band_sig"), col(idCol).as("id_a"))
     val b = capped.select(col("band_idx"), col("band_sig"), col(idCol).as("id_b"))
@@ -200,15 +210,35 @@ object TextOps {
     * itself. Pass a `broadcast(...)`-hinted delta when it is small
     * (the common nightly case); with no hint the equi-join
     * hash-partitions both sides — correct at any delta size. Output:
-    * (id_a from delta, id_b from standing), distinct.
+    * (id_a from delta, id_b from standing), distinct; a doc present
+    * in BOTH tables under one id (the idempotent re-send case) is
+    * never reported as its own near-duplicate.
+    *
+    * `maxBucket` is the same explicit skew trade as [[lshCandidates]]
+    * — a boilerplate band_sig with 10⁶ standing rows probed by 10³
+    * delta docs is a 10⁹-row bucket, the identical 100-TB blowup.
+    * Over-cap STANDING buckets are dropped before the join;
+    * `Int.MaxValue` short-circuits the cap entirely (exact recall, no
+    * extra aggregation over the standing index).
     */
   def lshCandidatesAgainst(deltaBanded: DataFrame, standingBanded: DataFrame,
-                           idCol: String): DataFrame = {
+                           idCol: String, maxBucket: Int): DataFrame = {
+    val capped =
+      if (maxBucket == Int.MaxValue) standingBanded
+      else {
+        val hot = standingBanded.groupBy(col("band_idx"), col("band_sig"))
+          .agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") > maxBucket)
+          .select(col("band_idx"), col("band_sig"))
+        standingBanded.join(broadcast(hot),
+          Seq("band_idx", "band_sig"), "left_anti")
+      }
     val a = deltaBanded.select(col("band_idx"), col("band_sig"),
       col(idCol).as("id_a"))
-    val b = standingBanded.select(col("band_idx"), col("band_sig"),
+    val b = capped.select(col("band_idx"), col("band_sig"),
       col(idCol).as("id_b"))
     a.join(b, Seq("band_idx", "band_sig"))
+      .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
   }
 
@@ -267,20 +297,16 @@ object TextOps {
     // once so the df-rank window over the full inverted index runs
     // once, not per consumer. It is ~(1−t)·|corpus tokens| skinny
     // rows; a 100-TB run persists exactly this table between stages
-    // (it IS the PPJoin index). persist(DISK_ONLY), NOT
-    // localCheckpoint: a localCheckpoint truncates lineage into
-    // non-replicated executor blocks, so losing one executor after
-    // the materialization fails the whole job — acceptable nowhere
-    // that claims a 1000-executor posture. persist keeps the lineage,
-    // so a lost block recomputes from the parquet scan; DISK_ONLY
-    // because at corpus scale the index will not fit in storage
-    // memory and eviction would silently re-run the window per
-    // consumer anyway (r12; was localCheckpoint through r11).
-    val pref = ranked
+    // (it IS the PPJoin index). Materialize.once = eager RELIABLE
+    // checkpoint (survives executor loss when the checkpoint dir is
+    // durable, unlike the localCheckpoint used through r11; row-based
+    // files, unlike the columnar-cache persist r12 first tried, whose
+    // array-column encode tripled q37) — and the expensive rank
+    // window provably runs once, not per consumer or racing stage.
+    val pref = Materialize.once("textops.prefixIndex", ranked
       .filter(col("_rn") <= probeLen)
       .select(col(idCol), col("_tok"), col("_sz"), col("_rn"),
-        (col("_rn") <= indexLen).as("_inIdx"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        (col("_rn") <= indexLen).as("_inIdx")))
     // length filter (PPJoin): J ≥ t forces t·|A| ≤ |B| ≤ |A|/t — prune
     // size-mismatched pairs before they ever reach the verify stage
     val matched = pref
@@ -404,9 +430,12 @@ object TextOps {
     * sums folded into the fingerprint. Partial aggregation shrinks the
     * shuffle to |docs| rows × 64 ints regardless of corpus size.
     * Returns (idCol, simhashCol). Bit-identical to [[simhash64]] (vote
-    * addition is commutative). Docs whose token array is empty vanish
-    * at the explode — `tokens()` never yields an empty array for
-    * non-null text, so every document row survives.
+    * addition is commutative) for every row BOTH forms emit. The one
+    * divergence: docs whose token array is empty or null vanish at
+    * the explode here, where the column form yields the degenerate
+    * fingerprint 0L — `tokens()` never produces an empty array for
+    * non-null text, so on tokenized non-null corpora every document
+    * row survives and the forms agree row-for-row.
     */
   def simhashSignatures(df: DataFrame, idCol: String, toksCol: String,
                         out: String): DataFrame = {
@@ -496,7 +525,7 @@ object TextOps {
       size(array_distinct(toks)).as("n_distinct"),
       (length(col(textCol)) -
         length(regexp_replace(col(textCol), "[.,!?;:]", ""))).as("n_punct"),
-      size(filter(toks, t => t.isInCollection(stopwords))).as("n_stopwords"))
+      langMarkerHits(toks, stopwords).as("n_stopwords"))
       .withColumn("mean_tok_len",
         (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
       .withColumn("stopword_ratio",
@@ -513,7 +542,11 @@ object TextOps {
     * arithmetic throughout.
     */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val runs = expr(s"regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")
+    // col()+lit(), not an expr() string splice: a dotted/spaced/
+    // reserved column name must resolve like every other op's, never
+    // re-parse as SQL
+    val runs = regexp_extract_all(col(textCol),
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))
     df.select(
       col(idCol),
       size(tokens(col(textCol))).as("n_ws_tokens"),
@@ -534,8 +567,13 @@ object TextOps {
     * in HUGEINT).
     */
   def docFingerprint(toks: Column): Column =
-    aggregate(
-      zip_with(toks, sequence(lit(1), size(toks)),
-        (t, i) => i.cast("long") * (ascii(t) * 131L + length(t))),
-      lit(0L), (acc, x) => pmod(acc + x, lit(MersennePrime)))
+    // empty guard: sequence(1, 0) yields the DESCENDING [1, 0] (not an
+    // empty array), zip_with null-pads the empty token side, and the
+    // fold returns NULL — which silently drops the doc from any
+    // fingerprint-equality join. The empty sum mod p is 0.
+    when(size(toks) === 0, lit(0L)).otherwise(
+      aggregate(
+        zip_with(toks, sequence(lit(1), size(toks)),
+          (t, i) => i.cast("long") * (ascii(t) * 131L + length(t))),
+        lit(0L), (acc, x) => pmod(acc + x, lit(MersennePrime))))
 }

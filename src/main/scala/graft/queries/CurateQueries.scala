@@ -185,9 +185,9 @@ object CurateQueries {
         "doc_id", "sig", 16, 2)
       if (!new java.io.File(s"$shP/_SUCCESS").exists() ||
           !new java.io.File(s"$bandP/_SUCCESS").exists()) {
-        val shS = Tables.documents(s, d).select(col("doc_id"),
-            TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh"))
-          .localCheckpoint()
+        val shS = graft.ops.Materialize.once("q93.shS",
+          Tables.documents(s, d).select(col("doc_id"),
+            TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh")))
         shS.write.mode("overwrite").parquet(shP)
         bands(shS).write.mode("overwrite").parquet(bandP)
       }
@@ -196,11 +196,17 @@ object CurateQueries {
         .filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 200000L).as("doc_id"),
           concat(col("text"), lit(" graftdelta")).as("text"))
-      val shD = delta.select(col("doc_id"),
-          TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh"))
-        .localCheckpoint()
+      val shD = graft.ops.Materialize.once("q93.shD",
+        delta.select(col("doc_id"),
+          TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh")))
+      // maxBucket=Int.MaxValue: the deliberate exact-recall choice
+      // (the standing fixture has no boilerplate hot buckets, and the
+      // uncapped path skips the per-run aggregation over the standing
+      // index); a production corpus with shared boilerplate passes the
+      // same cap q29 does
       val cands = TextOps.lshCandidatesAgainst(
-        broadcast(bands(shD)), s.read.parquet(bandP), "doc_id")
+        broadcast(bands(shD)), s.read.parquet(bandP), "doc_id",
+        maxBucket = Int.MaxValue)
       TextOps.jaccardVerify(cands, shS.unionByName(shD), "doc_id", "sh", 4, 5)
     }),
 

@@ -30,7 +30,8 @@ object DeepQueries {
     // over the English corpus for a fixed 3-term query. The corpus
     // statistics (df, N, avgdl) and the per-doc term frequencies all
     // derive from ONE materialized (doc, term, tf) relation
-    // (localCheckpoint — tokenize/explode runs once, not three times);
+    // (Materialize.once — tokenize/explode runs once, not three
+    // times; eager reliable checkpoint, r12);
     // df and the global scalars ride broadcast joins, so the only
     // at-scale shuffle is the tf build itself. IDF uses the standard
     // ln(1 + (N-df+0.5)/(df+0.5)) form — positive for any df, exactly
@@ -39,11 +40,11 @@ object DeepQueries {
     // probe touches only the query terms' postings — never the corpus.
     "q78_bm25" -> ((s, d) => {
       val qterms = Seq("spark", "hash", "window")
-      val tf = Tables.documents(s, d).filter(col("lang") === "en")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .filter(col("term") =!= "")
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
+      val tf = graft.ops.Materialize.once("q78.tf",
+        Tables.documents(s, d).filter(col("lang") === "en")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       // N and avgdl: exact — the token-count sum is integral and fits
       // a double (< 2^53), so avg is sum/count with no float drift

@@ -49,12 +49,13 @@ object ExtQueries {
       // candidates + verify on numeric 64-bit shingle hashes (longs,
       // no n-gram strings — TextOps.ngramHashes64); the hash order
       // serves as the prefix filter's global total order
-      // localCheckpoint: sh feeds the prefix index AND both verify
-      // sides — materialize the tokenize/shingle/hash pipeline once
-      // per invocation instead of 3× (the round-3 q37 hot spot).
-      val sh = docsWithNearDups(s, d).select(col("doc_id"),
-        TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh"))
-        .localCheckpoint()
+      // Materialize.once: sh feeds the prefix index AND both verify
+      // sides — the tokenize/shingle/hash pipeline runs once per
+      // invocation instead of 3× (the round-3 q37 hot spot), as an
+      // eager reliable checkpoint (localCheckpoint through r12).
+      val sh = graft.ops.Materialize.once("q37.sh",
+        docsWithNearDups(s, d).select(col("doc_id"),
+          TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh")))
       val cands = TextOps.prefixFilterCandidates(sh, "doc_id", "sh", 4, 5)
       TextOps.jaccardVerify(cands, sh, "doc_id", "sh", 4, 5)
     }),

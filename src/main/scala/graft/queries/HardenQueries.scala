@@ -49,9 +49,9 @@ object HardenQueries {
       val corpus = docs.unionByName(
         docs.select((col("doc_id") + DupOffset).as("doc_id"),
           concat(col("text"), lit(" graftdup")).as("text")))
-      val sh = corpus.select(col("doc_id"),
-        TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh"))
-        .localCheckpoint()
+      val sh = graft.ops.Materialize.once("harden.pairs.sh",
+        corpus.select(col("doc_id"),
+          TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh")))
       TextOps.jaccardVerify(
           TextOps.prefixFilterCandidates(sh, "doc_id", "sh", 4, 5),
           sh, "doc_id", "sh", 4, 5).select("id_a", "id_b")
@@ -103,12 +103,13 @@ object HardenQueries {
         docs.select((col("doc_id") + DupOffset).as("doc_id"),
           concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
       // tokens materialized once (three consumers: the simhash agg and
-      // both verify sides); fingerprints via the explode+agg fast path
-      // — one codegen'd pass, not 64 interpreted array folds per doc
+      // both verify sides; eager reliable checkpoint — r12);
+      // fingerprints via the explode+agg fast path — one
+      // codegen'd pass, not 64 interpreted array folds per doc
       // (was the round-5 bench's slowest stage).
-      val toks = corpus.select(col("doc_id"),
-          TextOps.tokens(col("text")).as("_toks"))
-        .localCheckpoint()
+      val toks = graft.ops.Materialize.once("q50.toks",
+        corpus.select(col("doc_id"),
+          TextOps.tokens(col("text")).as("_toks")))
       val sig = TextOps.simhashSignatures(toks, "doc_id", "_toks", "_h")
       val bags = toks.select(col("doc_id"), sort_array(col("_toks")).as("_bag"))
       val cands = TextOps.simhashBandedPairs(sig, "doc_id", "_h", 4, 3)

@@ -183,16 +183,16 @@ object NorthQueries {
       // all downstream set work runs on numeric 64-bit shingle hashes
       // (cheap longs, no n-gram strings — TextOps.ngramHashes64); the
       // 31-bit fold for minhash permutations derives from them.
-      // localCheckpoint: the shingle table feeds THREE consumers
+      // Materialize.once: the shingle table feeds THREE consumers
       // (minhash signatures + both sides of the Jaccard verify join) —
       // without it the tokenize/shingle/hash pipeline re-executes per
-      // consumer (the round-3 q29 hot spot). Materialized once per
-      // invocation, |docs| rows × ~|tokens| longs, spills to disk if
-      // needed — the same "shingle once, reuse" layout a 100-TB run
-      // would persist between dedup stages.
-      val sh = corpus.select(col("doc_id"),
-        TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh"))
-        .localCheckpoint()
+      // consumer (the round-3 q29 hot spot). Eager reliable checkpoint
+      // (durable-dir recoverable, unlike the localCheckpoint used
+      // through r12) — the same "shingle once, reuse" layout a 100-TB
+      // run would persist between dedup stages.
+      val sh = graft.ops.Materialize.once("q29.sh",
+        corpus.select(col("doc_id"),
+          TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh")))
       // minhashSignatures folds the 64-bit hashes to 31-bit internally
       // (one scalar pmod post-explode — no extra array pass).
       val sig = TextOps.minhashSignatures(sh, "doc_id", "sh", 32)
@@ -340,7 +340,7 @@ object NorthQueries {
     "q24_dedup_docs" ->
       s"""SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
          |       count(*) AS n_copies
-         |FROM ($dupUnionDocs) GROUP BY 1""".stripMargin,
+         |FROM ($dupUnionDocs) WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
     "q25_text_stats" ->
       """SELECT doc_id,
         | CAST(length(text) AS BIGINT) AS n_chars,

@@ -64,18 +64,19 @@ object WidenQueries {
     // customer-retention buckets between two years. Spark plans each
     // as a left-semi / left-anti aggregate — never a materialized
     // distinct-then-join. Each year slice (pushed-down date BETWEEN
-    // scan, S3) is localCheckpoint-materialized ONCE: the three set
-    // ops consume each side twice, and without the checkpoint the
-    // union re-runs the base scan six times (static exchange reuse
-    // does not fire across the differently-shaped semi/anti arms) —
-    // at 100 TB the rescans, not the set ops, would be the cost.
+    // scan, S3) is Materialize.once'd (eager reliable checkpoint):
+    // the three set ops consume each side twice, and
+    // without the materialization the union re-runs the base scan six
+    // times (static exchange reuse does not fire across the
+    // differently-shaped semi/anti arms) — at 100 TB the rescans, not
+    // the set ops, would be the cost.
     "q59_set_ops" -> ((s, d) => {
       def custsIn(year: Int): DataFrame =
-        Tables.orders(s, d)
-          .filter(col("o_orderdate") >= to_timestamp(lit(f"$year%d-01-01 00:00:00")) &&
-            col("o_orderdate") < to_timestamp(lit(f"${year + 1}%d-01-01 00:00:00")))
-          .select(col("o_custkey")).distinct()
-          .localCheckpoint()
+        graft.ops.Materialize.once(s"q59.$year",
+          Tables.orders(s, d)
+            .filter(col("o_orderdate") >= to_timestamp(lit(f"$year%d-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit(f"${year + 1}%d-01-01 00:00:00")))
+            .select(col("o_custkey")).distinct())
       val a = custsIn(1995)
       val b = custsIn(1996)
       a.intersect(b).withColumn("tag", lit("both"))

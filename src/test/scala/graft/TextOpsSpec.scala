@@ -24,6 +24,16 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Set((1L, 3L), (2L, 1L)))
   }
 
+  test("exactDedupGroups: null-text docs form no group — absent content is not shared content") {
+    // sha2(null) is null and groupBy keeps the null key: without the
+    // op's filter, docs 3 and 9 would merge into one "duplicate"
+    // group and doc 9 would be retired against unrelated doc 3
+    val d = docs(1L -> "a b c", 3L -> null, 9L -> null, 7L -> "a b c")
+    val out = TextOps.exactDedupGroups(d, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+
   test("shingles: n-grams of tokens, distinct, empty below width") {
     val out = docs(1L -> "a b c d", 2L -> "a b")
       .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
@@ -76,6 +86,20 @@ class TextOpsSpec extends SparkSpec {
       (i + 1L) * (t.head.toLong * 131L + t.length)
     }.sum % p
     assert(out(2L) === expect)
+  }
+
+  test("docFingerprint: empty token array fingerprints to 0, not NULL") {
+    // zip_with against sequence(1, 0) = [1, 0] null-pads the empty
+    // side and the fold returned NULL — silently dropping the doc
+    // from fingerprint-equality joins. The empty sum mod p is 0.
+    import org.apache.spark.sql.functions.typedLit
+    val out = Seq((1L, Seq.empty[String]), (2L, Seq("a", "b")))
+      .toDF("doc_id", "toks")
+      .select(col("doc_id"), TextOps.docFingerprint(col("toks")).as("fp"))
+      .as[(Long, java.lang.Long)].collect().toMap
+    assert(out(1L) === 0L)
+    assert((out(2L): Any) != null)
+    assert(out(2L).longValue != 0L)
   }
 
   test("simhash64: identical text ⇒ equal; near-dup ⇒ small Hamming; unrelated ⇒ large") {
@@ -186,7 +210,7 @@ class TextOpsSpec extends SparkSpec {
         "doc_id", "sh", 32),
       "doc_id", "sig", 16, 2)
     val cands = TextOps.lshCandidatesAgainst(
-      bands(delta), bands(standing), "doc_id")
+      bands(delta), bands(standing), "doc_id", maxBucket = Int.MaxValue)
       .as[(Long, Long)].collect()
     // orientation: id_a always from the delta side, id_b standing
     assert(cands.nonEmpty)
@@ -199,6 +223,29 @@ class TextOpsSpec extends SparkSpec {
       .map(i => (i + 200000L, i)).toSet
     assert((expected -- found).isEmpty,
       s"missed sources: ${(expected -- found).take(5)}")
+  }
+
+  test("lshCandidatesAgainst: identical re-sent ids never self-pair; standing hot buckets respect the cap") {
+    // idempotent re-send: doc 200 arrives in the delta under the SAME
+    // id it has in the standing index — it must not be reported as a
+    // near-duplicate of itself. And a boilerplate standing bucket
+    // above the cap is dropped, exactly like the self-join variant.
+    val standing = ((0L until 80L).map(i => (0, "HOT", i)) ++
+      Seq((1, "AB", 200L))).toDF("band_idx", "band_sig", "doc_id")
+    val delta = Seq((0, "HOT", 3L), (1, "AB", 200L), (1, "AB", 900L))
+      .toDF("band_idx", "band_sig", "doc_id")
+    val capped = TextOps.lshCandidatesAgainst(delta, standing, "doc_id",
+      maxBucket = 64).as[(Long, Long)].collect().toSet
+    // (3,3) self-pair suppressed; the HOT bucket dropped by the cap;
+    // only the genuine delta-900 → standing-200 probe survives
+    assert(capped === Set((900L, 200L)), s"got $capped")
+    val uncapped = TextOps.lshCandidatesAgainst(delta, standing, "doc_id",
+      maxBucket = Int.MaxValue).as[(Long, Long)].collect().toSet
+    // uncapped: delta doc 3 pairs with all 80 HOT standing docs except
+    // itself (79), plus 900→200; the (200,200) and (3,3) self-pairs
+    // stay suppressed
+    assert(uncapped.size === 79 + 1)
+    assert(!uncapped.exists { case (a, b) => a == b })
   }
 
   test("lshCandidates: hot buckets above the cap are dropped, normal buckets kept") {
