@@ -54,9 +54,17 @@ object VectorOps {
                  vecCol: String, k: Int): DataFrame = {
     val p = broadcast(probe.select(col(vecCol).as("_probe_vec")))
     corpus.join(p)
+      // no toDouble wrapper: call_function resolves through the
+      // registry, whose builder already wraps both arguments in a
+      // codegen'd Cast to array<double> — the HOF transform added an
+      // interpreted per-element pass + an array allocation per row
+      // on the brute-force scan for nothing
       .select(col(idCol),
-        round(nativeCosine(toDouble(col(vecCol)), toDouble(col("_probe_vec"))), 6)
-          .as("sim"))
+        round(nativeCosine(col(vecCol), col("_probe_vec")), 6).as("sim"))
+      // NaN guard: Spark orders NaN ABOVE every real double, so a
+      // zero-norm corpus vector (cos = 0/0 = NaN) would sit at rank 1
+      // and displace a true neighbor
+      .filter(!isnan(col("sim")))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -86,6 +94,11 @@ object VectorOps {
       v.as("_v_b"), l2Norm(v).as("_n_b"))
     a.join(b, Seq(blockCol))
       .filter(col("id_a") < col("id_b"))
+      // zero-norm guard: for |a| = 0 the rewrite degenerates to
+      // 0 >= 0 = true — a single zero vector would pair with its
+      // whole block, where the cosine form the doc promises
+      // equivalence to yields NaN >= t = false
+      .filter(col("_n_a") > 0 && col("_n_b") > 0)
       .filter(nativeDot(col("_v_a"), col("_v_b")) >=
         lit(threshold) * col("_n_a") * col("_n_b"))
       .select(col("id_a"), col("id_b"))
@@ -102,10 +115,17 @@ object VectorOps {
     * One fold over the k candidates per row — no join, no shuffle.
     */
   def nearestCentroid(vec: Column, cents: Column, k: Int): Column =
+    // Infinity seed, not Double.MaxValue: a legitimate distance of
+    // +Infinity (overflowed squares) must still beat the seed. A NaN
+    // distance (NaN element in the vector) fails every comparison and
+    // returns the sentinel -1 — callers treat -1 as "unassignable"
+    // (kmeansCentroids drops such rows from training; an ivf probe in
+    // cell -1 matches no centroid and returns empty) rather than
+    // silently training a garbage cell.
     aggregate(
       zip_with(cents, sequence(lit(0), lit(k - 1)),
         (c, i) => struct(sqDist(c, vec).as("d"), i.as("i"))),
-      struct(lit(Double.MaxValue).as("d"), lit(-1).as("i")),
+      struct(lit(Double.PositiveInfinity).as("d"), lit(-1).as("i")),
       (acc, x) => when(x("d") < acc("d"), x).otherwise(acc))("i")
 
   /** K-means quantizer TRAINING (Lloyd's algorithm) — the build step
@@ -147,7 +167,9 @@ object VectorOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("_cell"), transform(col("pc"), x => x("c")).as("_centroid"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
-      // empty cells keep their previous centroid (standard Lloyd fix)
+      // empty cells keep their previous centroid (standard Lloyd
+      // fix); rows assigned the -1 sentinel (NaN distance) fall out
+      // here too — indices only covers [0, k)
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
     }
     cents.zipWithIndex.map { case (c, i) => (i, c) }
@@ -214,11 +236,21 @@ object VectorOps {
     */
   def lshAnnTopK(corpus: DataFrame, probe: DataFrame, idCol: String,
                  vecCol: String, bits: Int, k: Int,
-                 probes: Int = 1): DataFrame = {
+                 probes: Int = 1, bucketCol: Option[String] = None): DataFrame = {
     require(probes >= 1 && probes <= bits + 1,
       s"probes must be in [1, bits+1]; Hamming-1 ball has ${bits + 1} buckets")
-    val bucketed = corpus.select(col(idCol), toDouble(col(vecCol)).as("_v"))
-      .withColumn("_bucket", rhpBucket(col("_v"), bits))
+    // bucketCol = the ingest-time path this op's own doc prescribes
+    // ("assign at ingest, store as a column, partition by it"): with a
+    // stored bucket column the probe's bucket list prunes at the SCAN
+    // (partition/row-group level). Without it the buckets are computed
+    // inline — correct, but every query then reads the whole corpus
+    // to bucket it, which at 100 TB forfeits the 1/|buckets| win.
+    val bucketed = bucketCol match {
+      case Some(bc) => corpus.select(col(idCol),
+        toDouble(col(vecCol)).as("_v"), col(bc).as("_bucket"))
+      case None => corpus.select(col(idCol), toDouble(col(vecCol)).as("_v"))
+        .withColumn("_bucket", rhpBucket(col("_v"), bits))
+    }
     val pb = rhpBucket(col("_probe_vec"), bits)
     val probeBuckets = array((0 until probes).map {
       case 0 => pb
@@ -229,6 +261,7 @@ object VectorOps {
     bucketed.join(p, "_bucket") // bucket pruning: `probes` buckets scanned
       .select(col(idCol),
         round(nativeCosine(col("_v"), col("_probe_vec")), 6).as("sim"))
+      .filter(!isnan(col("sim"))) // zero-norm rows must not outrank sim=1.0
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -250,13 +283,16 @@ object VectorOps {
       centroids.join(p)
         .select(col(labelCol),
           nativeCosine(col("_centroid"), col("_probe_vec")).as("_csim"))
+        .filter(!isnan(col("_csim"))) // a zero-mean cell must not hog a probe slot
         .orderBy(col("_csim").desc, col(labelCol))
         .limit(nprobe)
         .select(col(labelCol)))
     vecs.join(best, Seq(labelCol)) // cell pruning: only nprobe cells scanned
       .join(p)
+      // registry cast handles the float→double widening (see cosineTopK)
       .select(col(idCol),
-        round(nativeCosine(toDouble(col(vecCol)), col("_probe_vec")), 6).as("sim"))
+        round(nativeCosine(col(vecCol), col("_probe_vec")), 6).as("sim"))
+      .filter(!isnan(col("sim")))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }

@@ -14,8 +14,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "",
+  private def info(clazz: Class[_], name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, null, name, usage, "",
       "", "", "", "", "", "built-in")
 
   private def asVec(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
@@ -26,11 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => new LatestWinsRule)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
-      info("graft_dot", "graft_dot(a, b) - dot product of two double arrays"),
+      info(classOf[DotProduct], "graft_dot",
+        "graft_dot(a, b) - dot product of two double arrays"),
       (children: Seq[Expression]) => DotProduct(asVec(children(0)), asVec(children(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
-      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two double arrays"),
+      info(classOf[CosineSimilarity], "graft_cosine",
+        "graft_cosine(a, b) - cosine similarity of two double arrays"),
       (children: Seq[Expression]) => CosineSimilarity(asVec(children(0)), asVec(children(1)))))
   }
 }

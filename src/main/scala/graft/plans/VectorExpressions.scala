@@ -16,11 +16,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * quadratic stage of a similarity join that is the hot loop. These
   * expressions generate a tight primitive `for` over the two
   * `ArrayData` buffers inside whole-stage codegen (and cosine fuses
-  * dot + both norms into ONE pass). Array-level null handling is
-  * inherited from BinaryExpression (null in → null out); element nulls
-  * are not expected in embedding vectors (parquet `list<float>` from
-  * the fixture is non-null) and read as 0.0, exactly as the HOF path's
-  * `x.cast("double")` would propagate them.
+  * dot + both norms into ONE pass). Null semantics MATCH the HOF
+  * forms exactly (r12): a null array yields null (BinaryExpression);
+  * a LENGTH MISMATCH yields null (zip_with pads the shorter side with
+  * null, which nulls the HOF fold) — a truncated partial sum would be
+  * a plausible-looking wrong number on a ragged embedding; and a null
+  * ELEMENT yields null for the same reason. The per-element null
+  * check is one branch the JIT hoists when the array's containsNull
+  * is false.
   */
 abstract class VectorFold extends BinaryExpression with Serializable {
   // Input typing: the registry builder (GraftExtensions) wraps both
@@ -30,18 +33,25 @@ abstract class VectorFold extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType
 }
 
-/** dot(a, b) = Σ aᵢ·bᵢ over min(|a|,|b|) elements, one codegen'd pass. */
+/** dot(a, b) = Σ aᵢ·bᵢ, one codegen'd pass; null on length mismatch
+  * or any null element (the HOF forms' semantics, see class doc). */
 case class DotProduct(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i); i += 1
+      }
+      s
+    }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -50,12 +60,17 @@ case class DotProduct(left: Expression, right: Expression) extends VectorFold {
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -66,7 +81,8 @@ case class DotProduct(left: Expression, right: Expression) extends VectorFold {
 
 /** cosine(a, b) = dot/(|a|·|b|), dot and BOTH norms fused into a single
   * pass (the HOF formulation folds the arrays three times). 0-norm
-  * input yields NaN, same as the HOF division.
+  * input yields NaN, same as the HOF division; null on length mismatch
+  * or any null element (the HOF forms' semantics, see class doc).
   */
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "graft_cosine"
@@ -74,18 +90,22 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val xi = x.getDouble(i)
-      val yi = y.getDouble(i)
-      dot += xi * yi; na += xi * xi; nb += yi * yi
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val xi = x.getDouble(i)
+        val yi = y.getDouble(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -98,14 +118,21 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

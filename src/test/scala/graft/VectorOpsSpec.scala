@@ -171,4 +171,47 @@ class VectorOpsSpec extends SparkSpec {
       .as[Seq[Double]].collect().head
     assert(out === Seq(1.5, -2.25))
   }
+
+  test("zero-norm vectors: NaN never outranks a real neighbor; no false near-dup pairs") {
+    // Spark orders NaN ABOVE every real double — an all-zero corpus
+    // vector (cos = 0/0 = NaN) sat at rank 1 before the r12 guard
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 0.0)))
+      .toDF("id", "v")
+    val probe = Seq(Tuple1(Seq(1.0, 0.0))).toDF("v")
+    val top = VectorOps.cosineTopK(corpus, probe, "id", "v", 2)
+      .as[(Long, Double)].collect()
+    assert(top.map(_._1).toSeq === Seq(1L, 2L),
+      s"zero-norm row must not displace true neighbors: ${top.toSeq}")
+    // pairs: the dot >= t*|a|*|b| rewrite degenerates to 0 >= 0 for a
+    // zero vector — it would have paired with its whole block
+    val blocked = Seq(
+      (1L, Seq(1.0, 0.0), "b"), (2L, Seq(0.99, 0.14), "b"),
+      (3L, Seq(0.0, 0.0), "b"))
+      .toDF("id", "v", "blk")
+    val pairs = VectorOps.cosineNearDupPairs(blocked, "id", "v", "blk", 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)),
+      s"zero vector must pair with nothing: $pairs")
+  }
+
+  test("native dot/cosine: null on length mismatch or null element — the HOF forms' semantics") {
+    val d = Seq(
+      ("ok", Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      ("ragged", Seq[java.lang.Double](1.0, 2.0, 5.0), Seq[java.lang.Double](3.0, 4.0)),
+      ("nullel", Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("tag", "a", "b")
+    val out = d.select(col("tag"),
+      VectorOps.nativeDot(col("a"), col("b")).as("nd"),
+      VectorOps.nativeCosine(col("a"), col("b")).as("nc"),
+      VectorOps.dot(col("a"), col("b")).as("hd"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("ok")._1 === Some(11.0))
+    // a truncated partial sum would be a plausible-looking WRONG
+    // number on a ragged embedding; the HOF returns null and so must
+    // the native form
+    assert(out("ragged") === ((None, None, None)))
+    assert(out("nullel") === ((None, None, None)))
+  }
 }
