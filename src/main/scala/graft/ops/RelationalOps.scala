@@ -23,9 +23,12 @@ object RelationalOps {
 
   /** Exclusion filter (P1): drop a known bad key during a master load
     * (reference: sp_code == '000002', load_store_data.py:69-72).
+    * NULL keys are KEPT: the contract is "drop the one bad key", and a
+    * bare `=!=` evaluates to NULL for NULL keys, which filter() would
+    * silently discard along with the bad one.
     */
   def excludeKey(df: DataFrame, keyCol: String, bad: Any): DataFrame =
-    df.filter(col(keyCol) =!= lit(bad))
+    df.filter(col(keyCol).isNull || col(keyCol) =!= lit(bad))
 
   /** Null-or-empty predicate (P2): the reference treats NULL and ''
     * as the same "missing" state (kicc_to_tb_sales_prod.py:126-131).
@@ -141,8 +144,12 @@ object RelationalOps {
     val d = dim.groupBy(col(dimKey).as(factKey))
       .agg(min(col(dimCol)).as("_fill_v"))
     fact.join(broadcast(d), Seq(factKey), "left")
+      // fill only where a fill VALUE exists: an unmatched fact row must
+      // keep its '' rather than have it rewritten to NULL (the
+      // reference's UPDATE...JOIN touches only matched rows)
       .withColumn(factCol,
-        when(isMissing(col(factCol)), col("_fill_v")).otherwise(col(factCol)))
+        when(isMissing(col(factCol)) && col("_fill_v").isNotNull, col("_fill_v"))
+          .otherwise(col(factCol)))
       .drop("_fill_v")
   }
 
@@ -158,12 +165,20 @@ object RelationalOps {
     // `keep`: pass-through columns that ride next to the decoded
     // records (r12, for the nightly composition: the work unit's
     // (store_id, d) coordinates override the API's own date — the
-    // reference's loop-date-wins rule, load_sales_data.py:106)
+    // reference's loop-date-wins rule, load_sales_data.py:106).
+    // "Override" is literal: a payload field sharing a keep name is
+    // DROPPED from the output (a naive `_rec.*` would emit both and
+    // the next reference to the name would fail AMBIGUOUS_REFERENCE).
     val kept = keep.map(col)
+    val payloadFields = schema("data").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[StructType].fieldNames.toSeq
+    val recCols = payloadFields.filterNot(keep.contains)
+      .map(f => col(s"_rec.$f"))
     raw.withColumn("_env", from_json(col(jsonCol), schema))
       .filter(col("_env.ret_code") === "0000")
       .select(kept :+ explode(col("_env.data")).as("_rec"): _*)
-      .select(kept :+ col("_rec.*"): _*)
+      .select(kept ++ recCols: _*)
   }
 
   /** Malformed-record quarantine: PERMISSIVE parse of a JSON string
@@ -177,11 +192,15 @@ object RelationalOps {
     * the quarantine column.
     *
     * from_json semantics under PERMISSIVE: a syntactically broken
-    * document yields a fully-null struct; a parseable document with a
-    * wrong-typed field yields nulls for the bad fields only. Both
-    * surface here — the first as quarantined rows, the second as
-    * null-defaulted fields (P7) — matching the reference's per-row
-    * dict.get(...) → None tolerance.
+    * document yields a fully-null struct (quarantined, parsed columns
+    * all null); a parseable document with a wrong-typed field yields
+    * nulls for the bad fields only AND sets the corrupt record — such
+    * rows are quarantined too, with their well-typed fields populated
+    * alongside `quarantine_raw` for replay. The invariant callers may
+    * rely on is exactly "quarantine_raw IS NULL ⇔ the row parsed
+    * fully clean" — partially-parsed rows are in the BAD bucket, not
+    * silently half-good (P7's null-defaulting applies to fields the
+    * source legitimately omitted, which is not a parse error).
     *
     * Rows whose parse produces NO struct at all — a NULL input string,
     * or the JSON text `null` — are ALSO quarantined (from_json returns
@@ -226,6 +245,10 @@ object RelationalOps {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salts: Int): DataFrame = {
+    // a computed salts of 0 would throw ANSI DIVIDE_BY_ZERO from pmod
+    // deep inside the shuffle (and sequence(0,-1) happily yields
+    // [0,-1]); fail at entry, attributably
+    require(salts > 0, s"salts must be positive, got $salts")
     val f = fact.withColumn("_salt",
       pmod(spark_partition_id().cast("long") + monotonically_increasing_id(),
         lit(salts.toLong)))
@@ -253,7 +276,8 @@ object RelationalOps {
     * deterministic string form (ints, strings, dates) so the profile
     * is engine-portable.
     */
-  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
     cols.map { c =>
       df.groupBy(col(c)).agg(count(lit(1)).as("_cnt"))
         .agg(
@@ -265,6 +289,7 @@ object RelationalOps {
         .select(lit(c).as("col_name"), col("n_null"), col("n_distinct"),
           col("min_val"), col("max_val"))
     }.reduce(_ unionByName _)
+  }
 
   /** Data-quality expectations gate: evaluate every check's observed
     * metric in ONE aggregation pass over the table (a Deequ-style

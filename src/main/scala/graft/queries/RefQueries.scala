@@ -198,7 +198,7 @@ object RefQueries {
     "q01_scan_project" ->
       "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_returnflag FROM lineitem",
     "q02_filter_exclude_store" ->
-      "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey <> 42",
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey IS NULL OR c_custkey <> 42",
     "q03_filter_date_between" ->
       "SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'",
     "q04_filter_null_or_empty" ->
@@ -229,7 +229,7 @@ object RefQueries {
     "q15_enrich_join_update" ->
       "SELECT c_custkey, c_nationkey, COALESCE(n.n_name, 'unknown') AS responsible FROM customer c LEFT JOIN (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 15) n ON c.c_nationkey = n.n_nationkey",
     "q16_enrich_dim_fill" ->
-      """SELECT f.p_partkey, CASE WHEN f.m IS NULL OR f.m = '' THEN d.fill ELSE f.m END AS medium_scale_nm
+      """SELECT f.p_partkey, CASE WHEN (f.m IS NULL OR f.m = '') AND d.fill IS NOT NULL THEN d.fill ELSE f.m END AS medium_scale_nm
         |FROM (SELECT p_partkey, CASE WHEN p_size % 3 = 0 THEN NULL WHEN p_size % 3 = 1 THEN '' ELSE p_brand END AS m FROM part) f
         |LEFT JOIN (SELECT p_partkey, min(p_type) AS fill FROM part GROUP BY p_partkey) d USING (p_partkey)""".stripMargin,
     "q17_store_day_agg" ->

@@ -55,16 +55,24 @@ object StreamingOps {
   /** Streaming exact-content dedup for a document stream — the
     * streaming twin of [[graft.ops.TextOps.exactDedupGroups]] (q24):
     * a doc whose sha256(text) already arrived within the watermark
-    * horizon is dropped. State is one 256-bit hash per distinct doc
-    * inside the horizon — bounded by the watermark, never by corpus
-    * size — which is what makes continuous corpus ingest feasible at
-    * 100 TB/day (the batch op dedups a snapshot; this dedups forever).
+    * horizon is dropped. `dropDuplicatesWithinWatermark`, NOT plain
+    * dropDuplicates: the plain form only evicts state when the
+    * EVENT-TIME column is part of the dedup key — keyed on the hash
+    * alone it would retain every distinct hash ever seen, forever
+    * (the exact unbounded-state failure the WithinWatermark variant
+    * was added for in Spark 3.5). State is one 256-bit hash per
+    * distinct doc inside the horizon — bounded by the watermark,
+    * never by corpus size — which is what makes continuous corpus
+    * ingest feasible at 100 TB/day (the batch op dedups a snapshot;
+    * this dedups forever). The working hash column does not leak into
+    * the output schema.
     */
   def dedupByContent(docs: DataFrame, textCol: String, tsCol: String,
                      delay: String): DataFrame =
     docs.withColumn("_content_hash", sha2(col(textCol), 256))
       .withWatermark(tsCol, delay)
-      .dropDuplicates("_content_hash")
+      .dropDuplicatesWithinWatermark("_content_hash")
+      .drop("_content_hash")
 
   /** Streaming keyed upsert — the reference's re-runnable nightly
     * MERGE (load_sales_data.py:129-134) as a continuous pipeline: each
@@ -179,7 +187,14 @@ object StreamingOps {
     * Batches may arrive unordered within the watermark; events inside
     * one open state window always extend it (intra-batch gap splitting
     * is deliberately not re-derived — the timeout is the gap
-    * authority).
+    * authority). One case the timeout alone CANNOT cover: event-time
+    * timeouts fire only for keys with no data in a batch, against the
+    * watermark the PREVIOUS batch set — so a low-traffic key's first
+    * post-gap event can arrive before its timeout ever fires. The
+    * data branch therefore also closes the stale session when the
+    * incoming batch's earliest event already sits past end + gap,
+    * instead of fusing two sessions across an arbitrarily long quiet
+    * period.
     */
   def sessionizeWithState(events: Dataset[UserEvent], gapMs: Long,
                           delay: String): Dataset[ClosedSession] = {
@@ -196,14 +211,29 @@ object StreamingOps {
               new Timestamp(s.start), new Timestamp(s.end), s.n))
           } else {
             val times = evts.map(_.ts.getTime).toVector
-            val merged = state.getOption match {
-              case Some(s) => SessionState(math.min(s.start, times.min),
-                math.max(s.end, times.max), s.n + times.length)
-              case None => SessionState(times.min, times.max, times.length.toLong)
+            state.getOption match {
+              // the gap already elapsed in EVENT time before the
+              // timeout could fire (timeouts need a batch without this
+              // key): close the stale session, start fresh — merging
+              // would fuse sessions across the whole quiet period
+              case Some(s) if times.min > s.end + gapMs =>
+                val fresh =
+                  SessionState(times.min, times.max, times.length.toLong)
+                state.update(fresh)
+                state.setTimeoutTimestamp(fresh.end + gapMs)
+                Iterator.single(ClosedSession(user,
+                  new Timestamp(s.start), new Timestamp(s.end), s.n))
+              case prev =>
+                val merged = prev match {
+                  case Some(s) => SessionState(math.min(s.start, times.min),
+                    math.max(s.end, times.max), s.n + times.length)
+                  case None =>
+                    SessionState(times.min, times.max, times.length.toLong)
+                }
+                state.update(merged)
+                state.setTimeoutTimestamp(merged.end + gapMs)
+                Iterator.empty
             }
-            state.update(merged)
-            state.setTimeoutTimestamp(merged.end + gapMs)
-            Iterator.empty
           }
       }
   }

@@ -18,6 +18,15 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out.sameElements(Array("000001", "000003")))
   }
 
+  test("excludeKey keeps NULL keys — only the bad key is dropped") {
+    // a bare =!= evaluates to NULL for NULL keys and filter() would
+    // silently discard them along with the bad key
+    val df = Seq("000001", "000002", null).toDF("sp_code")
+    val out = excludeKey(df, "sp_code", "000002")
+      .as[Option[String]].collect().toSet
+    assert(out === Set(Some("000001"), None))
+  }
+
   test("isMissing treats NULL and '' as the same missing state (P2)") {
     val df = Seq(Some("x"), Some(""), None).toDF("v")
     assert(df.filter(isMissing($"v")).count() === 2)
@@ -104,6 +113,39 @@ class RelationalOpsSpec extends SparkSpec {
     val out = dimFillWhenEmpty(fact, dim, "k", "dk", "v", "dv")
       .orderBy("k").as[(Int, String)].collect()
     assert(out.toSeq === Seq((1, "f1"), (2, "f2"), (3, "set")))
+  }
+
+  test("dimFillWhenEmpty leaves unmatched rows untouched — '' is not rewritten to NULL") {
+    // the reference's UPDATE...JOIN touches only matched rows; a row
+    // with '' and NO dim match must keep its '' (the old when()
+    // assigned the NULL _fill_v over it)
+    val fact = Seq((1, ""), (2, "")).toDF("k", "v")
+    val dim = Seq((1, "f1")).toDF("dk", "dv")
+    val out = dimFillWhenEmpty(fact, dim, "k", "dk", "v", "dv")
+      .orderBy("k").as[(Int, String)].collect()
+    assert(out.toSeq === Seq((1, "f1"), (2, "")))
+  }
+
+  test("decodeEnvelope: a keep column SHADOWS a same-named payload field (loop date wins)") {
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructType}
+    val schema = new StructType()
+      .add("ret_code", StringType)
+      .add("data", ArrayType(new StructType()
+        .add("id", LongType).add("d", StringType)))
+    // the API returns its own date d='9999-09-09'; the work unit's d
+    // must win and the output must have exactly ONE d column
+    val raw = Seq(("2024-01-05", """{"ret_code":"0000","data":[{"id":7,"d":"9999-09-09"}]}"""))
+      .toDF("d", "payload")
+    val out = decodeEnvelope(raw, "payload", schema, keep = Seq("d"))
+    assert(out.columns.count(_ == "d") === 1)
+    assert(out.select("d", "id").as[(String, Long)].collect().toSeq ===
+      Seq(("2024-01-05", 7L)))
+  }
+
+  test("saltedJoin and profileColumns fail attributably on degenerate arguments") {
+    val df = Seq((1, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] { saltedJoin(df, df, "k", 0) }
+    intercept[IllegalArgumentException] { profileColumns(df, Nil) }
   }
 
   test("decodeEnvelope: ret_code gate drops bad batches, payload fields nullable (S1)") {

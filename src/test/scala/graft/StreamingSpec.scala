@@ -151,6 +151,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeWithState: a post-gap event closes the stale session instead of fusing") {
+    // event-time timeouts fire only for keys with NO data in a batch,
+    // against the watermark the PREVIOUS batch set — so a low-traffic
+    // key's first post-gap event arrives before its timeout and the
+    // old code merged it into the stale session: one fused session
+    // spanning the whole quiet period
+    import graft.streaming.StreamingOps.{ClosedSession, UserEvent}
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val out = StreamingOps.sessionizeWithState(mem.toDS(),
+      gapMs = 30 * 60 * 1000L, delay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sess_gap_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(UserEvent(1L, ts("2024-01-01 09:00:00")),
+        UserEvent(1L, ts("2024-01-01 09:05:00")))
+      q.processAllAvailable()
+      // six hours of silence, then the SAME user returns — watermark
+      // entering this batch is 08:05, far before the 09:35 timeout
+      mem.addData(UserEvent(1L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_gap_test").as[ClosedSession].collect()
+      assert(sessions.length === 1,
+        s"the stale 09:00-09:05 session must close, not fuse: ${sessions.toSeq}")
+      val s = sessions.head
+      assert(s.session_start === ts("2024-01-01 09:00:00") &&
+        s.session_end === ts("2024-01-01 09:05:00") && s.n_events === 2L)
+    } finally q.stop()
+  }
+
   test("dedupByContent: same text across micro-batches deduped, distinct texts kept") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
