@@ -39,10 +39,17 @@ object PrivacyOps {
     */
   def maskMiddle(s: Column, keepPrefix: Int, keepSuffix: Int): Column = {
     val middle = greatest(length(s) - keepPrefix - keepSuffix, lit(0))
+    // the suffix START must move with the CAPPED suffix length: with a
+    // fixed start of length-keepSuffix+1, a value whose length falls
+    // in (keepPrefix, keepPrefix+keepSuffix] took its capped slice
+    // from inside the kept prefix — duplicating prefix characters and
+    // dropping the true tail ("abc" masked (2,2) came out "abb")
+    val sufLen =
+      greatest(least(length(s) - keepPrefix, lit(keepSuffix)), lit(0))
     concat(
       substring(s, 1, keepPrefix),
       repeat(lit("*"), middle.cast("int")),
-      s.substr(length(s) - keepSuffix + 1, greatest(least(length(s) - keepPrefix, lit(keepSuffix)), lit(0))))
+      s.substr(length(s) - sufLen + 1, sufLen))
   }
 
   /** Quasi-identifier generalization: numeric value → band ordinal
@@ -50,8 +57,12 @@ object PrivacyOps {
     * with no boundary double-counting, and the ordinal is integral so
     * the oracle compares exactly.
     */
-  def band(v: Column, width: Double): Column =
+  def band(v: Column, width: Double): Column = {
+    // width 0 would divide-by-zero into NULL bands — one giant NULL
+    // equivalence class that trivially passes every k check
+    require(width > 0, s"band width must be positive, got $width")
     floor(v.cast("double") / lit(width))
+  }
 
   /** k-anonymity audit + suppression: given the quasi-identifier
     * columns, compute each equivalence class's size k, and suppress
@@ -61,23 +72,20 @@ object PrivacyOps {
     *
     * Adds `k_class` (the class size BEFORE suppression — the audit
     * trail) and replaces each quasi-identifier with null where
-    * suppressed. Scale shape: one partial-agg count over the class key
-    * (tiny output — bounded by the number of classes, not rows) joined
-    * back BROADCAST, so the corpus itself is scanned once and never
-    * re-shuffled.
+    * suppressed. Scale shape: ONE window count partitioned by the
+    * class key — a single shuffle of the corpus, no second scan and no
+    * join. (The previous broadcast-join-back formulation assumed the
+    * class table is tiny, which is exactly backwards for the data a
+    * k-audit exists for: near-unique quasi-identifiers make |classes|
+    * ≈ |rows| and the forced broadcast dies at scale; it also scanned
+    * the input twice. Window partitioning groups NULL quasi-values
+    * together, same as groupBy.)
     */
   def kAnonymize(df: DataFrame, quasiCols: Seq[String], minK: Long): DataFrame = {
-    val classes = df.groupBy(quasiCols.map(col): _*)
-      .agg(count(lit(1)).as("k_class"))
-    // null-safe join keys: a null quasi-identifier is its own class
-    // (groupBy already treats it so), and the join back must agree —
-    // a plain equi-join would orphan those rows into k_class = null
-    val right = classes.select(
-      quasiCols.map(c => col(c).as(s"_k_$c")) :+ col("k_class"): _*)
-    val cond = quasiCols.map(c => col(c) <=> col(s"_k_$c")).reduce(_ && _)
-    val joined = df.join(broadcast(right), cond)
-      .drop(quasiCols.map(c => s"_k_$c"): _*)
-    quasiCols.foldLeft(joined) { (acc, c) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    val withK = df.withColumn("k_class", count(lit(1)).over(w))
+    quasiCols.foldLeft(withK) { (acc, c) =>
       acc.withColumn(c, when(col("k_class") >= minK, col(c)))
     }
   }

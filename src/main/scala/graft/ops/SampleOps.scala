@@ -39,14 +39,39 @@ object SampleOps {
     * which would silently dump every such row into the first split —
     * the exact leak this operator exists to prevent. A NULL key
     * yields a NULL bucket (and a null split / dropped sample row
-    * downstream) — callers must key on a non-null id.
+    * downstream) — callers must key on a non-null INTEGRAL id
+    * (hashSplit/stratifiedSample enforce the type; a string key would
+    * cast to NULL and silently drop the whole corpus).
+    *
+    * `salt`: XOR-mixed into the folded key BEFORE the multiply, so
+    * different salts give genuinely decorrelated assignments (an
+    * additive salt would only rotate the hash space — every row of a
+    * sampled slice would land in the SAME split band). Two decisions
+    * on the same key MUST use different salts: sample-then-split with
+    * the same salt keeps exactly the rows whose bucket is below both
+    * cuts — e.g. a 10% sample split 80/10/10 lands entirely in
+    * "train". Default 0 preserves the committed oracle assignments.
     */
-  def bucket(key: Column, buckets: Int): Column =
+  def bucket(key: Column, buckets: Int, salt: Long = 0L): Column =
     // ... * buckets / 2^32, with the division as a SHIFT: Column./ is
     // double division in Spark, and this must stay exact 64-bit
     // integer arithmetic end to end
-    shiftright((pmod(key.cast("long"), lit(M31)) * Phi % M32) *
+    shiftright((pmod(key.cast("long"), lit(M31))
+      .bitwiseXOR(lit(salt & (M31 - 1))) * Phi % M32) *
       buckets.toLong, 32)
+
+  /** Fail fast on a non-integral key: `cast("long")` on a string id
+    * yields NULL for every row — the corpus would silently vanish
+    * from a sample / get NULL splits instead of erroring. */
+  private def requireIntegralKey(df: DataFrame, keyCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"key column '$keyCol' must be integral for the portable " +
+        s"multiplicative hash, got ${dt.simpleString}; hash string ids " +
+        "to a long first (e.g. xxhash64) and accept engine-specific " +
+        "oracle arithmetic, or join to an integral surrogate key")
+  }
 
   /** Assign each row to a named split by cumulative percentage, e.g.
     * `Seq("train" -> 80, "val" -> 10, "test" -> 10)` (must sum to
@@ -54,16 +79,19 @@ object SampleOps {
     * projection — the 100-TB cost is a scan, nothing else.
     */
   def hashSplit(df: DataFrame, keyCol: String, splitCol: String,
-                splits: Seq[(String, Int)]): DataFrame = {
+                splits: Seq[(String, Int)],
+                salt: Long = 0L): DataFrame = {
     require(splits.map(_._2).sum == 100, "split percentages must sum to 100")
-    val b = bucket(col(keyCol), 100)
+    requireIntegralKey(df, keyCol)
+    val b = bucket(col(keyCol), 100, salt)
     val cuts = splits.scanLeft(0) { case (acc, (_, pct)) => acc + pct }.tail
-    val expr0 = splits.zip(cuts).foldLeft(lit(null).cast("string")) {
-      case (acc, ((name, _), cut)) =>
-        when(b < cut && acc.isNull, lit(name)).otherwise(acc)
-    }
-    // scanLeft gives ascending cuts; the first `b < cut` that fires is
-    // the right band because later whens keep the earlier non-null
+    // ascending cuts ⇒ a plain when-CHAIN is correct (first match
+    // wins) and linear in expression size — the old fold referenced
+    // the accumulator twice per split, doubling the tree each step
+    val expr0 = splits.zip(cuts).tail
+      .foldLeft(when(b < cuts.head, lit(splits.head._1))) {
+        case (acc, ((name, _), cut)) => acc.when(b < cut, lit(name))
+      }
     df.withColumn(splitCol, expr0)
   }
 
@@ -75,10 +103,12 @@ object SampleOps {
     * set on every run and every engine.
     */
   def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
-                       rates: Map[String, Int], defaultPct: Int): DataFrame = {
+                       rates: Map[String, Int], defaultPct: Int,
+                       salt: Long = 0L): DataFrame = {
+    requireIntegralKey(df, keyCol)
     val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
       when(col(strataCol) === k, lit(p)).otherwise(acc)
     }
-    df.filter(bucket(col(keyCol), 100) < pct)
+    df.filter(bucket(col(keyCol), 100, salt) < pct)
   }
 }

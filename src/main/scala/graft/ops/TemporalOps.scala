@@ -58,6 +58,12 @@ object TemporalOps {
     val probeType = probe.select(probeStruct).schema.head.dataType
     val buildType = build.select(buildStruct).schema.head.dataType
 
+    payloadCols.foreach { c =>
+      require(payloadPrefix.nonEmpty || !probe.columns.contains(c),
+        s"payload column '$c' collides with a probe column; pass a " +
+          "non-empty payloadPrefix or rename — two same-named output " +
+          "columns fail on first reference (AMBIGUOUS_REFERENCE)")
+    }
     val buildSide = build.select(
       keys.map(col) ++ Seq(
         col(buildTs).as("_t"), lit(0).as("_tag"),
@@ -146,9 +152,16 @@ object TemporalOps {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(tieCol))
     val prev = lag(col(valueCol), 1).over(w)
+    // null-safe change detection: `prev.isNull || v =!= prev` conflated
+    // "first row" with "previous value was null" AND never flagged a
+    // transition INTO null (v =!= prev is NULL there, read as 0) — a
+    // null status silently merged into the preceding run while every
+    // row after a null split spuriously. row_number pins the first
+    // row; <=> compares null-safely.
     val runs = df
       .withColumn("_chg",
-        when(prev.isNull || col(valueCol) =!= prev, 1).otherwise(0))
+        when(row_number().over(w) === 1 || !(col(valueCol) <=> prev), 1)
+          .otherwise(0))
       .withColumn("_run", sum(col("_chg"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(keyCol), col("_run"))

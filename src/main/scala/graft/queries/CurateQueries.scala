@@ -249,7 +249,8 @@ object CurateQueries {
         |    sha256(c_name || '|graft-pepper') AS pseudonym,
         |    substr(c_name, 1, 9)
         |      || repeat('*', greatest(length(c_name) - 12, 0))
-        |      || substr(c_name, length(c_name) - 2,
+        |      || substr(c_name,
+        |                length(c_name) - least(greatest(length(c_name) - 9, 0), 3) + 1,
         |                least(greatest(length(c_name) - 9, 0), 3)) AS name_masked,
         |    c_nationkey,
         |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band

@@ -392,8 +392,8 @@ object PipelineQueries {
     "q69_scd2_history" ->
       """WITH m AS (
         |  SELECT user_id, ts, event_id, event_type,
-        |    CASE WHEN lag(event_type) OVER w IS NULL
-        |           OR event_type <> lag(event_type) OVER w
+        |    CASE WHEN row_number() OVER w = 1
+        |           OR event_type IS DISTINCT FROM lag(event_type) OVER w
         |         THEN 1 ELSE 0 END AS chg
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -286,12 +286,15 @@ class PlanSpec extends SparkSpec {
       "daily pre-aggregation missing under the range window")
   }
 
-  test("q86 PII mask: class audit joins back broadcast; corpus never sort-merge shuffled") {
+  test("q86 PII mask: k-audit is one window shuffle — no join, no broadcast (r12 reshape)") {
+    // the audit's data is near-unique quasi-identifiers (|classes| ≈
+    // |rows|), so the old broadcast-join-back shape was wrong at
+    // scale and scanned the corpus twice; the window form pays one
+    // hash exchange total
     val p = plan("q86_pii_mask")
-    assert(p.contains("BroadcastHashJoin"),
-      "k-anonymity class counts must broadcast back to the corpus")
-    assert(!p.contains("SortMergeJoin"),
-      "the corpus side must not shuffle for the bounded class table")
+    assert(!p.contains("Join"),
+      "k-anonymity must not join the class table back")
+    assert(p.contains("Window"), "class size must come from a window count")
   }
 
   test("q88 decontamination: eval shingle set broadcast — train side never shuffles pre-join") {

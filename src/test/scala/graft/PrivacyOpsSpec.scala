@@ -32,6 +32,21 @@ class PrivacyOpsSpec extends SparkSpec {
     assert(out(3) == "")
   }
 
+  test("maskMiddle: lengths inside (prefix, prefix+suffix] keep the TRUE tail") {
+    import spark.implicits._
+    // the old fixed suffix start duplicated prefix chars and dropped
+    // the real tail for values in this band ("abc" (2,2) -> "abb")
+    val out = Seq(("abc", 2, 2), ("abcdefghij", 9, 3), ("abcdefghijk", 9, 3))
+      .map(_._1).toDF("s")
+    val m22 = out.limit(1).select(PrivacyOps.maskMiddle(col("s"), 2, 2))
+      .collect().head.getString(0)
+    assert(m22 === "abc", s"nothing to mask at len 3 (2,2): got $m22")
+    val m93 = Seq("abcdefghij", "abcdefghijk").toDF("s")
+      .select(PrivacyOps.maskMiddle(col("s"), 9, 3)).collect().map(_.getString(0))
+    assert(m93(0) === "abcdefghij", s"len 10 (9,3): got ${m93(0)}")
+    assert(m93(1) === "abcdefghijk", s"len 11 (9,3): got ${m93(1)}")
+  }
+
   test("band: floor semantics incl. negatives") {
     import spark.implicits._
     val out = Seq(1863.84, -10.5, 0.0, 999.99, 1000.0).toDF("v")
@@ -92,11 +107,23 @@ class PrivacyOpsSpec extends SparkSpec {
     }
   }
 
-  test("kAnonymize: class count joins back broadcast") {
+  test("kAnonymize: one window shuffle, no join, no broadcast, no second scan") {
     import spark.implicits._
+    // the audit's data is near-unique quasi-identifiers — |classes| ≈
+    // |rows| — so the old broadcast-join-back formulation was the
+    // wrong scale shape (and scanned the input twice); the window
+    // form pays one hash exchange total
     val df = (1 to 100).map(i => (i % 7, s"s${i % 3}")).toDF("g", "s")
     val plan = PrivacyOps.kAnonymize(df, Seq("g", "s"), 5L)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Broadcast"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(plan.split("Exchange").length - 1 === 1,
+      s"expected exactly one exchange:\n$plan")
+  }
+
+  test("band: zero width fails at build, not as silent NULL bands") {
+    intercept[IllegalArgumentException] { PrivacyOps.band(col("v"), 0.0) }
   }
 }

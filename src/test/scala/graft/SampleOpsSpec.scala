@@ -112,6 +112,37 @@ class SampleOpsSpec extends SparkSpec {
     assert(s.filter(col("split").isNull).count() == 0)
   }
 
+  test("string keys fail fast instead of silently null-bucketing the corpus away") {
+    import spark.implicits._
+    val df = Seq(("doc_ab12", "en"), ("doc_cd34", "ko")).toDF("id", "lang")
+    intercept[IllegalArgumentException] {
+      SampleOps.hashSplit(df, "id", "split", Seq("train" -> 80, "val" -> 20))
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.stratifiedSample(df, "id", "lang", Map.empty, 10)
+    }
+  }
+
+  test("salted decisions decorrelate: sample-then-split does not collapse into one split") {
+    import spark.implicits._
+    // same-salt composition keeps exactly the rows under BOTH cuts —
+    // a 20% sample split 80/10/10 landed entirely in "train"
+    val ids = (1L to 5000L).toSeq.toDF("id")
+    val sampled = SampleOps.stratifiedSample(
+      ids.withColumn("s", lit("x")), "id", "s", Map.empty, 20, salt = 7L)
+    val splits = SampleOps.hashSplit(sampled, "id", "split",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10), salt = 99L)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(splits.keySet === Set("train", "val", "test"),
+      s"a salted split of a salted sample must populate every band: $splits")
+    // and the default salt keeps the committed assignment (oracle parity)
+    val d0 = SampleOps.bucket(col("id"), 100)
+    val dExplicit = SampleOps.bucket(col("id"), 100, 0L)
+    val same = ids.select((d0 === dExplicit).as("eq")).agg(min(col("eq")))
+      .collect().head.getBoolean(0)
+    assert(same)
+  }
+
   test("profileColumns: one row per column with exact null/distinct/min/max") {
     import spark.implicits._
     val df = Seq(

@@ -163,6 +163,35 @@ class TemporalOpsSpec extends SparkSpec {
     assert(h.count(_._5) === 2, "exactly one current row per key")
   }
 
+  test("changeHistory: transitions into and out of NULL are real changes") {
+    // v =!= prev is NULL for A->null (the null row merged into the A
+    // run) while prev.isNull spuriously split equal-value runs after
+    // a null; the null-safe <=> + row_number form keeps all 3 runs
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-02 00:00:00"), 2L, null.asInstanceOf[String]),
+      (1L, ts("2024-01-03 00:00:00"), 3L, "A"))
+      .toDF("k", "t", "tie", "v")
+    val out = TemporalOps.changeHistory(df, "k", "t", "v", "tie")
+      .orderBy("valid_from")
+      .select("status", "is_current").as[(Option[String], Boolean)]
+      .collect().toSeq
+    assert(out === Seq((Some("A"), false), (None, false), (Some("A"), true)),
+      s"expected A / null / A validity intervals, got $out")
+  }
+
+  test("asofJoin: payload/probe column collision fails at build without a prefix") {
+    val probe = Seq((1L, ts("2024-01-01 00:00:00"), 5.0)).toDF("k", "pt", "price")
+    val build = Seq((1L, ts("2024-01-01 00:00:00"), 6.0)).toDF("k", "bt", "price")
+    intercept[IllegalArgumentException] {
+      TemporalOps.asofJoin(probe, build, Seq("k"), "pt", "bt", Seq("price"))
+    }
+    // with a prefix the same shape is legal
+    val ok = TemporalOps.asofJoin(probe, build, Seq("k"), "pt", "bt",
+      Seq("price"), payloadPrefix = "asof_")
+    assert(ok.columns.contains("asof_price"))
+  }
+
   test("trailingAttribution: boundary inclusivity, no-source targets, unordered input") {
     val m = 60L * 1000000 // one minute in micros
     // sources (views) and targets (clicks) deliberately unsorted —
