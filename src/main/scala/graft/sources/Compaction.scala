@@ -37,10 +37,18 @@ object Compaction {
     val p = new Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
-    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // Long math, clamped: a typo'd tiny target on a huge input would
+    // overflow toInt negative and fail repartition AFTER planning
+    val n = math.min(
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes),
+      Int.MaxValue.toLong).toInt
     spark.read.parquet(inPath).repartition(n)
       .write.mode("overwrite").parquet(outPath)
-    fs.listStatus(new Path(outPath))
+    // outPath may live on a DIFFERENT filesystem than inPath (hdfs →
+    // s3a compaction): resolve its own FS for the listing
+    val outP = new Path(outPath)
+    outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(outP)
       .count(s => s.getPath.getName.endsWith(".parquet"))
   }
 }

