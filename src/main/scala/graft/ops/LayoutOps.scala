@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout operators: the write-side choices that decide how
@@ -23,22 +23,62 @@ object LayoutOps {
   /** Morton (Z-order) code: interleave the low `bits` bits of x and y
     * (x in even positions, y in odd). Pure codegen'd integer
     * arithmetic — 2·bits shift/mask terms OR-folded; no UDF, no
-    * lookup tables, portable to any engine. Keys are first folded into
-    * [0, 2^bits) with a positive mod, so any long input is safe
-    * (negative keys would otherwise smear across the whole curve).
+    * lookup tables, portable to any engine.
     *
-    * bits ≤ 16 keeps the result within 32 bits — more than enough
-    * resolution for layout: the curve only has to order ROW GROUPS
-    * (~10^5 per table), not distinguish every row.
+    * CONTRACT: both inputs must already lie in [0, 2^bits). The r12
+    * review retired the old pmod fold here — a modular fold ALIASES
+    * keys 2^bits apart into the same Z-cell, so every row group's
+    * min/max stats span the whole key domain and the layout prunes
+    * nothing, silently, precisely on the big tables the operator
+    * exists for. Out-of-range input now raises at execution instead;
+    * real key domains go through [[zorderKey]], whose range scaling
+    * is monotonic (rank-preserving), not modular.
     */
   def mortonCode(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val xs = pmod(x.cast("long"), lit(1L << bits))
-    val ys = pmod(y.cast("long"), lit(1L << bits))
+    def checked(c: Column, name: String): Column =
+      when(c.isNull || (c >= 0 && c < lit(1L << bits)), c.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"mortonCode: $name out of [0, 2^$bits): "), c.cast("string"))))
+    val xs = checked(x, "x")
+    val ys = checked(y, "y")
     (0 until bits).map { i =>
       shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(
           shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order key over two ARBITRARY-domain long columns: one bounded
+    * aggregation computes each key's [min, max], each value is scaled
+    * MONOTONICALLY into [0, 2^bits) — (v − lo) · 2^bits / span, a
+    * rank-preserving map, so nearby keys stay in nearby Z-cells and
+    * footer-stat pruning actually works at any domain size — and the
+    * two scaled values interleave via [[mortonCode]]. The stats pass
+    * is four scalars collected to the driver (the bounded-collect
+    * class kmeans' centroids already establish); at write time its
+    * cost is noise next to the rewrite itself. bits ≤ 16 is plenty:
+    * the curve only has to order ROW GROUPS (~10^5 per table), not
+    * distinguish every row.
+    */
+  def zorderKey(df: DataFrame, xCol: Column, yCol: Column,
+                bits: Int): Column = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    val r = df.agg(min(xCol).cast("long"), max(xCol).cast("long"),
+      min(yCol).cast("long"), max(yCol).cast("long")).collect().head
+    if (r.isNullAt(0) || r.isNullAt(2)) lit(0L) // empty input: any key
+    else {
+      def scaled(c: Column, lo: Long, hi: Long): Column = {
+        val span = hi - lo + 1
+        require(span < (1L << (62 - bits)),
+          s"key span $span too wide to scale without overflow at $bits bits")
+        // (v-lo)*2^bits/span ∈ [0, 2^bits) exactly (v ≤ hi ⇒
+        // numerator ≤ (span-1)·2^bits < span·2^bits)
+        ((c.cast("long") - lit(lo)) * lit(1L << bits) / lit(span))
+          .cast("long")
+      }
+      mortonCode(scaled(xCol, r.getLong(0), r.getLong(1)),
+        scaled(yCol, r.getLong(2), r.getLong(3)), bits)
+    }
   }
 }

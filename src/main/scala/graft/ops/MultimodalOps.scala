@@ -40,7 +40,15 @@ object MultimodalOps {
     */
   def decodeOne(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length.toLong
-    val header = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+    // decode only a bounded prefix: 16 code points need ≤ 64 UTF-8
+    // bytes, +3 so a multi-byte char straddling the cut still decodes
+    // whole (a truncated tail char decodes to U+FFFD but can only sit
+    // PAST the first 16 code points, never among them) — decoding a
+    // multi-MB payload into a full String per record doubled transient
+    // memory in the hot decode loop for 64 useful bytes
+    val prefix = java.util.Arrays.copyOfRange(
+      r.payload, 0, math.min(r.payload.length, 67))
+    val header = new String(prefix, java.nio.charset.StandardCharsets.UTF_8)
       .codePoints().limit(16).asLongStream().sum()
     MediaFeatures(
       media_id = r.media_id,
@@ -89,6 +97,10 @@ object MultimodalOps {
     */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,
                    chunk: Int, maxFrames: Int): DataFrame = {
+    // fail at the driver, not as a divide-by-zero (chunk=0) or a
+    // silent empty result (negative values) inside the flatMap
+    require(chunk > 0, s"chunk must be positive, got $chunk")
+    require(maxFrames >= 0, s"maxFrames must be non-negative, got $maxFrames")
     import df.sparkSession.implicits._
     df.select(col(idCol).as("media_id"), col(binCol).as("payload"))
       .as[MediaRecord]
@@ -127,9 +139,26 @@ object MultimodalOps {
     df.select(col(nameCol).cast("string"), col(payloadCol).cast("binary"))
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, r.getString(0)),
-            r.getAs[Array[Byte]](1))
+          val name = r.getString(0)
+          // names are DATA: null would NPE mid-job, a separator-bearing
+          // or '..' name writes outside the export dir (data-controlled
+          // path traversal) — reject loudly
+          require(name != null && name.nonEmpty &&
+            !name.contains('/') && !name.contains('\\') &&
+            name != "." && name != "..",
+            s"unsafe export file name '$name'")
+          // write-to-temp + atomic move: a speculative/zombie attempt
+          // re-running Files.write directly would TRUNCATE then rewrite
+          // the winner's file and could die mid-write — job success
+          // with a torn artifact. The move either installs a complete
+          // file or leaves the previous one.
+          val target = java.nio.file.Paths.get(dir, name)
+          val tmp = java.nio.file.Paths.get(dir,
+            s".$name.${java.util.UUID.randomUUID()}.tmp")
+          java.nio.file.Files.write(tmp, r.getAs[Array[Byte]](1))
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
         }
       }
   }

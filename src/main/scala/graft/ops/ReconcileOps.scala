@@ -51,13 +51,18 @@ object ReconcileOps {
 
   /** Order-insensitive checksum of `df`, one row per value of
     * `partition`: (part, n_rows, checksum_hi, checksum_lo). `fields`
-    * must already be canonically rendered ([[canonField]]/[[escaped]],
-    * pinned decimal/date formats) and ordered identically on both
-    * systems.
+    * must be canonically rendered ([[canonField]]/[[escaped]], pinned
+    * decimal/date formats) and ordered identically on both systems.
+    * [[canonField]] is additionally applied here at the boundary —
+    * idempotent for already-canonical fields, and without it a raw
+    * nullable column would be silently SKIPPED by concat_ws, making
+    * (NULL,'x') and ('x',NULL) checksum identical ("equal checksum ⇒
+    * equal content" quietly false). Delimiter escaping for free-text
+    * fields remains the caller's duty ([[escaped]]).
     */
   def tableChecksum(df: DataFrame, fields: Seq[Column],
                     partition: Column): DataFrame = {
-    val h = md5(concat_ws("|", fields: _*))
+    val h = md5(concat_ws("|", fields.map(canonField): _*))
     df.select(partition.as("part"), h.as("h"))
       .groupBy(col("part"))
       .agg(count(lit(1)).as("n_rows"),

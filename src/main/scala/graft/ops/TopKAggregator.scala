@@ -42,7 +42,10 @@ object TopKAggregator {
       extends Aggregator[Entry, Seq[Entry], Seq[Entry]] {
     require(k > 0, "k must be positive")
 
-    // a ranks strictly before b: larger value, then smaller tiebreak
+    // a ranks strictly before b: larger value, then smaller tiebreak.
+    // Total for non-NaN doubles; NaN entries are dropped at reduce —
+    // NaN compares false both ways, which would break merge
+    // commutativity and make the top-k partitioning-dependent
     private def before(a: Entry, b: Entry): Boolean =
       a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
@@ -55,7 +58,7 @@ object TopKAggregator {
 
     override def zero: Seq[Entry] = Nil
     override def reduce(buf: Seq[Entry], e: Entry): Seq[Entry] =
-      insert(buf, e)
+      if (e._1.isNaN) buf else insert(buf, e)
     override def merge(a: Seq[Entry], b: Seq[Entry]): Seq[Entry] =
       b.foldLeft(a)(insert)
     override def finish(r: Seq[Entry]): Seq[Entry] = r

@@ -104,10 +104,16 @@ object PipelineQueries {
     "q92_zorder_layout" -> ((s, d) => {
       val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q92_" +
         s.sparkContext.applicationId
-      Tables.orders(s, d)
+      val base = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderdate").cast("date").as("day"), col("o_totalprice"))
-        .withColumn("_z", LayoutOps.mortonCode(col("o_custkey"),
+      // zorderKey, not raw mortonCode: the raw interleave requires
+      // inputs already in [0, 2^bits) — o_custkey outgrows 2^16 past
+      // sf0.4 and a modular fold would alias the curve (every row
+      // group's stats spanning the whole domain = zero pruning). The
+      // range-scaled key is monotonic at any domain size.
+      base
+        .withColumn("_z", LayoutOps.zorderKey(base, col("o_custkey"),
           datediff(col("day"), to_date(lit("1992-01-01"))), 16))
         .repartitionByRange(8, col("_z"))
         .sortWithinPartitions(col("_z"))

@@ -14,20 +14,53 @@ class LayoutOpsSpec extends SparkSpec {
     }
   }
 
-  test("mortonCode matches the reference interleave, incl. negatives") {
+  test("mortonCode matches the reference interleave on in-range keys") {
     import spark.implicits._
     val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L),
-      (123456L, 7L), (-1L, 2L), (14999L, 1825L))
+      (14999L, 1825L))
     val out = cases.toDF("x", "y")
       .select(col("x"), col("y"),
         LayoutOps.mortonCode(col("x"), col("y"), 16).as("z"))
       .collect()
     out.foreach { r =>
       val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      // pmod folds negatives into [0, 2^bits) before interleaving
-      val xf = ((x % 65536) + 65536) % 65536
-      val yf = ((y % 65536) + 65536) % 65536
-      assert(z == mortonRef(xf, yf, 16), s"($x,$y) -> $z")
+      assert(z == mortonRef(x, y, 16), s"($x,$y) -> $z")
+    }
+  }
+
+  test("mortonCode raises on out-of-range keys instead of silently aliasing the curve") {
+    import spark.implicits._
+    // the old pmod fold mapped keys 2^bits apart into the SAME cell —
+    // every row group's min/max then spanned the whole domain and the
+    // layout pruned nothing, silently
+    for (bad <- Seq((65536L, 1L), (-1L, 2L))) {
+      val e = intercept[Exception] {
+        Seq(bad).toDF("x", "y")
+          .select(LayoutOps.mortonCode(col("x"), col("y"), 16)).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("out of [0, 2^16)")), msgs(e))
+    }
+  }
+
+  test("zorderKey scales arbitrary domains monotonically — wide-domain locality holds") {
+    import spark.implicits._
+    // keys far beyond 2^bits: under the old modular fold, consecutive
+    // z-blocks contained keys from across the whole domain; scaled,
+    // each block stays narrow in both dimensions
+    val grid = for { x <- 0 until 32; y <- 0 until 32 }
+      yield (1000000L + x * 50000L, 70000L + y * 9000L)
+    val df = grid.toDF("x", "y")
+    val rows = df
+      .select(col("x"), col("y"),
+        LayoutOps.zorderKey(df, col("x"), col("y"), 5).as("z"))
+      .orderBy(col("z")).collect()
+    rows.grouped(64).foreach { blk =>
+      val xs = blk.map(_.getLong(0))
+      val ys = blk.map(_.getLong(1))
+      assert(xs.max - xs.min <= 7 * 50000L && ys.max - ys.min <= 7 * 9000L,
+        s"block spread x=${xs.min}..${xs.max} y=${ys.min}..${ys.max}")
     }
   }
 

@@ -64,4 +64,33 @@ class MultimodalSpec extends SparkSpec {
       assert(out === expect, s"mismatch at $parts partitions")
     }
   }
+
+  test("writeBinaryFiles rejects data-controlled unsafe names; sampleFrames rejects chunk=0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_export_").toString
+    try {
+      for (bad <- Seq("../escape.bin", "a/b.bin", "..", null)) {
+        val df = Seq((bad, Array[Byte](1, 2))).toDF("name", "payload")
+        val e = intercept[Exception] {
+          MultimodalOps.writeBinaryFiles(df, "name", "payload", dir)
+        }
+        assert(e != null)
+      }
+      // and a safe name still round-trips
+      MultimodalOps.writeBinaryFiles(
+        Seq(("ok.bin", Array[Byte](7, 8, 9))).toDF("name", "payload"),
+        "name", "payload", dir)
+      assert(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "ok.bin")).toSeq === Seq[Byte](7, 8, 9))
+      intercept[IllegalArgumentException] {
+        MultimodalOps.sampleFrames(
+          Seq((1L, Array[Byte](1))).toDF("id", "bin"), "id", "bin", 0, 4)
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }

@@ -84,4 +84,17 @@ class ReconcileOpsSpec extends SparkSpec {
     def toMap2: Map[String, (Long, Long, Long)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
+
+  test("raw nullable fields cannot collide: (NULL,'x') and ('x',NULL) checksum differently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // concat_ws SKIPS nulls, so without the boundary canonicalization
+    // both rows rendered as "x" — equal checksum certifying unequal
+    // content
+    def sums(rows: Seq[(String, String)]) =
+      graft.ops.ReconcileOps.tableChecksum(rows.toDF("a", "b"),
+        Seq(col("a"), col("b")), lit("p"))
+        .select("checksum_hi", "checksum_lo").as[(Long, Long)].collect().head
+    assert(sums(Seq((null, "x"))) !== sums(Seq(("x", null))))
+  }
 }

@@ -35,4 +35,15 @@ class TopKAggregatorSpec extends SparkSpec {
     val buf = Seq(e(10, 1), e(9, 2)).foldLeft(agg.zero)(agg.reduce)
     assert(agg.reduce(buf, e(1, 3)) === buf)
   }
+
+  test("NaN entries are dropped — merge stays commutative, result partition-independent") {
+    // NaN compares false both ways, so an inserted NaN would sit
+    // wherever insertion ORDER put it and merge(a,b) != merge(b,a)
+    val agg = new TopK(2)
+    val withNaN = Seq(e(10, 1), (Double.NaN, 2L), e(9, 3))
+    val a = withNaN.foldLeft(agg.zero)(agg.reduce)
+    val b = withNaN.reverse.foldLeft(agg.zero)(agg.reduce)
+    assert(a === Seq(e(10, 1), e(9, 3)))
+    assert(agg.merge(a, b) === agg.merge(b, a))
+  }
 }
