@@ -61,10 +61,6 @@ object GraphOps {
       edges.select(col("u").as("doc_id")).distinct()
         .withColumn("component", col("doc_id")))
     val idType = labels.schema("component").dataType
-    // reliable checkpoints need a checkpoint dir; Materialize owns
-    // the default (tmp-scoped, removed at JVM exit) — a cluster
-    // deployment points it at durable shared storage instead
-    Materialize.ensureCheckpointDir(pairs.sparkSession.sparkContext)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -98,6 +94,18 @@ object GraphOps {
       converged = changed == 0
       i += 1
     }
+    // non-convergence must be LOUD: min-label propagation moves one
+    // hop per round, so a duplicate chain longer than maxIters hops
+    // would return intermediate labels — a non-transitive "closure"
+    // splitting one component — and the q56/q89 callers persist the
+    // output under a content-keyed _SUCCESS gate, caching the wrong
+    // dedup groups permanently. Near-dup graphs are tiny cliques
+    // (diameter 1-2); hitting the cap means the input is not that.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "the pair graph has a path longer than the cap (re-run with " +
+          "a higher maxIters; labels at this point are NOT a closure)")
     labels
   }
 }

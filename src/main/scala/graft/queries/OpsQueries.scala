@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-/** q100–q103: round-6 operational tier — what keeps a standing
+/** q100–q103 + q108: round-6 operational tier — what keeps a standing
   * deployment honest: a true end-to-end streaming ingest (file stream
   * → stateful aggregation → keyed-upsert serving table → serve, the
   * continuous form of the reference's nightly cron), cross-system
@@ -23,7 +23,10 @@ object OpsQueries {
   private val invocation = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    // null-guard: listFiles() returns null on an IO error or when a
+    // tmp cleaner races the listing — this runs in finally blocks, so
+    // an NPE here would MASK the original failure
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete(): Unit
   }
 
@@ -172,9 +175,14 @@ object OpsQueries {
         obs.get
       } finally rmTree(new java.io.File(sink))
       import s.implicits._
+      // a zero-row observed write yields NULL sum/max — surface them
+      // as the oracle's NULLs, not an unboxing NPE (or Scala's silent
+      // null-as-0.0 Double quirk)
       Seq((m("n_rows").asInstanceOf[Long],
-        m("_amt").asInstanceOf[java.math.BigDecimal].doubleValue(),
-        m("max_price").asInstanceOf[Double]))
+        Option(m("_amt").asInstanceOf[java.math.BigDecimal])
+          .map(v => java.lang.Double.valueOf(v.doubleValue())).orNull,
+        Option(m("max_price")).map(v =>
+          java.lang.Double.valueOf(v.asInstanceOf[Double])).orNull))
         .toDF("n_rows", "amt", "max_price")
     }),
 

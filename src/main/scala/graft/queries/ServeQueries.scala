@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-/** q94–q99 + q105–q107: round-6 warehouse-serving tier — the
+/** q94–q99 + q105–q107 + q109–q110: round-6 warehouse-serving tier — the
   * multi-table analytic surface a mart consumer runs against the
   * engine's outputs: a star-schema join (the reference's store/product
   * dims around the sales fact, at TPC-H Q5 shape), GROUPING SETS

@@ -37,6 +37,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.values.toSet === Set(1L), s"path not fully closed: $out")
   }
 
+  test("hitting the iteration cap throws — non-converged labels are never returned") {
+    // min-label propagation moves one hop per round; a chain longer
+    // than the cap would return a non-transitive 'closure' that the
+    // q56/q89 callers then persist as a content-keyed artifact —
+    // permanently wrong dedup groups. Loud beats cached-wrong.
+    val longChain = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      GraphOps.connectedComponents(longChain, maxIters = 3).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("property: equals brute-force union-find on random graphs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
