@@ -70,7 +70,10 @@ object Fixtures {
           .filter(Files.isRegularFile(_)).toSeq
           .sortBy(_.toString)
           .foreach { f =>
-            crc.update(s"${p.relativize(f)}:".getBytes("UTF-8"))
+            // name AND size in the header: without a length, dir
+            // {a="1b:2"} and dir {a="1", b="2"} hash the same byte
+            // stream and two different fixtures share an artifact key
+            crc.update(s"${p.relativize(f)}:${Files.size(f)}:".getBytes("UTF-8"))
             hashInto(crc, f)
           }
       }

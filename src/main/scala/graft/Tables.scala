@@ -30,9 +30,16 @@ object Tables {
   private val frames =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // lazy eviction: entries strongly pin their SparkSession (and its
+    // analyzed plans); a JVM that churns sessions (spec suites, a
+    // service recycling contexts) would otherwise accumulate stopped
+    // sessions for its lifetime. O(entries) per call, entries ≤
+    // |tables| × |live sessions| — trivial.
+    frames.keySet.removeIf(k => k._1.sparkContext.isStopped)
     frames.computeIfAbsent((spark, sfDir, name),
       _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

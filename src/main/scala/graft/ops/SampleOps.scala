@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object SampleOps {
 
+  /** The bucket arithmetic restated in portable SQL (default salt 0)
+    * — the oracle twin pinned NEXT to the Scala implementation so the
+    * two can only drift together. Both query-tier oracle maps use
+    * this one definition (they used to carry verbatim private
+    * copies). `//` is DuckDB integer division.
+    */
+  def bucketSql(key: String): String =
+    s"((((($key % 2147483648) + 2147483648) % 2147483648) * 2654435761) " +
+      "% 4294967296) * 100 // 4294967296"
+
   /** floor(2^32 / golden ratio) — Knuth's multiplicative constant. */
   private val Phi = 2654435761L
   private val M32 = 4294967296L // 2^32

@@ -19,12 +19,9 @@ import org.apache.spark.sql.functions._
 object CurateQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Portable multiplicative-hash bucket in SQL — MUST match
-    * SampleOps.bucket (same arithmetic as PipelineQueries' oracle).
-    */
+  /** The SQL twin of SampleOps.bucket — one shared definition. */
   private def bucketSql(key: String): String =
-    s"((((($key % 2147483648) + 2147483648) % 2147483648) * 2654435761) " +
-      "% 4294967296) * 100 // 4294967296"
+    graft.ops.SampleOps.bucketSql(key)
 
   val queries: Map[String, Q] = Map(
     // §2k — PII release gate: stable keyed pseudonym (sha2-256 +
@@ -149,8 +146,10 @@ object CurateQueries {
       val dist = size(TextOps.shingles(toks, 3)).cast("long")
       Tables.documents(s, d).select(
           col("doc_id"),
-          total.as("n_ngrams"),
-          dist.as("n_distinct"))
+          // null text → null counts (the oracle's NULL propagation),
+          // not the 0s the shingles empty-array fallback would give
+          when(col("text").isNotNull, total).as("n_ngrams"),
+          when(col("text").isNotNull, dist).as("n_distinct"))
         // guard the division: a <3-token doc has zero 3-gram slots and
         // must score null, not NaN (0.0/0) — keeps engine parity exact
         .withColumn("dup_frac", when(col("n_ngrams") > 0,
@@ -255,13 +254,13 @@ object CurateQueries {
         |    c_nationkey,
         |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
         |  FROM customer),
-        | k AS (SELECT c_nationkey, bal_band, count(*) AS k_class
-        |       FROM m GROUP BY 1, 2)
-        |SELECT m.c_custkey, m.pseudonym, m.name_masked,
-        |  CASE WHEN k.k_class >= 5 THEN m.c_nationkey END AS c_nationkey,
-        |  CASE WHEN k.k_class >= 5 THEN m.bal_band END AS bal_band,
-        |  k.k_class
-        |FROM m JOIN k USING (c_nationkey, bal_band)""".stripMargin,
+        | k AS (SELECT *, count(*) OVER (PARTITION BY c_nationkey, bal_band)
+        |         AS k_class FROM m)
+        |SELECT c_custkey, pseudonym, name_masked,
+        |  CASE WHEN k_class >= 5 THEN c_nationkey END AS c_nationkey,
+        |  CASE WHEN k_class >= 5 THEN bal_band END AS bal_band,
+        |  k_class
+        |FROM k""".stripMargin,
     "q87_quota_sample" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
         | t AS (SELECT sum(n) AS tot FROM c),

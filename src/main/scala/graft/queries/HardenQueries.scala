@@ -29,6 +29,24 @@ object HardenQueries {
     * change — otherwise a stale artifact from the old code would keep
     * serving.
     */
+  /** One Derby bootstrap for both JDBC queries (q53/q54): system
+    * properties, in-memory URL keyed by application id, embedded
+    * driver props. Was duplicated verbatim — a bootstrap change had
+    * to land twice or the two queries ran against differently-
+    * configured databases. */
+  private def derbyUrlAndProps(s: SparkSession): (String, java.util.Properties) = {
+    System.setProperty("derby.system.home",
+      System.getProperty("java.io.tmpdir"))
+    System.setProperty("derby.stream.error.file",
+      System.getProperty("java.io.tmpdir") + "/derby.log")
+    val url = "jdbc:derby:memory:graft_" +
+      s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_") +
+      ";create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    (url, props)
+  }
+
   private def artifactKey(d: String): String =
     "v2_" + graft.Fixtures.tableFingerprint(d, "documents")
 
@@ -98,7 +116,11 @@ object HardenQueries {
     // verified); organic bag-equal pairs would be found symmetrically
     // by both engines (the fixture has none — measured).
     "q50_simhash_neardup" -> ((s, d) => {
+      // null text is excluded up front: concat_ws would fold a NULL
+      // into "" on the planted side (the oracle's list_reverse keeps
+      // NULL), and two null-text docs would spuriously bag-match
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
       val corpus = docs.unionByName(
         docs.select((col("doc_id") + DupOffset).as("doc_id"),
           concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
@@ -184,15 +206,7 @@ object HardenQueries {
     // production, minus the network. Overwrite mode = the reference's
     // TRUNCATE-and-load refresh (load_store_data.py:77-84).
     "q53_jdbc_roundtrip" -> ((s, d) => {
-      System.setProperty("derby.system.home",
-        System.getProperty("java.io.tmpdir"))
-      System.setProperty("derby.stream.error.file",
-        System.getProperty("java.io.tmpdir") + "/derby.log")
-      val url = "jdbc:derby:memory:graft_" +
-        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_") +
-        ";create=true"
-      val props = new java.util.Properties()
-      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val (url, props) = derbyUrlAndProps(s)
       Tables.nation(s, d).write.mode("overwrite")
         .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         // Derby maps StringType to CLOB by default; VARCHAR keeps the
@@ -220,15 +234,7 @@ object HardenQueries {
     // node embedded DB ingesting the full fact volume per bench rep
     // would measure Derby's insert path, not the engine.
     "q54_jdbc_upsert" -> ((s, d) => {
-      System.setProperty("derby.system.home",
-        System.getProperty("java.io.tmpdir"))
-      System.setProperty("derby.stream.error.file",
-        System.getProperty("java.io.tmpdir") + "/derby.log")
-      val url = "jdbc:derby:memory:graft_" +
-        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_") +
-        ";create=true"
-      val props = new java.util.Properties()
-      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val (url, props) = derbyUrlAndProps(s)
       props.setProperty("batchsize", "10000")
       val table = ("mart_jdbc_" + d).replaceAll("[^A-Za-z0-9_]", "_")
       val daily = Tables.orders(s, d)

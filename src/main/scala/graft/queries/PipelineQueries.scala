@@ -329,14 +329,10 @@ object PipelineQueries {
     })
   )
 
-  // The multiplicative-hash bucket, restated in portable SQL: the key
-  // folds positively into [0, 2^31) (same overflow guard as
-  // SampleOps.bucket — (k % m + m) % m is the dialect-portable
-  // positive mod), then high bits of (k * 2654435761) mod 2^32,
-  // scaled to [0, 100).
+  // the SQL twin of SampleOps.bucket lives next to the Scala
+  // implementation — one definition, no drift
   private def bucketSql(key: String): String =
-    s"((((($key % 2147483648) + 2147483648) % 2147483648) * 2654435761) " +
-      "% 4294967296) * 100 // 4294967296"
+    graft.ops.SampleOps.bucketSql(key)
 
   val oracle: Map[String, String] = Map(
     "q63_hash_split" ->

@@ -55,6 +55,25 @@ class FixturesSpec extends AnyFunSuite {
     }
   }
 
+  test("directory fingerprints encode file boundaries — no cross-file collision") {
+    // without a length in the per-file header, {a="1b:2"} and
+    // {a="1", b="2"} hash the same byte stream and two different
+    // fixtures would share a persisted-artifact cache key
+    withDir { d =>
+      val t = Paths.get(d, "documents.parquet")
+      Files.createDirectory(t)
+      Files.write(t.resolve("a"), "1b:2".getBytes("UTF-8"))
+      val f1 = Fixtures.tableFingerprint(d, "documents")
+      withDir { d2 =>
+        val t2 = Paths.get(d2, "documents.parquet")
+        Files.createDirectory(t2)
+        Files.write(t2.resolve("a"), "1".getBytes("UTF-8"))
+        Files.write(t2.resolve("b"), "2".getBytes("UTF-8"))
+        assert(Fixtures.tableFingerprint(d2, "documents") !== f1)
+      }
+    }
+  }
+
   test("combined fingerprint reacts to any one table changing") {
     withDir { d =>
       val np = Paths.get(d, "nation.parquet")
