@@ -64,7 +64,10 @@ object MultimodalOps {
     */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
+    // null payloads are dropped, not NPE'd: absent bytes are an
+    // upstream quality-gate concern, not a decodable record
+    media.filter((r: MediaRecord) => r.payload != null)
+      .mapPartitions { it =>
       // real decoder: open codec context here, close on exhaustion
       it.map(decodeOne)
     }
@@ -103,6 +106,7 @@ object MultimodalOps {
     require(maxFrames >= 0, s"maxFrames must be non-negative, got $maxFrames")
     import df.sparkSession.implicits._
     df.select(col(idCol).as("media_id"), col(binCol).as("payload"))
+      .filter(col("payload").isNotNull) // same drop-not-NPE contract
       .as[MediaRecord]
       .flatMap { r =>
         val cps = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)

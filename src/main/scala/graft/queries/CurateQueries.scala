@@ -182,13 +182,27 @@ object CurateQueries {
       def bands(x: DataFrame) = TextOps.lshBands(
         TextOps.minhashSignatures(x, "doc_id", "sh", 32),
         "doc_id", "sig", 16, 2)
-      if (!new java.io.File(s"$shP/_SUCCESS").exists() ||
-          !new java.io.File(s"$bandP/_SUCCESS").exists()) {
+      if (!graft.ops.StagedArtifact.committed(shP) ||
+          !graft.ops.StagedArtifact.committed(bandP)) {
+        // both-halves-or-REBUILD-BOTH (ArtifactGateSpec): a crash
+        // between the sub-writes retires the surviving half too, so
+        // the pair is always from one build; each half then installs
+        // via stage-and-rename so concurrent builders can't
+        // interleave writes inside one half
+        def rmDir(p: String): Unit = {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(new java.io.File(p))
+        }
+        rmDir(shP); rmDir(bandP)
         val shS = graft.ops.Materialize.once("q93.shS",
           Tables.documents(s, d).select(col("doc_id"),
             TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh")))
-        shS.write.mode("overwrite").parquet(shP)
-        bands(shS).write.mode("overwrite").parquet(bandP)
+        graft.ops.StagedArtifact.writeOnce(shP)(stage =>
+          shS.write.mode("overwrite").parquet(stage))
+        graft.ops.StagedArtifact.writeOnce(bandP)(stage =>
+          bands(shS).write.mode("overwrite").parquet(stage))
       }
       val shS = s.read.parquet(shP)
       val delta = Tables.documents(s, d)

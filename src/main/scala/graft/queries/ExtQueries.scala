@@ -18,17 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, DecimalType, LongType, StringType,
 object ExtQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val DupOffset = 100000L
-
-  /** Same planted near-dup corpus as NorthQueries (ids offset, one
-    * token appended) so q37's exhaustive oracle is shared with q29's.
-    */
-  private def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    docs.unionByName(
-      docs.select((col("doc_id") + DupOffset).as("doc_id"),
-        concat(col("text"), lit(" graftdup")).as("text")))
-  }
+  /** q37 shares q29's planted near-dup corpus and oracle corpus —
+    * ONE definition (NorthQueries), not a verbatim copy guarded by a
+    * comment: a recipe edit on one side would silently desynchronize
+    * the other query's Spark corpus from its oracle. */
+  private def docsWithNearDups(s: SparkSession, d: String): DataFrame =
+    NorthQueries.docsWithNearDups(s, d)
 
   /** S1 envelope schema: {ret_code, data:[{id,k}]} —
     * load_sales_data.py:96-100 shape with a typed payload record.
@@ -188,6 +183,23 @@ object ExtQueries {
         graft.Fixtures.tableFingerprint(d, "customer")
       val ob = s"$db.orders_b_$key"
       val cb = s"$db.customer_b_$key"
+      // re-gate on DISK every call, like the sibling artifacts
+      // (q35/q56/q93/q99 since r12): a tmp cleaner emptying the
+      // warehouse under a long-lived session leaves the catalog entry
+      // dangling over vanished files — every later read would fail
+      // instead of self-healing by rebuild
+      def onDisk(t: String): Boolean = {
+        val Array(dbn, tn) = t.split("\\.", 2)
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        new java.io.File(s"$wh/$dbn.db/$tn").exists()
+      }
+      def gone(t: String): Boolean =
+        s.catalog.tableExists(t) && !onDisk(t)
+      if (gone(ob) || gone(cb)) {
+        s.sql(s"DROP TABLE IF EXISTS $ob")
+        s.sql(s"DROP TABLE IF EXISTS $cb")
+      }
       if (!s.catalog.tableExists(ob) || !s.catalog.tableExists(cb)) {
         Tables.orders(s, d)
           .select(col("o_custkey"), col("o_totalprice"))
@@ -253,8 +265,11 @@ object ExtQueries {
     // N sampled frames) through the typed flatMap stage; fan-out
     // happens inside the partition iterator, never on the driver.
     "q49_multimodal_frames" -> ((s, d) =>
+      // null payloads excluded (same contract as q36): sampleFrames
+      // dereferences the byte array, and the oracle's unnest emits no
+      // frames for a NULL text anyway
       graft.ops.MultimodalOps.sampleFrames(
-        Tables.documents(s, d)
+        Tables.documents(s, d).filter(col("text").isNotNull)
           .select(col("doc_id"), col("text").cast("binary").as("payload")),
         "doc_id", "payload", chunk = 32, maxFrames = 4)),
 
@@ -276,9 +291,9 @@ object ExtQueries {
     })
   )
 
-  private val nearDupUnionDocs =
-    s"""SELECT doc_id, text FROM documents
-       | UNION ALL SELECT doc_id + $DupOffset AS doc_id, text || ' graftdup' AS text FROM documents""".stripMargin
+  // the oracle corpus is NorthQueries' — one definition (see
+  // docsWithNearDups above)
+  private val nearDupUnionDocs = NorthQueries.nearDupUnionDocs
 
   val oracle: Map[String, String] = Map(
     // Exhaustive all-pairs ground truth (fixture-scale only) — q37's

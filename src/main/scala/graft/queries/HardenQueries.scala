@@ -62,7 +62,10 @@ object HardenQueries {
   private[queries] def neardupPairs(s: SparkSession, d: String): DataFrame = {
     val ppath = s"${System.getProperty("java.io.tmpdir")}/graft_pairs_" +
       artifactKey(d)
-    if (!new java.io.File(s"$ppath/_SUCCESS").exists()) {
+    // stage-and-rename install (StagedArtifact): the path is SHARED
+    // across sessions by content key — two JVMs building concurrently
+    // must not interleave overwrite phases under one _SUCCESS
+    graft.ops.StagedArtifact.writeOnce(ppath) { stage =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val corpus = docs.unionByName(
         docs.select((col("doc_id") + DupOffset).as("doc_id"),
@@ -73,7 +76,7 @@ object HardenQueries {
       TextOps.jaccardVerify(
           TextOps.prefixFilterCandidates(sh, "doc_id", "sh", 4, 5),
           sh, "doc_id", "sh", 4, 5).select("id_a", "id_b")
-        .write.mode("overwrite").parquet(ppath)
+        .write.mode("overwrite").parquet(stage)
     }
     s.read.parquet(ppath)
   }
@@ -91,9 +94,10 @@ object HardenQueries {
   private[queries] def neardupComponents(s: SparkSession, d: String): DataFrame = {
     val cpath = s"${System.getProperty("java.io.tmpdir")}/graft_comps_" +
       artifactKey(d)
-    if (!new java.io.File(s"$cpath/_SUCCESS").exists())
+    graft.ops.StagedArtifact.writeOnce(cpath) { stage =>
       graft.ops.GraphOps.connectedComponents(neardupPairs(s, d))
-        .write.mode("overwrite").parquet(cpath)
+        .write.mode("overwrite").parquet(stage)
+    }
     s.read.parquet(cpath)
   }
 

@@ -2,8 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{MultimodalOps, TextOps, VectorOps}
-import graft.ops.RelationalOps.sumMoney
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -25,7 +24,7 @@ import org.apache.spark.sql.types.DecimalType
 object NorthQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val DupOffset = 100000L
+  private[queries] val DupOffset = 100000L
 
   /** documents ∪ exact copy of itself with offset ids: the planted
     * exact-duplicate corpus.
@@ -39,7 +38,7 @@ object NorthQueries {
   /** documents ∪ near-duplicate copies (one token appended): the
     * planted near-dup corpus for MinHash/SimHash.
     */
-  private def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
+  private[queries] def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     docs.unionByName(
       docs.select((col("doc_id") + DupOffset).as("doc_id"),
@@ -256,8 +255,13 @@ object NorthQueries {
     // §2f — positional polynomial fingerprint: order-sensitive content
     // signature in exact integer arithmetic (portable to any engine).
     "q33_doc_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        TextOps.docFingerprint(TextOps.tokens(col("text"))).as("fingerprint"))),
+      // null-text docs excluded on BOTH sides: the oracle's
+      // unnest+GROUP BY drops them (no rows to group), so the engine
+      // emitting (doc_id, NULL) would be a row-set divergence the
+      // moment the fixture drifts a null in (the q50/q90 class)
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextOps.docFingerprint(TextOps.tokens(col("text"))).as("fingerprint"))),
 
     // §2h — embedding-cosine near-dup pairs, blocked by label (the
     // production block is an LSH bucket/IVF cell): planted perturbed
@@ -288,11 +292,14 @@ object NorthQueries {
       // gate on the _SUCCESS marker, not bare directory existence: a
       // crashed prior write leaves a partial parquet dir that would
       // pass an exists() check and silently serve incomplete centroids
-      // (ADVICE round 4). The marker is written only by the committed
-      // write; overwrite mode makes a retry after a crash safe.
-      if (!new java.io.File(s"$cpath/_SUCCESS").exists())
+      // (ADVICE round 4). Since r12 the install is stage-and-rename
+      // (StagedArtifact): the path is shared across sessions by
+      // content key, and two JVMs building concurrently must not
+      // interleave overwrite phases under one _SUCCESS.
+      graft.ops.StagedArtifact.writeOnce(cpath) { stage =>
         VectorOps.ivfCentroids(e, "embedding", "label")
-          .write.mode("overwrite").parquet(cpath)
+          .write.mode("overwrite").parquet(stage)
+      }
       VectorOps.ivfTopK(e, s.read.parquet(cpath),
         e.filter(col("vec_id") === 0L),
         "vec_id", "embedding", "label", 3, 10)
@@ -303,8 +310,11 @@ object NorthQueries {
     // schema, partition batching, feature extraction). Features are
     // integer-derived from the bytes → oracle-exact.
     "q36_multimodal_features" -> ((s, d) =>
+      // null payloads excluded: decodeOne would NPE on r.payload, and
+      // the decode contract is "features of BYTES" — absent bytes are
+      // an upstream quality-gate concern, not a decodable record
       MultimodalOps.extractFeatures(
-        Tables.documents(s, d)
+        Tables.documents(s, d).filter(col("text").isNotNull)
           .select(col("doc_id"), col("text").cast("binary").as("payload")),
         "doc_id", "payload"))
   )
@@ -313,7 +323,7 @@ object NorthQueries {
     s"""SELECT doc_id, text FROM documents
        | UNION ALL SELECT doc_id + $DupOffset AS doc_id, text FROM documents""".stripMargin
 
-  private val nearDupUnionDocs =
+  private[queries] val nearDupUnionDocs =
     s"""SELECT doc_id, text FROM documents
        | UNION ALL SELECT doc_id + $DupOffset AS doc_id, text || ' graftdup' AS text FROM documents""".stripMargin
 
@@ -437,7 +447,7 @@ object NorthQueries {
         | CAST(64 + strlen(text) % 512 AS BIGINT) AS width,
         | CAST(64 + (strlen(text) // 7) % 512 AS BIGINT) AS height,
         | CAST(list_sum(list_transform(range(1, 17), i -> ascii(substr(text, CAST(i AS INT), 1)))) % 997 AS BIGINT) AS checksum
-        |FROM documents""".stripMargin
+        |FROM documents WHERE text IS NOT NULL""".stripMargin
     // q30_simhash: sketch-valued, not SQL-portable → rows-only check.
   )
 }
