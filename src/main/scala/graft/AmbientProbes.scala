@@ -39,8 +39,14 @@ final class AmbientProbes(spark: SparkSession) {
     (System.nanoTime() - t0) / 1e9
   }
 
+  // per-INSTANCE probe file: a shared path let two concurrent
+  // instrumented runs (Bench ∥ ladder, parallel suites) truncate each
+  // other mid-read and fsync the same inode — corrupting the exact
+  // signal the machine-state adjudication reads. Deleted on exit.
   private val ioFile = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir"), "graft_bench_ioprobe.bin")
+    System.getProperty("java.io.tmpdir"),
+    s"graft_bench_ioprobe_${java.util.UUID.randomUUID()}.bin")
+  ioFile.toFile.deleteOnExit()
   private val ioBuf = new Array[Byte](8 * 1024 * 1024)
 
   /** Disk probe: write + fsync + read-back in the tmp dir. */

@@ -77,11 +77,25 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.queries ++ NorthQueries.queries ++ ExtQueries.queries ++
-      HardenQueries.queries ++ WidenQueries.queries ++
-      PipelineQueries.queries ++ DeepQueries.queries ++ CurateQueries.queries ++
-      ServeQueries.queries ++ OpsQueries.queries ++ MaintainQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val tiers = Seq(
+      RefQueries.queries, NorthQueries.queries, ExtQueries.queries,
+      HardenQueries.queries, WidenQueries.queries,
+      PipelineQueries.queries, DeepQueries.queries, CurateQueries.queries,
+      ServeQueries.queries, OpsQueries.queries, MaintainQueries.queries)
+    val merged = tiers.reduce(_ ++ _)
+    // ++ silently keeps the LAST entry on a duplicate key: a reused
+    // q-number across tiers would shrink the graded surface without
+    // any signal — Verify's counts gate can't see it because
+    // n_registered comes from this already-collapsed map (the r9
+    // q95-vanished class, at the merge instead of the dump)
+    require(merged.size == tiers.map(_.size).sum,
+      "duplicate query key across tiers: " +
+        tiers.flatMap(_.keys).groupBy(identity).collect {
+          case (k, vs) if vs.size > 1 => k
+        }.mkString(", "))
+    merged
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops

@@ -75,8 +75,11 @@ object MaintainQueries {
             .over(Window.orderBy(col("day_i"))
               .rangeBetween(-6, Window.currentRow))).as("_approx"))
       // exact trailing distinct (certificate only): distinct (day,user)
-      // pairs fanned ≤7× through a bounded range join
-      val pairs = ev.distinct()
+      // pairs fanned ≤7× through a bounded range join. Materialized
+      // once: pairs feeds the day list AND the range join (and ev
+      // would otherwise be scanned 3×; the differently-shaped
+      // consumers defeat exchange reuse — the q59 rationale)
+      val pairs = graft.ops.Materialize.once("q112.pairs", ev.distinct())
       val days = pairs.select(col("day").as("d0")).distinct()
       val exact = days.join(pairs,
           col("day").between(date_sub(col("d0"), 6), col("d0")))

@@ -16,6 +16,30 @@ import org.apache.spark.sql.functions._
 object WidenQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The 28 overlapping 180-day periods q58 AND q77 join against —
+    * one definition: the pair certifies two physical strategies
+    * interchangeable, which is only meaningful if they provably share
+    * the same inputs and oracle. */
+  private def rangePeriods(s: SparkSession): DataFrame =
+    s.range(0, 28).toDF("period_id")
+      .withColumn("p_start",
+        date_add(to_date(lit("1995-01-01")), (col("period_id") * 90).cast("int")))
+      .withColumn("p_end",
+        date_add(to_date(lit("1995-01-01")), (col("period_id") * 90 + 180).cast("int")))
+
+  /** q58/q77's shared oracle (same reasoning). */
+  private val rangeOracle: String =
+    """WITH periods AS (
+      |  SELECT CAST(i AS BIGINT) AS period_id,
+      |         DATE '1995-01-01' + CAST(i*90 AS INT) AS p_start,
+      |         DATE '1995-01-01' + CAST(i*90 + 180 AS INT) AS p_end
+      |  FROM range(0, 28) t(i))
+      |SELECT period_id, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM periods p JOIN lineitem l
+      |  ON l.l_shipdate >= p.p_start AND l.l_shipdate < p.p_end
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // As-of join — attribution: for each purchase, the most recent
     // prior click by the same user (inclusive at equal timestamps),
@@ -45,11 +69,7 @@ object WidenQueries {
     // interval list). The big–big banded flavor of the same operator
     // is equivalence-tested in TemporalOpsSpec.
     "q58_range_join" -> ((s, d) => {
-      val periods = s.range(0, 28).toDF("period_id")
-        .withColumn("p_start",
-          date_add(to_date(lit("1995-01-01")), (col("period_id") * 90).cast("int")))
-        .withColumn("p_end",
-          date_add(to_date(lit("1995-01-01")), (col("period_id") * 90 + 180).cast("int")))
+      val periods = rangePeriods(s)
       TemporalOps.rangeJoinBroadcast(
           Tables.lineitem(s, d)
             .select(col("l_shipdate"),
@@ -91,11 +111,7 @@ object WidenQueries {
     // certified interchangeable. This is the plan that survives when
     // the interval side outgrows a broadcast.
     "q77_range_join_banded" -> ((s, d) => {
-      val periods = s.range(0, 28).toDF("period_id")
-        .withColumn("p_start",
-          date_add(to_date(lit("1995-01-01")), (col("period_id") * 90).cast("int")))
-        .withColumn("p_end",
-          date_add(to_date(lit("1995-01-01")), (col("period_id") * 90 + 180).cast("int")))
+      val periods = rangePeriods(s)
       TemporalOps.rangeJoinBanded(
           Tables.lineitem(s, d)
             .select(col("l_shipdate"),
@@ -153,33 +169,28 @@ object WidenQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // NOT DuckDB's ASOF JOIN: on tied click timestamps ASOF returns
+    // whichever row it encounters first (verified: flips with physical
+    // row order), while the engine's asofJoin pins ties with the
+    // click_id tie-break. The windowed latest-prior below expresses
+    // the SAME tie-break, so a fixture regeneration that lands two
+    // clicks on one (user_id, ts) cannot make the gate flap.
     "q57_asof_join" ->
-      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+      """WITH j AS (
+        |  SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts DESC, c.event_id DESC) AS rn,
+        |    count(c.event_id) OVER (PARTITION BY p.event_id) AS nm
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |SELECT purchase_id, user_id,
+        |  CASE WHEN nm > 0 THEN click_id END AS click_id
+        |FROM j WHERE rn = 1""".stripMargin,
     "q58_range_join" ->
-      """WITH periods AS (
-        |  SELECT CAST(i AS BIGINT) AS period_id,
-        |         DATE '1995-01-01' + CAST(i*90 AS INT) AS p_start,
-        |         DATE '1995-01-01' + CAST(i*90 + 180 AS INT) AS p_end
-        |  FROM range(0, 28) t(i))
-        |SELECT period_id, count(*) AS n,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-        |FROM periods p JOIN lineitem l
-        |  ON l.l_shipdate >= p.p_start AND l.l_shipdate < p.p_end
-        |GROUP BY 1""".stripMargin,
+      rangeOracle,
     "q77_range_join_banded" ->
-      """WITH periods AS (
-        |  SELECT CAST(i AS BIGINT) AS period_id,
-        |         DATE '1995-01-01' + CAST(i*90 AS INT) AS p_start,
-        |         DATE '1995-01-01' + CAST(i*90 + 180 AS INT) AS p_end
-        |  FROM range(0, 28) t(i))
-        |SELECT period_id, count(*) AS n,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-        |FROM periods p JOIN lineitem l
-        |  ON l.l_shipdate >= p.p_start AND l.l_shipdate < p.p_end
-        |GROUP BY 1""".stripMargin,
+      rangeOracle,
     "q59_set_ops" ->
       """WITH a AS (SELECT DISTINCT o_custkey FROM orders
         |           WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'

@@ -62,6 +62,7 @@ class LazyRegistrySpec extends SparkSpec {
     "q92_zorder_layout",       // W Z-order layout write
     "q93_incremental_neardup", // W standing band-index fixture
     "q100_stream_mart",        // W end-to-end streaming mart (2m)
+    "q112_trailing_distinct",  // C distinct (day,user) pairs feed 3 consumers
     "q108_observe_metrics",    // W metrics ride the one write action
     "q113_aqe_skew_join",      // W skewed fixture write
   )
