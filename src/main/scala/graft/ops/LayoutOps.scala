@@ -72,10 +72,17 @@ object LayoutOps {
         val span = hi - lo + 1
         require(span < (1L << (62 - bits)),
           s"key span $span too wide to scale without overflow at $bits bits")
-        // (v-lo)*2^bits/span ∈ [0, 2^bits) exactly (v ≤ hi ⇒
-        // numerator ≤ (span-1)·2^bits < span·2^bits)
-        ((c.cast("long") - lit(lo)) * lit(1L << bits) / lit(span))
-          .cast("long")
+        // (v-lo)*2^bits div span ∈ [0, 2^bits) exactly (v ≤ hi ⇒
+        // numerator ≤ (span-1)·2^bits < span·2^bits). The division must
+        // be INTEGRAL (Catalyst IntegralDivide via the registered `div`
+        // function): Column./ is double division, and for spans past
+        // ~2^(53-bits) the numerator exceeds 2^53, where the rounded
+        // double quotient can differ by 1 from the exact one — adjacent
+        // keys land in swapped Z-cells (r12 advice). `div` keeps the
+        // whole computation in 64-bit integers, so the bound above is
+        // the only precision constraint.
+        call_function("div",
+          (c.cast("long") - lit(lo)) * lit(1L << bits), lit(span))
       }
       mortonCode(scaled(xCol, r.getLong(0), r.getLong(1)),
         scaled(yCol, r.getLong(2), r.getLong(3)), bits)

@@ -51,11 +51,18 @@ object Materialize {
     }
 
   /** Materialize `df` eagerly and fault-tolerantly. `slot` names the
-    * call site in diagnostics; each invocation writes a fresh
-    * checkpoint (files are bounded by the JVM-exit cleanup above).
+    * call site in the Spark UI / event log: the eager checkpoint runs
+    * a job, and that job carries `slot` as its description (restored
+    * after, so the label doesn't bleed onto the caller's later jobs).
+    * Each invocation writes a fresh checkpoint (files are bounded by
+    * the JVM-exit cleanup above).
     */
   def once(slot: String, df: DataFrame): DataFrame = {
-    ensureCheckpointDir(df.sparkSession.sparkContext)
-    df.checkpoint()
+    val sc = df.sparkSession.sparkContext
+    ensureCheckpointDir(sc)
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft.materialize: $slot")
+    try df.checkpoint()
+    finally sc.setJobDescription(prev)
   }
 }

@@ -45,11 +45,25 @@ object StagedArtifact {
     if (!tryMove()) {
       if (committed(path)) rm(s.toFile) // a concurrent builder won
       else {
-        // crashed old-style residue (no marker): replace it; if a
-        // concurrent builder slips in between, ITS artifact stands
-        // (same content key ⇒ same bytes) and this stage is discarded
-        rm(t.toFile)
-        if (!tryMove()) rm(s.toFile)
+        // Crashed old-style residue (no marker): replace it. The r12
+        // advice's TOCTOU — between the committed() check and removal,
+        // a concurrent builder can atomically install a COMPLETE
+        // artifact, and an in-place recursive rm would then tear it
+        // down file-by-file under readers that already passed the
+        // `_SUCCESS` gate. So: re-check the gate at the last moment,
+        // then remove whatever stands with ONE atomic rename-aside to
+        // a trash path (never a multi-step delete in the live path).
+        // Worst case a just-installed artifact is swapped for this
+        // builder's byte-equivalent stage (same content key ⇒ same
+        // bytes) across two back-to-back renames; the long
+        // half-deleted-directory window is gone.
+        if (committed(path)) { rm(s.toFile); return }
+        val trash = Paths.get(s"$path.trash.${java.util.UUID.randomUUID()}")
+        val evicted =
+          try { Files.move(t, trash, StandardCopyOption.ATOMIC_MOVE); true }
+          catch { case _: java.io.IOException => false } // residue already gone
+        if (!tryMove()) rm(s.toFile) // a concurrent builder won the slot
+        if (evicted) rm(trash.toFile) // out-of-path: no reader lists it
       }
     }
   }

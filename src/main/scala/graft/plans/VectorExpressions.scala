@@ -31,6 +31,17 @@ abstract class VectorFold extends BinaryExpression with Serializable {
   // away, float arrays widen in one codegen'd pass, and anything
   // uncastable fails analysis with a standard cast error.
   override def dataType: DataType = DoubleType
+
+  // These folds return null for NON-null inputs (length mismatch, null
+  // element), so nullability cannot be derived from the children the way
+  // BinaryExpression does: with non-nullable children (literal probe
+  // vectors, array(...) constructors) the inherited nullable=false makes
+  // nullSafeCodeGen emit `false = true;` for our `${ev.isNull} = true`
+  // branches (codegen compile failure → silent interpreted fallback),
+  // and the optimizer then folds IsNull to false over an expression
+  // that CAN be null — UnsafeProjection skips the null bit and
+  // downstream reads garbage. Always-nullable is the only sound answer.
+  override def nullable: Boolean = true
 }
 
 /** dot(a, b) = Σ aᵢ·bᵢ, one codegen'd pass; null on length mismatch

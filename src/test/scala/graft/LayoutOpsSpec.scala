@@ -64,6 +64,33 @@ class LayoutOpsSpec extends SparkSpec {
     }
   }
 
+  test("zorderKey scales wide spans with INTEGRAL division — exact where double division is off by one") {
+    import spark.implicits._
+    // r12 advice: Column./ is double division; for spans past
+    // 2^(53-bits) the numerator exceeds 2^53 and the rounded quotient
+    // can differ by 1 from exact integral division. With span = 2^54-1
+    // at bits=8 (inside the 2^54 overflow guard) the values below are
+    // measured divergence points — and at v = hi the double quotient
+    // rounds 255.99…→256.0, which is OUT of Morton range entirely, so
+    // the old formula didn't just swap cells, it raised at execution.
+    val span = (1L << 54) - 1
+    val hi = span - 1
+    val divergent = Seq(17803292276948991L, 17873661021126655L,
+      17944029765304319L)
+    val xs = Seq(0L, hi) ++ divergent
+    val df = xs.zipWithIndex.map { case (x, i) => (x, i.toLong) }.toDF("x", "y")
+    val out = df
+      .select(col("x"), LayoutOps.zorderKey(df, col("x"), col("y"), 8).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def xScaled(z: Long): Long = // deinterleave the even (x) bits
+      (0 until 8).foldLeft(0L)((acc, i) => acc | (((z >> (2 * i)) & 1L) << i))
+    xs.foreach { v =>
+      val exact = ((BigInt(v) * 256) / span).toLong
+      assert(xScaled(out(v)) == exact,
+        s"x=$v scaled to ${xScaled(out(v))}, exact integral quotient is $exact")
+    }
+  }
+
   test("mortonCode preserves 2-D locality: sorted prefix blocks bound both dims") {
     import spark.implicits._
     // 32×32 grid; under z-order, each aligned block of 64 consecutive

@@ -86,6 +86,38 @@ class VectorOpsSpec extends SparkSpec {
     assert(sql.length === 50 && sql.forall { case (c, p) => !c.isNaN && !p.isNaN })
   }
 
+  test("native dot/cosine: nullable with NON-nullable children (mismatch + null element through codegen)") {
+    // r12 advice: VectorFold returns null for non-null inputs (length
+    // mismatch, null element), so inheriting BinaryExpression's
+    // child-derived nullability is unsound — with non-nullable children
+    // nullSafeCodeGen's non-null branch never declares ev.isNull and the
+    // generated `isNull = true` fails to compile (silent interpreted
+    // fallback), after which the optimizer folds IsNull to false over an
+    // expression that IS null. Build inputs from array()/lit so the
+    // children are provably non-nullable, and assert the null actually
+    // surfaces through IsNull (which constant-folds away iff the
+    // expression claims nullable=false).
+    val d = Seq((1.0, 2.0), (3.0, 4.0)).toDF("x", "y")
+
+    // length mismatch: array(x,y) vs array(x,y,x) — both non-nullable
+    val mm = d.select(
+      VectorOps.nativeDot(array(col("x"), col("y")),
+        array(col("x"), col("y"), col("x"))).as("p"),
+      VectorOps.nativeCosine(array(col("x"), col("y")),
+        array(col("x"), col("y"), col("x"))).as("c"))
+    assert(mm.schema.forall(_.nullable), "VectorFold must report nullable=true")
+    val mmRows = mm.collect()
+    assert(mmRows.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    assert(mm.filter(col("p").isNull && col("c").isNull).count() === 2,
+      "IsNull must see the null (it constant-folds to false if nullable=false)")
+
+    // null element inside an otherwise non-null array
+    val ne = d.select(
+      VectorOps.nativeDot(array(col("x"), lit(null).cast("double")),
+        array(col("x"), col("y"))).as("p"))
+    assert(ne.filter(col("p").isNull).count() === 2)
+  }
+
   test("lshAnnTopK: identical vectors share a bucket; search ≡ brute force within the bucket") {
     val rnd = new scala.util.Random(7)
     val corpus = (1L to 200L).map { i =>
