@@ -71,9 +71,13 @@ object SparkEntry {
     // 6. atomic date-partitioned refresh, then serve the re-read.
     val sink = s"${System.getProperty("java.io.tmpdir")}/graft_entry_mart_" +
       spark.sparkContext.applicationId
-    filled.withColumn("sale_month", date_format(col("sale_dy"), "yyyy-MM"))
-      .write.partitionBy("sale_month").mode("overwrite").parquet(sink)
-    spark.read.parquet(sink)
+    val mart = filled.withColumn("sale_month",
+      date_format(col("sale_dy"), "yyyy-MM"))
+    mart.write.partitionBy("sale_month").mode("overwrite").parquet(sink)
+    // writer-schema read-back (r13 edge sweep): an empty slice writes
+    // zero partition dirs and inference would throw instead of
+    // serving an empty mart
+    spark.read.schema(mart.schema).parquet(sink)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

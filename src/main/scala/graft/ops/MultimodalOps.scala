@@ -151,18 +151,26 @@ object MultimodalOps {
             !name.contains('/') && !name.contains('\\') &&
             name != "." && name != "..",
             s"unsafe export file name '$name'")
+          // a NULL payload is a record with no blob, not an empty blob:
+          // exporting nothing is the only faithful file-system image of
+          // it (an empty file would conflate NULL with zero bytes), and
+          // Files.write(null) NPE'd the whole export job before (r13
+          // edge sweep)
           // write-to-temp + atomic move: a speculative/zombie attempt
           // re-running Files.write directly would TRUNCATE then rewrite
           // the winner's file and could die mid-write — job success
           // with a torn artifact. The move either installs a complete
           // file or leaves the previous one.
-          val target = java.nio.file.Paths.get(dir, name)
-          val tmp = java.nio.file.Paths.get(dir,
-            s".$name.${java.util.UUID.randomUUID()}.tmp")
-          java.nio.file.Files.write(tmp, r.getAs[Array[Byte]](1))
-          java.nio.file.Files.move(tmp, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          val payload = r.getAs[Array[Byte]](1)
+          if (payload != null) {
+            val target = java.nio.file.Paths.get(dir, name)
+            val tmp = java.nio.file.Paths.get(dir,
+              s".$name.${java.util.UUID.randomUUID()}.tmp")
+            java.nio.file.Files.write(tmp, payload)
+            java.nio.file.Files.move(tmp, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          }
         }
       }
   }

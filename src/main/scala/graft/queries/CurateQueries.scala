@@ -338,7 +338,12 @@ object CurateQueries {
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),
         | g AS (SELECT doc_id,
-        |   CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_ngrams,
+        |   -- explicit NULL branch: DuckDB's greatest() SKIPS null
+        |   -- arguments, so greatest(len(NULL)-2, 0) is 0 where the
+        |   -- engine (and SQL null propagation) keeps a null-text doc's
+        |   -- counts NULL (r13 edge sweep)
+        |   CAST(CASE WHEN toks IS NULL THEN NULL
+        |        ELSE greatest(len(toks) - 2, 0) END AS BIGINT) AS n_ngrams,
         |   CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
         |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
         |     AS BIGINT) AS n_distinct

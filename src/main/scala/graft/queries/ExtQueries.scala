@@ -76,7 +76,13 @@ object ExtQueries {
       val recs = Tables.events(s, d).select(col("user_id"), col("event_id"),
         concat(lit("{\"id\":"), col("event_id").cast("string"),
           lit(",\"k\":"),
-          coalesce(get_json_object(col("props"), "$.k"), lit("null")),
+          // the envelope contract types k as a NUMBER: embed it
+          // numeric-or-null. Splicing the raw extracted text produced
+          // `"k":v` — malformed JSON — for any non-numeric source
+          // value, and the whole envelope then silently failed decode
+          // (r13 edge sweep); try_cast mirrors the oracle's TRY_CAST.
+          coalesce(expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+            .cast("string"), lit("null")),
           lit("}")).as("rec"))
       val wb = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       val env = recs
@@ -123,16 +129,21 @@ object ExtQueries {
     "q41_partitioned_write" -> ((s, d) => {
       val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q41_part_" +
         s.sparkContext.applicationId
-      Tables.orders(s, d)
+      val mart = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"),
           date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
-        // co-partition by the partition column BEFORE the write: without
-        // it every task writes a file into every month directory —
-        // tasks×months small files, the classic partitioned-write
-        // killer at scale. One shuffle buys one file per partition dir.
-        .repartition(col("order_month"))
+      // co-partition by the partition column BEFORE the write: without
+      // it every task writes a file into every month directory —
+      // tasks×months small files, the classic partitioned-write
+      // killer at scale. One shuffle buys one file per partition dir.
+      mart.repartition(col("order_month"))
         .write.partitionBy("order_month").mode("overwrite").parquet(sink)
-      s.read.parquet(sink)
+      // read back under the WRITER's schema, never inference: an empty
+      // slice writes zero partition dirs and schema inference then
+      // throws UNABLE_TO_INFER_SCHEMA — the r13 edge sweep's finding.
+      // At 100 TB an empty nightly slice is a normal Tuesday; the
+      // mart must read back as 0 rows, not die.
+      s.read.schema(mart.schema).parquet(sink)
         .filter(col("order_month") === "1995-03")
         .select(col("o_orderkey"), col("o_totalprice"), col("order_month"))
     }),
@@ -312,14 +323,20 @@ object ExtQueries {
          |WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4""".stripMargin,
     "q38_envelope_decode" ->
-      """SELECT event_id AS id, CAST(props->>'$.k' AS BIGINT) AS k
+      """SELECT event_id AS id, TRY_CAST(props->>'$.k' AS BIGINT) AS k
         |FROM events WHERE user_id % 50 <> 0""".stripMargin,
+    // HAVING count(*) > 0 pins the ENGINE's (Spark's) empty-input
+    // semantics: Spark plans rollup as Expand+groupBy, so an empty
+    // input yields NO groups at all, where the standard (and DuckDB)
+    // emit the () grand-total row with count 0 (r13 edge sweep). On
+    // any real group the predicate is vacuous (count ≥ 1).
     "q39_rollup_sales" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amt,
         | count(*) AS n,
         | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
-        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |HAVING count(*) > 0""".stripMargin,
     "q40_dod_delta" ->
       """WITH daily AS (
         |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,

@@ -35,6 +35,9 @@ object HardenQueries {
     * to land twice or the two queries ran against differently-
     * configured databases. */
   private def derbyUrlAndProps(s: SparkSession): (String, java.util.Properties) = {
+    // string columns must map to VARCHAR (not CLOB) before ANY Derby
+    // write — see JdbcUpsert.GraftDerbyDialect (r13 edge sweep)
+    graft.sources.JdbcUpsert.ensureDerbyDialect()
     System.setProperty("derby.system.home",
       System.getProperty("java.io.tmpdir"))
     System.setProperty("derby.stream.error.file",

@@ -61,11 +61,15 @@ object NorthQueries {
     // F8 — typed extraction from a JSON string column. Reference
     // analog: the API envelope decode (load_sales_data.py:96-100),
     // its only JSON-typed data. get_json_object is codegen'd; no UDF.
+    // try_cast, not cast: under Spark 4's ANSI default a single
+    // non-numeric field value kills the whole job (r13 edge sweep);
+    // the reference's dict.get→None posture — and the oracle's
+    // TRY_CAST — null it instead.
     "q21_json_extract" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"),
         col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))),
 
     // U3 — running total per key: cumulative daily value per user.
     // Daily rollup (one shuffle) then a window over days; sums carried
@@ -329,7 +333,7 @@ object NorthQueries {
 
   val oracle: Map[String, String] = Map(
     "q21_json_extract" ->
-      "SELECT event_id, event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events",
+      "SELECT event_id, event_type, TRY_CAST(props->>'$.k' AS BIGINT) AS k FROM events",
     "q22_running_total" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,
@@ -409,8 +413,12 @@ object NorthQueries {
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_runs,
-        | CAST(list_sum(list_transform(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'),
-        |      t -> (length(t) + 3) // 4)) AS BIGINT) AS n_subwords_est
+        | -- zero runs must SUM to zero, not NULL (DuckDB's list_sum of
+        | -- an empty list is NULL; the engine's fold starts at 0 — r13
+        | -- edge sweep); a NULL text stays NULL through the CASE
+        | CAST(CASE WHEN text IS NULL THEN NULL ELSE
+        |   COALESCE(list_sum(list_transform(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'),
+        |      t -> (length(t) + 3) // 4)), 0) END AS BIGINT) AS n_subwords_est
         |FROM documents""".stripMargin,
     "q33_doc_fingerprint" ->
       """SELECT doc_id, CAST(sum(ord * (ascii(tok) * 131 + length(tok))) % 2147483647 AS BIGINT) AS fingerprint
@@ -420,11 +428,18 @@ object NorthQueries {
         |GROUP BY doc_id""".stripMargin,
     "q34_embed_neardup" ->
       s"""WITH e AS (
+         |  -- NULL/empty embeddings carry no direction: the engine's
+         |  -- cosine yields NULL/NaN for them, which the >= threshold
+         |  -- excludes; DuckDB's list_cosine_similarity ERRORS on them
+         |  -- instead, so the oracle must exclude them up front (r13
+         |  -- edge sweep)
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) > 0
          |  UNION ALL
          |  SELECT vec_id + $DupOffset AS vec_id, label,
          |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.05 + 0.02) AS v
-         |  FROM embeddings)
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) > 0)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,

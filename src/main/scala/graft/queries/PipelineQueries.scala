@@ -192,12 +192,22 @@ object PipelineQueries {
       // ranking contract) and is the same cast the output column needs
       // anyway. The typed pipeline then carries only primitive
       // (Long, Long, Double) rows — no per-row BigDecimal codec.
+      // A group whose every product is NULL sums to NULL (SQL sum
+      // skips nulls; all-null ⇒ NULL) — the primitive (Long,Long,
+      // Double) encoder then threw NOT_NULL_ASSERT_VIOLATION on the
+      // whole job (r13 edge sweep). The typed pipeline keeps its
+      // no-boxing fast path by carrying NULL as −∞ — unreachable for
+      // real revenues (a finite decimal sum can't be infinite), and
+      // under value-DESC ranking −∞ sorts after every real value,
+      // which is exactly the oracle's NULLS-LAST window order — and
+      // restores NULL on the output column.
+      val NullRev = Double.NegativeInfinity
       val rev = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(sum((price * (lit(1).cast(DecimalType(18, 2)) - disc))
           .cast(DecimalType(18, 4))).as("_rev"))
         .select(col("l_suppkey").as("_1"), col("l_partkey").as("_2"),
-          col("_rev").cast("double").as("_3"))
+          coalesce(col("_rev").cast("double"), lit(NullRev)).as("_3"))
         .as[(Long, Long, Double)]
       val top3 = new graft.ops.TopKAggregator.TopK(3)
       rev.groupByKey(_._1)
@@ -209,6 +219,8 @@ object PipelineQueries {
           }
         }
         .toDF("l_suppkey", "l_partkey", "revenue", "rk")
+        .withColumn("revenue",
+          when(col("revenue") === NullRev, lit(null)).otherwise(col("revenue")))
     }),
 
     // Raw binary FILES round trip — the ingest shape a real multimodal
@@ -281,11 +293,21 @@ object PipelineQueries {
       val (sq, sp, sqq, spp, sqp) = (col("_sq").cast("double"),
         col("_sp").cast("double"), col("_sqq").cast("double"),
         col("_spp").cast("double"), col("_sqp").cast("double"))
+      // the OUTER divisions ride try_divide: a singleton group makes
+      // sd's divisor n−1 zero and a constant-valued group makes corr's
+      // variance-product denominator zero — under Spark 4's ANSI
+      // default both throw DIVIDE_BY_ZERO (double included) where
+      // DuckDB yields NULL, so the ANSI throw is an engine-vs-oracle
+      // DIVERGENCE, found by the r13 edge sweep. try_divide → NULL
+      // matches the oracle on degenerate groups and is a no-op
+      // elsewhere. sq/n keeps the plain form: a group has ≥1 row by
+      // construction, n is never 0.
       m.select(col("l_returnflag"), col("n"),
         round(sq / n, 6).as("avg_qty"),
-        round(sqrt((sqq - sq * sq / n) / (n - lit(1.0))), 6).as("sd_qty"),
-        round((sqp - sq * sp / n) /
-          (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n)), 6)
+        round(sqrt(try_divide(sqq - sq * sq / n, n - lit(1.0))), 6)
+          .as("sd_qty"),
+        round(try_divide(sqp - sq * sp / n,
+          sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n)), 6)
           .as("corr_qty_price"))
     }),
 

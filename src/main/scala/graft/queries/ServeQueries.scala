@@ -217,11 +217,15 @@ object ServeQueries {
     // query reads fields positionally from the binary form. The
     // predicate on the extracted field stays in the scan stage
     // (codegen'd projection + filter, zero exchanges before the agg).
+    // try_parse_json + try_variant_get, not the throwing forms: one
+    // malformed document or one non-numeric field value would
+    // otherwise kill a 100-TB scan under ANSI (r13 edge sweep); the
+    // try forms null it, matching the oracle's TRY_CAST.
     "q106_variant_extract" -> ((s, d) =>
       Tables.events(s, d)
-        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"), try_parse_json(col("props")).as("v"))
         .select(col("event_type"),
-          variant_get(col("v"), "$.k", "long").as("k"))
+          try_variant_get(col("v"), "$.k", "long").as("k"))
         .filter(col("k") >= 50)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
@@ -331,7 +335,16 @@ object ServeQueries {
             .repartition(col("order_month"))
             .write.partitionBy("order_month").mode("overwrite").parquet(sink)
         s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-        s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$sink'")
+        // explicit columns + PARTITIONED BY, never inference: over an
+        // empty sink (zero partition dirs) schema inference throws
+        // UNABLE_TO_INFER_SCHEMA (r13 edge sweep), and a declared
+        // schema is the right contract for a catalog table anyway —
+        // the registration can't silently drift with the files.
+        s.sql(s"""CREATE TABLE $tbl
+                 |  (o_orderkey BIGINT, o_totalprice DOUBLE,
+                 |   order_month STRING)
+                 |USING parquet PARTITIONED BY (order_month)
+                 |LOCATION '$sink'""".stripMargin)
         s.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
       } else if (s.sql(s"SHOW PARTITIONS $tbl").isEmpty)
         // a crash BETWEEN the CREATE and the RECOVER leaves a table
@@ -394,6 +407,10 @@ object ServeQueries {
         |SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM w
         |UNION ALL SELECT l_returnflag, 'sum_qty', sum_qty FROM w
         |UNION ALL SELECT l_returnflag, 'max_price', max_price FROM w""".stripMargin,
+    // HAVING count(*) > 0: Spark emits NO rows for the () grouping set
+    // on empty input (Expand+groupBy); the standard emits a count-0
+    // grand total. Pins the engine's semantics; vacuous on real groups
+    // (r13 edge sweep, same note as q39).
     "q98_grouping_sets" ->
       """SELECT o_orderpriority, om,
         |       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
@@ -402,7 +419,8 @@ object ServeQueries {
         |       count(*) AS n
         |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS om, o_totalprice
         |      FROM orders)
-        |GROUP BY GROUPING SETS ((o_orderpriority), (om), ())""".stripMargin,
+        |GROUP BY GROUPING SETS ((o_orderpriority), (om), ())
+        |HAVING count(*) > 0""".stripMargin,
     "q110_lateral_topn" ->
       """SELECT o.n_nationkey, o.n_name, l.c_custkey, l.c_acctbal
         |FROM nation o,
@@ -437,9 +455,9 @@ object ServeQueries {
         |FROM g GROUP BY user_id, sid""".stripMargin,
     "q106_variant_extract" ->
       """SELECT event_type, count(*) AS n,
-        |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+        |       CAST(sum(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events
-        |WHERE CAST(props->>'$.k' AS BIGINT) >= 50
+        |WHERE TRY_CAST(props->>'$.k' AS BIGINT) >= 50
         |GROUP BY 1""".stripMargin,
     "q105_recursive_cte" ->
       """WITH RECURSIVE anc(custkey, anc_key, d) AS (

@@ -137,8 +137,14 @@ object WidenQueries {
           expr("percentile(l_quantity, 0.5)").as("_exact"))
         .select(col("l_returnflag"),
           round(col("_exact"), 6).as("p50_qty"),
-          (abs(col("_approx") - col("_exact")) <=
-            greatest(lit(1.0), col("_exact") * 0.02)).as("within_tol"))),
+          // a group with no non-null values has NULL exact AND approx
+          // percentiles — the certificate is VACUOUSLY true there (an
+          // absent quantile can't be mis-approximated), matching the
+          // oracle's constant TRUE; without the coalesce the NULL
+          // comparison left within_tol NULL (r13 edge sweep)
+          coalesce(abs(col("_approx") - col("_exact")) <=
+            greatest(lit(1.0), col("_exact") * 0.02), lit(true))
+            .as("within_tol"))),
 
     // Pivot — long-to-wide restructuring (per-user event-type counts)
     // as CONDITIONAL AGGREGATION, not DataFrame.pivot: the value list

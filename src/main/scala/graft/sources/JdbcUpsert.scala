@@ -31,6 +31,72 @@ import org.apache.spark.sql.DataFrame
   */
 object JdbcUpsert {
 
+  /** Spark's built-in Derby dialect maps StringType to CLOB, and the
+    * JDBC writer's null path calls `setNull(CLOB)` from that mapping
+    * REGARDLESS of the actual column type — so a NULL string value
+    * aimed at a `createTableColumnTypes`-narrowed VARCHAR column dies
+    * with "data value of type 'VARCHAR' from ... 'CLOB'" (r13 edge
+    * sweep, q53 on a null dim name). This dialect inherits every
+    * other Derby behavior and overrides exactly the string mapping to
+    * Derby's widest VARCHAR: setNull then carries VARCHAR, and
+    * dialect-created string columns are comparable/indexable by
+    * default (the reference's DDL types its strings VARCHAR too —
+    * kicc_to_tb_sales.py's key columns).
+    */
+  private class GraftDerbyDialect(
+      inner: org.apache.spark.sql.jdbc.JdbcDialect)
+      extends org.apache.spark.sql.jdbc.JdbcDialect {
+    import org.apache.spark.sql.jdbc.JdbcType
+    import org.apache.spark.sql.types.{DataType, MetadataBuilder, StringType}
+    override def canHandle(url: String): Boolean = inner.canHandle(url)
+    override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+      case StringType =>
+        Some(JdbcType("VARCHAR(32672)", java.sql.Types.VARCHAR))
+      case other => inner.getJDBCType(other)
+    }
+    // delegate everything the built-in Derby dialect overrides (its
+    // Scala type is private[sql], so wrap-and-delegate instead of
+    // extend; `inner` is resolved via JdbcDialects.get BEFORE this
+    // wrapper registers, i.e. it IS the built-in)
+    override def getCatalystType(sqlType: Int, typeName: String, size: Int,
+                                 md: MetadataBuilder): Option[DataType] =
+      inner.getCatalystType(sqlType, typeName, size, md)
+    override def isSupportedFunction(funcName: String): Boolean =
+      inner.isSupportedFunction(funcName)
+    override def isCascadingTruncateTable(): Option[Boolean] =
+      inner.isCascadingTruncateTable()
+    override def isSyntaxErrorBestEffort(e: java.sql.SQLException): Boolean =
+      inner.isSyntaxErrorBestEffort(e)
+    override def isObjectNotFoundException(e: java.sql.SQLException): Boolean =
+      inner.isObjectNotFoundException(e)
+    override def renameTable(
+        oldTable: org.apache.spark.sql.connector.catalog.Identifier,
+        newTable: org.apache.spark.sql.connector.catalog.Identifier): String =
+      inner.renameTable(oldTable, newTable)
+    override def getTableCommentQuery(table: String, comment: String): String =
+      inner.getTableCommentQuery(table, comment)
+    override def getUpdateColumnNullabilityQuery(
+        tableName: String, columnName: String, isNullable: Boolean): String =
+      inner.getUpdateColumnNullabilityQuery(tableName, columnName, isNullable)
+    override def getLimitClause(limit: Integer): String =
+      inner.getLimitClause(limit)
+    // classifyException is NOT delegated: its refined return type
+    // (Throwable with SparkThrowable) can't be forwarded through the
+    // public JdbcDialect surface; the base default classifies fine —
+    // it only shapes error-message formatting, not behavior.
+  }
+
+  /** Register [[GraftDerbyDialect]] ahead of the built-in (registered
+    * dialects are consulted first). Idempotent via the lazy val.
+    * Call before any Derby write. */
+  def ensureDerbyDialect(): Unit = derbyDialectRegistered
+  private lazy val derbyDialectRegistered: Unit = {
+    val builtin =
+      org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:derby:memory:probe")
+    org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(
+      new GraftDerbyDialect(builtin))
+  }
+
   /** What differs per backend: the merge statement, the
     * create-on-first-use DDL, and how the catalog folds unquoted
     * names. Everything else — executor-parallel staging write, single
@@ -151,10 +217,27 @@ object JdbcUpsert {
                 createTableColumnTypes: Option[String] = None,
                 dialect: UpsertDialect = AnsiMergeDialect): Unit = {
     require(keys.nonEmpty, "keyed upsert requires at least one key column")
+    ensureDerbyDialect()
     val cols = df.columns.toSeq
     require(keys.forall(cols.contains), s"keys $keys must all be in ${cols}")
     val stage = table + "_stage"
-    val w0 = df.write.mode("overwrite")
+    // DDL nullability must not be an accident of the CREATING batch:
+    // the writer emits NOT NULL for non-nullable columns, and the
+    // target inherits the stage's DDL on first use (Derby's CTAS
+    // copies nullability — probed empirically), so a literal-seeded
+    // backfill (amt = lit(0.0)) froze amt NOT NULL and the next real
+    // batch carrying a NULL aggregate failed the MERGE (r13 edge
+    // sweep, q54). Keys keep their nullability (they are the match
+    // condition, never null by the key-unique precondition); every
+    // non-key column is widened via createDataFrame with the widened
+    // schema — the one mechanism whose schema is taken VERBATIM
+    // (no-else CaseWhen and Dataset.to both get re-narrowed by
+    // Spark 4's analysis-time simplification, measured). The Row
+    // round trip is noise next to the JDBC write it feeds.
+    val relaxed = df.sparkSession.createDataFrame(df.rdd,
+      org.apache.spark.sql.types.StructType(df.schema.map(f =>
+        if (keys.contains(f.name)) f else f.copy(nullable = true))))
+    val w0 = relaxed.write.mode("overwrite")
     // only pass a driver when the caller supplied one: an empty class
     // name makes Spark's DriverRegistry throw ClassNotFoundException
     // instead of falling back to URL-based resolution

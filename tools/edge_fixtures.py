@@ -1,0 +1,158 @@
+#!/usr/bin/env python3
+"""Degenerate-input fixture generator for the edge sweep (round 13).
+
+At 100 TB some nightly slice WILL be empty, some corpus drop WILL
+arrive with every optional column null, and some partition WILL hold
+exactly one row — but the driver's correctness gate only ever runs the
+well-populated sf fixtures, so none of the 113 graded queries had ever
+executed against a degenerate input. This tool writes schema-exact
+degenerate variants of the ten tables; tools/edge_sweep.py then runs
+the UNCHANGED Verify + DuckDB compare over them, so every engine-vs-
+oracle divergence on degenerate shapes surfaces through the same gate
+that grades the normal shapes.
+
+Variants (each a full 10-table dir):
+  empty   — every table 0 rows (schema-only parquet)
+  onerow  — every table exactly 1 fully-populated row, all tables
+            mutually join-consistent (the one lineitem row references
+            the one order/part/supplier; the one event belongs to the
+            one customer; ids chosen inside every query's filter
+            windows where that decides reachability)
+  nulls   — 3 rows per table: one fully populated, one with every
+            semantically-optional column NULL (text/lang/source,
+            props/value/event_type, measures, embedding), one with
+            empty-but-non-null containers ('' text, [] embedding) —
+            the three null-shapes SQL treats differently
+
+Usage: python3 tools/edge_fixtures.py <out_root>
+Writes <out_root>/{empty,onerow,nulls}/<table>.parquet
+"""
+import sys
+import pyarrow as pa
+import pyarrow.parquet as pq
+from datetime import datetime
+
+SCHEMAS = {
+    "region": pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())]),
+    "nation": pa.schema([("n_nationkey", pa.int32()), ("n_name", pa.string()),
+                         ("n_regionkey", pa.int32())]),
+    "customer": pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()),
+                           ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+                           ("c_mktsegment", pa.string())]),
+    "supplier": pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()),
+                           ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())]),
+    "part": pa.schema([("p_partkey", pa.int64()), ("p_name", pa.string()),
+                       ("p_brand", pa.string()), ("p_type", pa.string()),
+                       ("p_size", pa.int32()), ("p_retailprice", pa.float64())]),
+    "orders": pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                         ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+                         ("o_orderdate", pa.timestamp("us")),
+                         ("o_orderpriority", pa.string())]),
+    "lineitem": pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+                           ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+                           ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+                           ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+                           ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+                           ("l_shipdate", pa.timestamp("us"))]),
+    "events": pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                         ("user_id", pa.int64()), ("event_type", pa.string()),
+                         ("value", pa.float64()), ("props", pa.string())]),
+    "documents": pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                            ("lang", pa.string()), ("source", pa.string()),
+                            ("n_chars", pa.int64())]),
+    "embeddings": pa.schema([("vec_id", pa.int64()),
+                             ("embedding", pa.list_(pa.float32())),
+                             ("label", pa.int32())]),
+}
+
+TS = datetime(1995, 6, 15, 12, 0, 0)  # inside the fixtures' date windows
+
+ONEROW = {
+    "region": {"r_regionkey": 0, "r_name": "ASIA"},
+    "nation": {"n_nationkey": 1, "n_name": "JAPAN", "n_regionkey": 0},
+    "customer": {"c_custkey": 7, "c_name": "Customer#7", "c_nationkey": 1,
+                 "c_acctbal": 711.56, "c_mktsegment": "BUILDING"},
+    "supplier": {"s_suppkey": 3, "s_name": "Supplier#3", "s_nationkey": 1,
+                 "s_acctbal": 4032.68},
+    "part": {"p_partkey": 11, "p_name": "lime green part", "p_brand": "Brand#13",
+             "p_type": "PROMO BRUSHED", "p_size": 9, "p_retailprice": 911.0},
+    "orders": {"o_orderkey": 101, "o_custkey": 7, "o_orderstatus": "O",
+               "o_totalprice": 172799.49, "o_orderdate": TS,
+               "o_orderpriority": "1-URGENT"},
+    "lineitem": {"l_orderkey": 101, "l_partkey": 11, "l_suppkey": 3,
+                 "l_linenumber": 1, "l_quantity": 17.0,
+                 "l_extendedprice": 21168.23, "l_discount": 0.04, "l_tax": 0.02,
+                 "l_returnflag": "N", "l_linestatus": "O", "l_shipdate": TS},
+    "events": {"event_id": 1001, "ts": TS, "user_id": 7, "event_type": "view",
+               "value": 3.5, "props": '{"k":"v"}'},
+    "documents": {"doc_id": 42, "text": "the quick brown fox jumps over the lazy dog",
+                  "lang": "en", "source": "web", "n_chars": 43},
+    "embeddings": {"vec_id": 42, "embedding": [0.1, 0.2, 0.3, 0.4], "label": 0},
+}
+
+# semantically-optional columns (keys/dates stay non-null: a null KEY is
+# a different contract, exercised where queries define it, not here)
+OPTIONAL = {
+    "region": ["r_name"],
+    "nation": ["n_name"],
+    "customer": ["c_name", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_name", "s_acctbal"],
+    "part": ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "orders": ["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus"],
+    "events": ["event_type", "value", "props"],
+    "documents": ["text", "lang", "source"],
+    "embeddings": ["embedding"],
+}
+
+# empty-but-non-null container shapes ('' vs NULL, [] vs NULL)
+EMPTYISH = {
+    "documents": {"text": "", "lang": "", "source": ""},
+    "events": {"props": "{}", "event_type": ""},
+    "embeddings": {"embedding": []},
+}
+
+
+def bump_keys(row, delta):
+    out = dict(row)
+    for k, v in out.items():
+        if k.endswith(("key", "_id")) or k in ("event_id",):
+            if isinstance(v, int):
+                out[k] = v + delta
+    return out
+
+
+def write(outdir, name, rows):
+    sch = SCHEMAS[name]
+    cols = {f.name: [r.get(f.name) for r in rows] for f in sch}
+    tbl = pa.table({n: pa.array(v, type=sch.field(n).type) for n, v in cols.items()},
+                   schema=sch)
+    pq.write_table(tbl, f"{outdir}/{name}.parquet")
+
+
+def main(root):
+    import os
+    for variant in ("empty", "onerow", "nulls"):
+        d = os.path.join(root, variant)
+        os.makedirs(d, exist_ok=True)
+        for name in SCHEMAS:
+            if variant == "empty":
+                rows = []
+            elif variant == "onerow":
+                rows = [ONEROW[name]]
+            else:
+                full = ONEROW[name]
+                nulled = bump_keys(full, 1000)
+                for c in OPTIONAL[name]:
+                    nulled[c] = None
+                emptyish = bump_keys(full, 2000)
+                for c, v in EMPTYISH.get(name, {}).items():
+                    emptyish[c] = v
+                rows = [full, nulled, emptyish]
+            write(d, name, rows)
+        print(f"wrote {d}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])

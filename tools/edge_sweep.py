@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Degenerate-input sweep: every graded query × every edge fixture
+variant, through the UNCHANGED Verify + DuckDB gate (round 13).
+
+Motivation: the driver's correctness gate only ever runs well-populated
+fixtures, so until r13 none of the 113 graded queries had executed
+against an empty table, an all-null optional column, or a single row —
+shapes that are routine at 100 TB (an empty nightly slice, a corpus
+drop with a dead field). The first run of this sweep found 10 distinct
+engine defects/divergences (see SCALING.md "Round-13 edge sweep").
+
+What it does, per variant (empty / onerow / nulls):
+  1. regenerate the variant via tools/edge_fixtures.py
+  2. clear /tmp/graft_q72_files (q72's deterministic shared export dir
+     is keyed to fixture CONTENT by design; across VARIANTS it must be
+     reset or the binary round trip reads the previous variant's files)
+  3. run graft.Verify over the variant (all 113 queries)
+  4. run tools/local_verify.py (same DuckDB compare the driver uses)
+  5. reinterpret exactly ONE expected case: a rows-only query (q30)
+     returning 0 rows on the EMPTY variant is the correct degenerate
+     outcome, not a failure
+
+Exit 0 iff every variant is green under that reading.
+
+Usage: python3 tools/edge_sweep.py [work_root]   (default /tmp/edge_sweep)
+"""
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORK = sys.argv[1] if len(sys.argv) > 1 else "/tmp/edge_sweep"
+VARIANTS = ["empty", "onerow", "nulls"]
+Q72_DIR = "/tmp/graft_q72_files"
+
+
+def run(cmd, **kw):
+    print("+", " ".join(cmd), flush=True)
+    return subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True, **kw)
+
+
+def main():
+    fixdir = os.path.join(WORK, "fixtures")
+    r = run([sys.executable, "tools/edge_fixtures.py", fixdir])
+    if r.returncode != 0:
+        print(r.stdout, r.stderr)
+        return 1
+    failures = {}
+    for v in VARIANTS:
+        vdir = os.path.join(fixdir, v)
+        outdir = os.path.join(WORK, "out", v)
+        shutil.rmtree(outdir, ignore_errors=True)
+        shutil.rmtree(Q72_DIR, ignore_errors=True)
+        env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+        r = run(["bash", "tools/spark_java.sh", "graft.Verify", vdir, outdir], env=env)
+        sys.stdout.write("".join(
+            ln + "\n" for ln in (r.stdout + r.stderr).splitlines()
+            if ln.startswith("[verify]")))
+        if r.returncode != 0:
+            failures[v] = ["verify exited %d (thrown query builders?)" % r.returncode]
+            continue
+        c = run([sys.executable, "tools/local_verify.py", outdir, vdir])
+        bad = []
+        for ln in c.stdout.splitlines():
+            m = re.match(r"^(\w+): (FAIL|MISSING|NO SPARK|ORACLE ERROR|DECIMAL)", ln)
+            if m:
+                bad.append(ln)
+            m0 = re.match(r"^(\w+): rows-only \(no oracle\) spark_rows=0$", ln)
+            if m0 and v != "empty":
+                bad.append(ln + "  (rows-only ZERO on non-empty input)")
+        if bad:
+            failures[v] = bad
+        print(f"[{v}] {'GREEN' if not bad else 'FAIL'}")
+    if failures:
+        print("\nEDGE SWEEP FAILURES:")
+        for v, lines in failures.items():
+            for ln in lines:
+                print(f"  {v}: {ln}")
+        return 1
+    print("\nEDGE SWEEP ALL GREEN (3 variants x 113 queries)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
