@@ -168,8 +168,16 @@ object ExtQueries {
         s.sparkContext.applicationId
       Tables.nation(s, d).write.mode("overwrite")
         .option("header", "true").csv(sink)
+      // multiLine: the writer QUOTES fields carrying the delimiter or a
+      // newline (correct CSV), but the default line-splitting reader
+      // cuts records at every raw newline — a quoted embedded newline
+      // splits one row into two corrupt ones (r13 extremes sweep).
+      // multiLine parses quoted newlines at the cost of per-file (not
+      // per-split) read parallelism — the right trade here because the
+      // writer already emits one task-sized file per partition, so
+      // parallelism = #files either way.
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
-        .option("header", "true").csv(sink)
+        .option("header", "true").option("multiLine", "true").csv(sink)
     }),
 
     // Co-location — BUCKETED join: both sides written bucketed+sorted

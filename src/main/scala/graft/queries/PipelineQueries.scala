@@ -471,14 +471,21 @@ object PipelineQueries {
         |  coalesce(n_1995, 0) AS n_1995, coalesce(amt_1995, 0.0) AS amt_1995,
         |  coalesce(n_1996, 0) AS n_1996, coalesce(amt_1996, 0.0) AS amt_1996
         |FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey""".stripMargin,
+    // the LEFT operand of each product is widened to DECIMAL(19,2):
+    // DuckDB multiplies DECIMAL(18)s in their int64 word and overflows
+    // at |v| > ~9.2e18 cents-squared (values near the DECIMAL(18,2)
+    // domain edge — r13 extremes sweep), while one 19-digit operand
+    // promotes the multiply to int128 and the result type becomes
+    // DECIMAL(37,4) — exactly Spark's 18,2 × 18,2 product type, so the
+    // moment sums stay bit-identical to the engine's
     "q74_moment_stats" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,
         |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
-        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sqq,
-        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS spp,
-        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sqp
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sqq,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS spp,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sqp
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
         |  round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_qty,

@@ -113,6 +113,48 @@ EMPTYISH = {
     "embeddings": {"embedding": []},
 }
 
+# domain-edge values (variant "extremes"): negative keys, boundary
+# dates, money at the wide end of the DECIMAL(18,2) contract, strings
+# carrying CSV/JSON-hostile bytes (embedded quote, comma, newline).
+# Keys stay join-consistent via bump_keys.
+EXTREME = {
+    "region": {"r_name": 'AM"ER,ICA\nB'},
+    "nation": {"n_name": 'JA"PA,N\nX'},
+    "customer": {"c_name": 'Cust "X", the\n2nd', "c_acctbal": -999999999.99,
+                 "c_mktsegment": "BUILD,ING"},
+    "supplier": {"s_acctbal": 0.01},
+    "part": {"p_name": 'part "quoted", with\nnewline', "p_size": 0,
+             "p_retailprice": 0.0},
+    "orders": {"o_totalprice": 99999999999.99,
+               "o_orderdate": datetime(1900, 1, 1, 0, 0, 0),
+               "o_orderpriority": '5-LOW,"ISH"'},
+    "lineitem": {"l_quantity": 0.0, "l_extendedprice": 99999999.99,
+                 "l_discount": 1.0, "l_tax": 0.0,
+                 "l_shipdate": datetime(2199, 12, 31, 23, 59, 59)},
+    "events": {"ts": datetime(1970, 1, 1, 0, 0, 0), "value": -0.0,
+               "props": '{"k":"a\\"b,c\\nd"}'},
+    "documents": {"text": 'He said "hi, there"\nthen left, fast',
+                  "source": "we\nb"},
+    "embeddings": {"embedding": [1e30, -1e30, 1e-30, 0.0]},
+}
+
+# multibyte/RTL/emoji content (variant "unicode"): chars-vs-bytes
+# semantics through the text tier (token counts, fingerprints,
+# masking, CSV), plus non-ASCII in every string dimension column.
+UNICODE = {
+    "region": {"r_name": "ÅSIÄ"},
+    "nation": {"n_name": "ÜNÎCØDÉ 国"},
+    "customer": {"c_name": "Müller 北京 🦀", "c_mktsegment": "BÂTIMENT"},
+    "supplier": {"s_name": "供应商#3"},
+    "part": {"p_name": "café crème 部品", "p_type": "PROMO BRÛSSÉD"},
+    "orders": {"o_orderpriority": "1-緊急"},
+    "lineitem": {"l_returnflag": "Ñ", "l_linestatus": "Ø"},
+    "events": {"event_type": "点击", "props": '{"k":"héllo"}'},
+    "documents": {"text": "héllo wörld 你好 世界 🦀 مرحبا بالعالم éé 1つ",
+                  "lang": "zh", "source": "ウェブ"},
+    "embeddings": {},
+}
+
 
 def bump_keys(row, delta):
     out = dict(row)
@@ -133,16 +175,16 @@ def write(outdir, name, rows):
 
 def main(root):
     import os
-    for variant in ("empty", "onerow", "nulls"):
+    for variant in ("empty", "onerow", "nulls", "extremes", "unicode"):
         d = os.path.join(root, variant)
         os.makedirs(d, exist_ok=True)
         for name in SCHEMAS:
+            full = ONEROW[name]
             if variant == "empty":
                 rows = []
             elif variant == "onerow":
-                rows = [ONEROW[name]]
-            else:
-                full = ONEROW[name]
+                rows = [full]
+            elif variant == "nulls":
                 nulled = bump_keys(full, 1000)
                 for c in OPTIONAL[name]:
                     nulled[c] = None
@@ -150,6 +192,15 @@ def main(root):
                 for c, v in EMPTYISH.get(name, {}).items():
                     emptyish[c] = v
                 rows = [full, nulled, emptyish]
+            elif variant == "extremes":
+                hostile = bump_keys(full, 3000)
+                hostile.update(EXTREME.get(name, {}))
+                negkeys = bump_keys(full, -1100)  # all key columns negative
+                rows = [full, hostile, negkeys]
+            else:  # unicode
+                uni = bump_keys(full, 4000)
+                uni.update(UNICODE.get(name, {}))
+                rows = [full, uni]
             write(d, name, rows)
         print(f"wrote {d}")
 

@@ -32,7 +32,7 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORK = sys.argv[1] if len(sys.argv) > 1 else "/tmp/edge_sweep"
-VARIANTS = ["empty", "onerow", "nulls"]
+VARIANTS = ["empty", "onerow", "nulls", "extremes", "unicode"]
 Q72_DIR = "/tmp/graft_q72_files"
 
 
@@ -79,7 +79,7 @@ def main():
             for ln in lines:
                 print(f"  {v}: {ln}")
         return 1
-    print("\nEDGE SWEEP ALL GREEN (3 variants x 113 queries)")
+    print("\nEDGE SWEEP ALL GREEN (%d variants x 113 queries)" % len(VARIANTS))
     return 0
 
 
