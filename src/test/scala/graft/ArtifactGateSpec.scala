@@ -185,4 +185,42 @@ class ArtifactGateSpec extends SparkSpec {
       rm(base.toFile)
     } finally rm(new java.io.File(dir))
   }
+
+  test("StagedArtifact: markerless-residue eviction is rename-aside and leaves zero sibling residue") {
+    // r13 (r12 ADVICE): the no-marker branch used to rm() the residue
+    // IN PLACE — a long multi-file delete window during which a
+    // concurrently-installed complete artifact could be half-torn-down
+    // under readers that had passed the _SUCCESS gate. Now residue is
+    // moved aside with ONE atomic rename to a .trash.<uuid> path and
+    // deleted out-of-path. Pinned here: the replacement commits, and
+    // the parent dir carries NO .trash/.stage residue afterwards (the
+    // trash cleanup is part of the contract — content-keyed parents
+    // accumulate forever otherwise).
+    val parent = Files.createTempDirectory("graft_staged_")
+    try {
+      val path = parent.resolve("artifact").toString
+      // markerless residue from a "crashed" old-style writer
+      Files.createDirectories(Paths.get(path))
+      Files.write(Paths.get(path, "part-junk.bin"), Array[Byte](9, 9))
+      graft.ops.StagedArtifact.writeOnce(path) { stage =>
+        Files.createDirectories(Paths.get(stage))
+        Files.write(Paths.get(stage, "part-0"), Array[Byte](1))
+        Files.write(Paths.get(stage, "_SUCCESS"), Array.empty[Byte])
+      }
+      assert(graft.ops.StagedArtifact.committed(path),
+        "the staged build must replace markerless residue and commit")
+      assert(!Files.exists(Paths.get(path, "part-junk.bin")),
+        "residue content must not survive under the installed artifact")
+      val leftovers = Option(parent.toFile.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filterNot(_ == "artifact")
+      assert(leftovers.isEmpty,
+        s"eviction must clean its trash/stage siblings, found: ${leftovers.toSeq}")
+      // committed artifact: writeOnce is a pure no-op
+      val mt = Files.getLastModifiedTime(Paths.get(path, "_SUCCESS"))
+      graft.ops.StagedArtifact.writeOnce(path) { _ =>
+        fail("writeOnce must not rebuild over a committed artifact")
+      }
+      assert(Files.getLastModifiedTime(Paths.get(path, "_SUCCESS")) === mt)
+    } finally rm(parent.toFile)
+  }
 }
