@@ -66,13 +66,23 @@ object StreamingOps {
     * ingest feasible at 100 TB/day (the batch op dedups a snapshot;
     * this dedups forever). The working hash column does not leak into
     * the output schema.
+    *
+    * NULL text bypasses the dedup entirely (r13): sha2(NULL) is NULL,
+    * and a null dedup key would collapse EVERY null-text doc in the
+    * horizon into one survivor — absent content is not shared
+    * content. The batch twin excludes null-text docs from groups for
+    * the same reason (exactDedupGroups, r12); here they ride the
+    * union branch untouched, paying no dedup state.
     */
   def dedupByContent(docs: DataFrame, textCol: String, tsCol: String,
-                     delay: String): DataFrame =
-    docs.withColumn("_content_hash", sha2(col(textCol), 256))
-      .withWatermark(tsCol, delay)
+                     delay: String): DataFrame = {
+    val wm = docs.withWatermark(tsCol, delay)
+    wm.filter(col(textCol).isNotNull)
+      .withColumn("_content_hash", sha2(col(textCol), 256))
       .dropDuplicatesWithinWatermark("_content_hash")
       .drop("_content_hash")
+      .unionByName(wm.filter(col(textCol).isNull))
+  }
 
   /** Streaming keyed upsert — the reference's re-runnable nightly
     * MERGE (load_sales_data.py:129-134) as a continuous pipeline: each

@@ -203,6 +203,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupByContent: null-text docs are never deduped against each other") {
+    // r13: sha2(NULL) is NULL, and keying the dedup on a null hash
+    // would collapse every null-text doc in the horizon into one —
+    // absent content is not shared content (the batch twin's r12
+    // rule). All null-text docs must survive; real duplicate content
+    // must still collapse in the same stream.
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "raw", "ts")
+      .withColumn("text", when(col("raw") === "", null).otherwise(col("raw")))
+      .select("doc_id", "text", "ts")
+    val out = StreamingOps.dedupByContent(df, "text", "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("cdedup_null_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "", ts("2024-01-01 00:00:01")),
+        (2L, "alpha", ts("2024-01-01 00:00:02")),
+        (3L, "", ts("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+      mem.addData((4L, "", ts("2024-01-01 00:00:04")),
+        (5L, "alpha", ts("2024-01-01 00:00:05")))
+      q.processAllAvailable()
+      val rows = spark.table("cdedup_null_test")
+        .select("doc_id", "text").as[(Long, Option[String])].collect().toMap
+      assert(rows.keySet === Set(1L, 2L, 3L, 4L),
+        "all three null-text docs survive; duplicate real content collapses")
+      assert(rows(1L).isEmpty && rows(3L).isEmpty && rows(4L).isEmpty,
+        "null text must pass through as NULL, not a sentinel")
+    } finally q.stop()
+  }
+
   test("streaming ingest: envelope stream → decodeEnvelope → keyed upsert, redelivery-safe") {
     import graft.ops.RelationalOps
     import graft.sources.UpsertSinkSource
