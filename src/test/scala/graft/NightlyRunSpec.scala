@@ -136,6 +136,46 @@ class NightlyRunSpec extends SparkSpec {
     }
   }
 
+  test("a fully-gated tick commits an empty mart LOUDLY and the next good tick recovers") {
+    // the r13 edge class, end to end: every envelope in the slice
+    // answers non-OK (API outage / systemic ret_code failure). The
+    // tick must (a) run to completion — an empty partitioned mart is
+    // writable and re-readable under the writer's schema, no
+    // UNABLE_TO_INFER_SCHEMA; (b) report the emptiness through the
+    // gate (slice_nonempty FAILS — an operator reads the outage off
+    // the Report, nothing silently "succeeds"); (c) leave a mart the
+    // NEXT healthy tick builds on cleanly.
+    val martDir = Files.createTempDirectory("graft_nightly_gated_").toString
+    val dim = Seq((1L, "north")).toDF("store_id", "region_nm")
+    final class AllGatedTransport extends EnvelopeTransport {
+      override def fetchPartition(rs: Iterator[FetchRequest]): Iterator[String] =
+        rs.map(r => s"""{"ret_code":"9999","data":[{"id":${r.storeId},"k":1}]}""")
+    }
+    try {
+      val d = "2024-06-01"
+      val r1 = NightlyRun.run(spark, martDir, stores = 60, lo = d, hi = d,
+        transport = new AllGatedTransport, storeDim = dim)
+      assert(r1.decoded === 0L && r1.merged === 0L)
+      assert(!r1.gatePassed, "an all-gated slice must FAIL the gate, loudly")
+      assert(r1.gate.exists(g => g.check == "slice_nonempty" && !g.passed))
+      assert(new java.io.File(martDir, "_SUCCESS").exists(),
+        "the empty commit itself is a valid commit (outage ≠ torn mart)")
+      // next tick, API recovered: builds on the empty mart cleanly
+      val r2 = NightlyRun.run(spark, martDir, stores = 60, lo = d, hi = d,
+        transport = new StubTransport, storeDim = dim)
+      val exp = expectedRows(60, d, d)
+      assert(r2.merged === exp.size.toLong && r2.gatePassed,
+        s"recovery tick must pass: ${r2.gate.filterNot(_.passed)}")
+      val mart = spark.read.parquet(martDir)
+      assert(mart.count() === exp.size.toLong)
+    } finally {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(new java.io.File(martDir))
+    }
+  }
+
   test("nightly ticks: cold build, slice isolation, idempotent steady state with stable job count") {
     val martDir = Files.createTempDirectory("graft_nightly_").toString
     val dim = Seq((1L, "north"), (2L, "south"), (3L, "north"))
