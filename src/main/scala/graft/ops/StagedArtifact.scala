@@ -31,9 +31,28 @@ object StagedArtifact {
     */
   def writeOnce(path: String)(write: String => Unit): Unit = {
     if (committed(path)) return
+    sweepTrash(path)
     val stage = s"$path.stage.${java.util.UUID.randomUUID()}"
     write(stage)
     install(stage, path)
+  }
+
+  /** Reclaim orphaned `.trash.<uuid>` siblings: a builder that died
+    * between install()'s eviction rename and its rm(trash) leaves a
+    * full artifact-sized copy beside a long-lived shared path forever
+    * (r13 review). Swept on the next build attempt only — the steady
+    * state (committed artifact) never pays the directory listing.
+    * Concurrent-safe: live trash exists only inside another builder's
+    * two-rename window, and rm() on a path both builders delete is an
+    * idempotent no-op race. Live `.stage.*` dirs are NOT touched.
+    */
+  private def sweepTrash(path: String): Unit = {
+    val p = new java.io.File(path)
+    val prefix = p.getName + ".trash."
+    Option(Option(p.getParentFile).map(_.listFiles()).orNull)
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith(prefix))
+      .foreach(rm)
   }
 
   private def install(stage: String, path: String): Unit = {

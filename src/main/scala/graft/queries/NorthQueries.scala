@@ -428,18 +428,28 @@ object NorthQueries {
         |GROUP BY doc_id""".stripMargin,
     "q34_embed_neardup" ->
       s"""WITH e AS (
-         |  -- NULL/empty embeddings carry no direction: the engine's
-         |  -- cosine yields NULL/NaN for them, which the >= threshold
-         |  -- excludes; DuckDB's list_cosine_similarity ERRORS on them
-         |  -- instead, so the oracle must exclude them up front (r13
-         |  -- edge sweep)
+         |  -- degenerate embeddings carry no direction: NULL, empty,
+         |  -- and ALL-ZERO vectors. The engine's zero-norm guard
+         |  -- (cosineNearDupPairs: _n_a > 0 && _n_b > 0) excludes all
+         |  -- three; DuckDB's list_cosine_similarity ERRORS on them
+         |  -- instead, so the oracle excludes the same set up front —
+         |  -- including the all-zero case, which IS NOT NULL/len>0
+         |  -- alone would let through (r13 edge sweep + review)
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+         |    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
          |  UNION ALL
+         |  -- the dup arm's guard tests the TRANSFORMED vector: an
+         |  -- all-zero base becomes [0.02, …] here — non-degenerate,
+         |  -- and the engine (same transform, same guard order)
+         |  -- includes it
          |  SELECT vec_id + $DupOffset AS vec_id, label,
          |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.05 + 0.02) AS v
          |  FROM embeddings
-         |  WHERE embedding IS NOT NULL AND len(embedding) > 0)
+         |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+         |    AND list_sum(list_transform(
+         |          list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.05 + 0.02),
+         |          y -> y * y)) > 0)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,

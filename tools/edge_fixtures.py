@@ -197,6 +197,12 @@ def main(root):
                 hostile.update(EXTREME.get(name, {}))
                 negkeys = bump_keys(full, -1100)  # all key columns negative
                 rows = [full, hostile, negkeys]
+                if name == "embeddings":
+                    # an all-zero vector: non-null, non-empty, zero norm
+                    # (the degenerate shape IS NOT NULL/len>0 misses)
+                    zerovec = bump_keys(full, 5000)
+                    zerovec["embedding"] = [0.0, 0.0, 0.0, 0.0]
+                    rows.append(zerovec)
             else:  # unicode
                 uni = bump_keys(full, 4000)
                 uni.update(UNICODE.get(name, {}))

@@ -9,7 +9,8 @@ shapes that are routine at 100 TB (an empty nightly slice, a corpus
 drop with a dead field). The first run of this sweep found 10 distinct
 engine defects/divergences (see SCALING.md "Round-13 edge sweep").
 
-What it does, per variant (empty / onerow / nulls):
+What it does, per variant (empty / onerow / nulls / extremes /
+unicode — the authoritative list is VARIANTS below):
   1. regenerate the variant via tools/edge_fixtures.py
   2. clear /tmp/graft_q72_files (q72's deterministic shared export dir
      is keyed to fixture CONTENT by design; across VARIANTS it must be
@@ -63,6 +64,14 @@ def main():
             continue
         c = run([sys.executable, "tools/local_verify.py", outdir, vdir])
         bad = []
+        # a compare step that CRASHED (import error, bad dir, partial
+        # traceback) prints few or no per-query lines — scraping stdout
+        # alone would read that as GREEN. Nonzero exit is only excusable
+        # when the scrape itself explains it (the q30-on-empty case
+        # handled below); anything else fails the variant loudly.
+        if c.returncode != 0 and "FAILURES:" not in c.stdout:
+            bad.append("local_verify exited %d without a failure report: %s"
+                       % (c.returncode, (c.stderr or c.stdout).strip()[-300:]))
         for ln in c.stdout.splitlines():
             m = re.match(r"^(\w+): (FAIL|MISSING|NO SPARK|ORACLE ERROR|DECIMAL)", ln)
             if m:
