@@ -378,6 +378,14 @@ object NorthQueries {
         |       round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])), 6) AS sim
         |FROM embeddings a CROSS JOIN embeddings b
         |WHERE a.vec_id = 0
+        |  -- unrankable corpus vectors — NULL, dimension-mismatched
+        |  -- (vs the probe), zero-norm — are dropped by the engine's
+        |  -- !isnan(sim) filter (NULL and NaN sims alike); DuckDB's
+        |  -- list_cosine_similarity ERRORS on the first two, so the
+        |  -- oracle excludes the same set up front (r13 mixed sweep)
+        |  AND b.embedding IS NOT NULL
+        |  AND len(b.embedding) = len(a.embedding)
+        |  AND list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)) > 0
         |ORDER BY sim DESC, b.vec_id LIMIT 10""".stripMargin,
     "q27_sessionize" ->
       "SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n FROM events GROUP BY 1, 2",
@@ -452,7 +460,11 @@ object NorthQueries {
          |          y -> y * y)) > 0)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+         |-- ragged pairs (unequal dimension) are NULL-sim for the
+         |-- engine and excluded by its >= threshold; DuckDB errors on
+         |-- them, so the oracle skips them explicitly (r13 mixed sweep)
+         |WHERE len(a.v) = len(b.v)
+         |  AND list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
     "q35_ann_ivf" ->
       """WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0),
         | dims AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,

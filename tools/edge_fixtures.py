@@ -173,8 +173,55 @@ def write(outdir, name, rows):
     pq.write_table(tbl, f"{outdir}/{name}.parquet")
 
 
-def main(root):
+def degenerate_rows(name):
+    """The union of every adversarial row shape, id-rebased to +20000
+    so neither the real sf ids (≤ ~6000) nor their planted-dup images
+    (real + 100000 — HardenQueries/NorthQueries DupOffset) collide:
+    degenerate ids land in ~[18900, 25000], their dup images in
+    ~[118900, 125000]. Used by the `mixed` variant."""
+    full = ONEROW[name]
+    nulled = bump_keys(full, 21000)
+    for c in OPTIONAL[name]:
+        nulled[c] = None
+    emptyish = bump_keys(full, 22000)
+    for c, v in EMPTYISH.get(name, {}).items():
+        emptyish[c] = v
+    hostile = bump_keys(full, 23000)
+    hostile.update(EXTREME.get(name, {}))
+    uni = bump_keys(full, 24000)
+    uni.update(UNICODE.get(name, {}))
+    rows = [bump_keys(full, 20000), nulled, emptyish, hostile, uni]
+    if name == "embeddings":
+        zerovec = bump_keys(full, 25000)
+        zerovec["embedding"] = [0.0, 0.0, 0.0, 0.0]
+        rows.append(zerovec)
+    return rows
+
+
+def write_mixed(outdir, base_sf):
+    """`mixed`: the REAL sf tables with every degenerate row woven in —
+    exercises the interactions the tiny variants can't (a null text
+    inside a real LSH corpus, a zero vector among real embeddings, one
+    domain-edge money value in thousands of lineitems)."""
     import os
+    os.makedirs(outdir, exist_ok=True)
+    for name in SCHEMAS:
+        real = pq.read_table(f"{base_sf}/{name}.parquet") \
+            .replace_schema_metadata(None)
+        rows = degenerate_rows(name)
+        cols = {f.name: [r.get(f.name) for r in rows] for f in SCHEMAS[name]}
+        degen = pa.table(
+            {n: pa.array(v, type=SCHEMAS[name].field(n).type)
+             for n, v in cols.items()}, schema=SCHEMAS[name]) \
+            .select(real.column_names).cast(real.schema)
+        pq.write_table(pa.concat_tables([real, degen]),
+                       f"{outdir}/{name}.parquet")
+    print(f"wrote {outdir} (base {base_sf})")
+
+
+def main(root, base_sf="/root/testdata/sf0.001"):
+    import os
+    write_mixed(os.path.join(root, "mixed"), base_sf)
     for variant in ("empty", "onerow", "nulls", "extremes", "unicode"):
         d = os.path.join(root, variant)
         os.makedirs(d, exist_ok=True)

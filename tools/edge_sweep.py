@@ -9,8 +9,11 @@ shapes that are routine at 100 TB (an empty nightly slice, a corpus
 drop with a dead field). The first run of this sweep found 10 distinct
 engine defects/divergences (see SCALING.md "Round-13 edge sweep").
 
-What it does, per variant (empty / onerow / nulls / extremes /
-unicode — the authoritative list is VARIANTS below):
+What it does, per variant (mixed / empty / onerow / nulls / extremes /
+unicode — the authoritative list is VARIANTS below; `mixed` is the
+REAL sf0.001 tables with every degenerate row woven in, exercising
+the interactions the tiny variants can't — a null text inside a real
+LSH corpus, a ragged or zero vector among real 64-dim embeddings):
   1. regenerate the variant via tools/edge_fixtures.py
   2. clear /tmp/graft_q72_files (q72's deterministic shared export dir
      is keyed to fixture CONTENT by design; across VARIANTS it must be
@@ -33,7 +36,7 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORK = sys.argv[1] if len(sys.argv) > 1 else "/tmp/edge_sweep"
-VARIANTS = ["empty", "onerow", "nulls", "extremes", "unicode"]
+VARIANTS = ["mixed", "empty", "onerow", "nulls", "extremes", "unicode"]
 Q72_DIR = "/tmp/graft_q72_files"
 
 
