@@ -1,6 +1,6 @@
 package graft.ops
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Build-once, content-keyed ingest artifacts: stage-and-rename
   * installation (r12). The artifact dirs (q35 centroids, q37 pairs,
@@ -55,11 +55,19 @@ object StagedArtifact {
       .foreach(rm)
   }
 
-  private def install(stage: String, path: String): Unit = {
+  /** The one syscall both renames go through — injectable so specs can
+    * exercise the eviction-failure paths deterministically (the suite
+    * runs as root, where permission-based fault injection is a no-op).
+    */
+  private[graft] val atomicMove: (Path, Path) => Unit =
+    (a, b) => { Files.move(a, b, StandardCopyOption.ATOMIC_MOVE); () }
+
+  private[graft] def install(stage: String, path: String,
+      move: (Path, Path) => Unit = atomicMove): Unit = {
     val s = Paths.get(stage)
     val t = Paths.get(path)
     def tryMove(): Boolean =
-      try { Files.move(s, t, StandardCopyOption.ATOMIC_MOVE); true }
+      try { move(s, t); true }
       catch { case _: java.io.IOException => false }
     if (!tryMove()) {
       if (committed(path)) rm(s.toFile) // a concurrent builder won
@@ -79,8 +87,25 @@ object StagedArtifact {
         if (committed(path)) { rm(s.toFile); return }
         val trash = Paths.get(s"$path.trash.${java.util.UUID.randomUUID()}")
         val evicted =
-          try { Files.move(t, trash, StandardCopyOption.ATOMIC_MOVE); true }
-          catch { case _: java.io.IOException => false } // residue already gone
+          try { move(t, trash); true }
+          catch {
+            // the one benign outcome: a concurrent builder evicted (or
+            // replaced) the residue between our tryMove and here
+            case _: java.nio.file.NoSuchFileException => false
+            // anything else (permissions, AtomicMoveNotSupported on a
+            // non-atomic filesystem) leaves the residue STANDING, so
+            // the install below cannot succeed — swallowing it used to
+            // delete the stage and return with no committed artifact
+            // and no error (r13 review). Fail loudly, unless a
+            // concurrent builder has meanwhile installed a complete
+            // artifact (then this builder's work is simply redundant).
+            case e: java.io.IOException =>
+              if (committed(path)) { rm(s.toFile); return }
+              rm(s.toFile) // dead stage: sweepTrash never reclaims .stage.*
+              throw new java.io.IOException(
+                s"cannot evict markerless residue at $path; " +
+                  "artifact NOT installed", e)
+          }
         if (!tryMove()) rm(s.toFile) // a concurrent builder won the slot
         if (evicted) rm(trash.toFile) // out-of-path: no reader lists it
       }

@@ -48,7 +48,13 @@ object JdbcUpsert {
       extends org.apache.spark.sql.jdbc.JdbcDialect {
     import org.apache.spark.sql.jdbc.JdbcType
     import org.apache.spark.sql.types.{DataType, MetadataBuilder, StringType}
-    override def canHandle(url: String): Boolean = inner.canHandle(url)
+    // gated on the URL scheme DIRECTLY, not on inner.canHandle: if the
+    // probe lookup in ensureDerbyDialect ever resolved Spark's
+    // catch-all NoopDialect (canHandle always true), delegation would
+    // make this wrapper claim EVERY jdbc URL and force
+    // VARCHAR(32672) strings on every backend (r13 review)
+    override def canHandle(url: String): Boolean =
+      url.startsWith("jdbc:derby") && inner.canHandle(url)
     override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
       case StringType =>
         Some(JdbcType("VARCHAR(32672)", java.sql.Types.VARCHAR))
@@ -93,6 +99,13 @@ object JdbcUpsert {
   private lazy val derbyDialectRegistered: Unit = {
     val builtin =
       org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:derby:memory:probe")
+    // the probe must have resolved a Derby-SPECIFIC dialect — the
+    // catch-all fallback (NoopDialect, canHandle always true) would
+    // delegate none of Derby's type mappings; fail loudly rather than
+    // register a wrapper around the wrong inner
+    require(!builtin.canHandle("jdbc:graft-not-derby:probe"),
+      s"Derby probe resolved a catch-all dialect (${builtin.getClass.getName});" +
+        " refusing to wrap it")
     org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(
       new GraftDerbyDialect(builtin))
   }
@@ -193,6 +206,28 @@ object JdbcUpsert {
         keys.map(k => s"`$k`").mkString("(", ", ", ")")
   }
 
+  /** Mark every NON-KEY column nullable so the stage (and, via CTAS,
+    * the target) DDL never freezes a column NOT NULL off the creating
+    * batch's accident (a literal-seeded backfill's `lit(0.0)`). The
+    * widening mechanism is createDataFrame with the widened schema —
+    * the one mechanism whose schema is taken VERBATIM (no-else
+    * CaseWhen and Dataset.to both get re-narrowed by Spark 4's
+    * analysis-time simplification, measured) — but that round trip
+    * collapses the plan to an RDDScan (no pruning/pushdown/codegen on
+    * the stage write), so it runs ONLY when a non-nullable non-key
+    * column actually exists; the common case (all-nullable aggregates)
+    * returns `df` untouched, plan intact (r13 review).
+    */
+  private[graft] def relaxNonKeyNullability(
+      df: DataFrame, keys: Seq[String]): DataFrame = {
+    val needsWiden =
+      df.schema.exists(f => !f.nullable && !keys.contains(f.name))
+    if (!needsWiden) df
+    else df.sparkSession.createDataFrame(df.rdd,
+      org.apache.spark.sql.types.StructType(df.schema.map(f =>
+        if (keys.contains(f.name)) f else f.copy(nullable = true))))
+  }
+
   /** Merge `df` into `table` by `keys`. Creates the target (empty,
     * stage-shaped) on first use. The staging table `<table>_stage` is
     * overwritten per call. String KEY columns must be given a VARCHAR
@@ -228,15 +263,8 @@ object JdbcUpsert {
     // backfill (amt = lit(0.0)) froze amt NOT NULL and the next real
     // batch carrying a NULL aggregate failed the MERGE (r13 edge
     // sweep, q54). Keys keep their nullability (they are the match
-    // condition, never null by the key-unique precondition); every
-    // non-key column is widened via createDataFrame with the widened
-    // schema — the one mechanism whose schema is taken VERBATIM
-    // (no-else CaseWhen and Dataset.to both get re-narrowed by
-    // Spark 4's analysis-time simplification, measured). The Row
-    // round trip is noise next to the JDBC write it feeds.
-    val relaxed = df.sparkSession.createDataFrame(df.rdd,
-      org.apache.spark.sql.types.StructType(df.schema.map(f =>
-        if (keys.contains(f.name)) f else f.copy(nullable = true))))
+    // condition, never null by the key-unique precondition).
+    val relaxed = relaxNonKeyNullability(df, keys)
     val w0 = relaxed.write.mode("overwrite")
     // only pass a driver when the caller supplied one: an empty class
     // name makes Spark's DriverRegistry throw ClassNotFoundException

@@ -223,4 +223,72 @@ class ArtifactGateSpec extends SparkSpec {
       assert(Files.getLastModifiedTime(Paths.get(path, "_SUCCESS")) === mt)
     } finally rm(parent.toFile)
   }
+
+  test("StagedArtifact: a FAILED residue eviction is loud, not a silent no-install") {
+    // r14 (r13 ADVICE): the eviction move used to swallow EVERY
+    // IOException as "residue already gone"; on a genuine failure
+    // (permissions, non-atomic filesystem) the residue still stood,
+    // the install rename then failed too, the stage was silently
+    // deleted, and writeOnce returned with NO committed artifact and
+    // NO error — every reader behind the _SUCCESS gate then rebuilt
+    // forever. Pinned via the injectable move seam (the suite runs as
+    // root, so a chmod-based fault is a no-op): a non-NoSuchFile
+    // IOException on the eviction rename must surface as an exception,
+    // leave the residue in place, and clean this builder's stage.
+    val parent = Files.createTempDirectory("graft_staged_fail_")
+    try {
+      val path = parent.resolve("artifact").toString
+      Files.createDirectories(Paths.get(path))
+      Files.write(Paths.get(path, "part-junk.bin"), Array[Byte](9))
+      val stage = s"$path.stage.test"
+      Files.createDirectories(Paths.get(stage))
+      Files.write(Paths.get(stage, "_SUCCESS"), Array.empty[Byte])
+      val denyEviction: (java.nio.file.Path, java.nio.file.Path) => Unit =
+        (a, b) =>
+          if (b.toString.contains(".trash."))
+            throw new java.nio.file.AccessDeniedException(a.toString)
+          else graft.ops.StagedArtifact.atomicMove(a, b)
+      val e = intercept[java.io.IOException] {
+        graft.ops.StagedArtifact.install(stage, path, denyEviction)
+      }
+      assert(e.getMessage.contains("NOT installed"))
+      assert(!graft.ops.StagedArtifact.committed(path),
+        "a failed install must not look committed")
+      assert(Files.exists(Paths.get(path, "part-junk.bin")),
+        "the unevictable residue stays (the failure is the caller's to see)")
+      assert(!Files.exists(Paths.get(stage)),
+        "the dead stage must be reclaimed before throwing " +
+          "(sweepTrash never touches .stage.* siblings)")
+    } finally rm(parent.toFile)
+  }
+
+  test("StagedArtifact: residue vanishing mid-eviction (concurrent builder) still installs") {
+    // the one BENIGN eviction outcome — another builder evicted the
+    // residue between this builder's first rename attempt and its
+    // eviction rename (NoSuchFileException) — must keep the old
+    // behavior: retry the install rename and commit
+    val parent = Files.createTempDirectory("graft_staged_gone_")
+    try {
+      val path = parent.resolve("artifact").toString
+      Files.createDirectories(Paths.get(path))
+      Files.write(Paths.get(path, "part-junk.bin"), Array[Byte](9))
+      val stage = s"$path.stage.test"
+      Files.createDirectories(Paths.get(stage))
+      Files.write(Paths.get(stage, "part-0"), Array[Byte](1))
+      Files.write(Paths.get(stage, "_SUCCESS"), Array.empty[Byte])
+      val vanishOnEviction: (java.nio.file.Path, java.nio.file.Path) => Unit =
+        (a, b) =>
+          if (b.toString.contains(".trash.")) {
+            rm(a.toFile) // the "concurrent" builder already took it
+            throw new java.nio.file.NoSuchFileException(a.toString)
+          } else graft.ops.StagedArtifact.atomicMove(a, b)
+      graft.ops.StagedArtifact.install(stage, path, vanishOnEviction)
+      assert(graft.ops.StagedArtifact.committed(path),
+        "with the residue gone, the install must proceed and commit")
+      assert(!Files.exists(Paths.get(path, "part-junk.bin")))
+      val leftovers = Option(parent.toFile.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filterNot(_ == "artifact")
+      assert(leftovers.isEmpty, s"no residue siblings: ${leftovers.toSeq}")
+    } finally rm(parent.toFile)
+  }
 }

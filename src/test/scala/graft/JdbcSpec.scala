@@ -98,6 +98,58 @@ class JdbcSpec extends SparkSpec {
       (3L, "2024-01-02", 30.0)))
   }
 
+  test("GraftDerbyDialect claims ONLY jdbc:derby URLs; other backends keep their own dialect") {
+    import graft.sources.JdbcUpsert
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types.StringType
+    JdbcUpsert.ensureDerbyDialect()
+    // derby URLs resolve the wrapper: wide-VARCHAR string mapping
+    val derby = JdbcDialects.get("jdbc:derby:memory:probe2")
+    assert(derby.getJDBCType(StringType).map(_.databaseTypeDefinition)
+      === Some("VARCHAR(32672)"),
+      s"derby URL must resolve the graft wrapper, got ${derby.getClass.getName}")
+    // r13 review: canHandle used to DELEGATE — if the registration
+    // probe ever resolved the catch-all NoopDialect (canHandle always
+    // true), the wrapper would claim every JDBC URL and force
+    // VARCHAR(32672) strings on every backend. The prefix gate pins
+    // the wrapper to derby; everything else resolves its own dialect.
+    for (u <- Seq("jdbc:mysql://host/db", "jdbc:postgresql://host/db",
+                  "jdbc:unknowndb://host/db")) {
+      val d = JdbcDialects.get(u)
+      assert(!d.getClass.getName.contains("GraftDerbyDialect"),
+        s"$u captured by the Derby wrapper")
+      assert(d.getJDBCType(StringType).map(_.databaseTypeDefinition)
+        !== Some("VARCHAR(32672)"),
+        s"$u got Derby's string mapping via ${d.getClass.getName}")
+    }
+  }
+
+  test("relaxNonKeyNullability: all-nullable batches keep their plan; widening is verbatim when needed") {
+    import graft.sources.JdbcUpsert.relaxNonKeyNullability
+    val keys = Seq("chain", "dy")
+    // the common case — aggregate outputs arrive nullable already —
+    // must return the SAME DataFrame: the old unconditional
+    // createDataFrame(df.rdd, …) collapsed every upsert stage write to
+    // an RDDScan, losing pruning/pushdown/codegen for nothing (r13
+    // review). Reference identity ⇒ plan identity.
+    val base = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0))
+      .toDF("chain", "dy", "amt")
+    val agg = base.groupBy("chain", "dy").agg(sum("amt").as("amt"))
+    assert(agg.schema("amt").nullable, "test setup: sum() arrives nullable")
+    assert(relaxNonKeyNullability(agg, keys) eq agg,
+      "nothing to widen ⇒ the original plan must survive untouched")
+    // a literal-seeded backfill (amt non-nullable) still takes the
+    // verbatim-schema round trip: non-keys widen, keys keep theirs
+    val seeded = base.withColumn("amt", lit(0.0))
+    assert(!seeded.schema("amt").nullable, "test setup: lit() is NOT NULL")
+    val relaxed = relaxNonKeyNullability(seeded, keys)
+    assert(relaxed.schema("amt").nullable, "non-key columns must widen")
+    assert(relaxed.schema("chain").nullable === seeded.schema("chain").nullable
+      && relaxed.schema("dy").nullable === seeded.schema("dy").nullable,
+      "key columns keep their nullability (they are the match condition)")
+    assert(relaxed.collect().toSet === seeded.collect().toSet)
+  }
+
   test("golden file pins the COMPLETE statement sequence (DDL + index + merge) of both dialects") {
     import graft.sources.JdbcUpsert
     // mergeInto's probe-create-merge sequence, rendered per dialect on
