@@ -224,6 +224,84 @@ class ArtifactGateSpec extends SparkSpec {
     } finally rm(parent.toFile)
   }
 
+  test("StagedArtifact: N concurrent builders — exactly one coherent install, readers never see a torn artifact") {
+    // The class's central claim ("two JVMs can decide to build the
+    // same key concurrently … exactly one install wins") has so far
+    // been argued from rename atomicity, not exercised. Hammer it with
+    // real threads: every builder writes its own builder-id into every
+    // file of its stage, so a TORN install (files from two builders
+    // under one _SUCCESS) is detectable by content. A reader thread
+    // polls throughout: whenever the _SUCCESS gate is up, the whole
+    // 3-file set must be present and single-sourced — the exact
+    // invariant q35/q56/q89/q93's readers rely on.
+    val parent = Files.createTempDirectory("graft_staged_race_")
+    try {
+      for (round <- 1 to 5) {
+        // rounds 4-5 seed a crashed markerless residue first, racing
+        // the builders through the eviction branch too. In THAT branch
+        // the documented worst case is a transient-absence window (two
+        // back-to-back renames of byte-equivalent artifacts) — so
+        // absence after the gate is tolerated there; MIXED content
+        // never is, anywhere.
+        val residueSeeded = round >= 4
+        val path = parent.resolve(s"artifact_$round").toString
+        if (residueSeeded) {
+          Files.createDirectories(Paths.get(path))
+          Files.write(Paths.get(path, "part-junk.bin"), Array[Byte](9))
+        }
+        val n = 8
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def readOnce(tolerateAbsence: Boolean): Unit =
+          if (graft.ops.StagedArtifact.committed(path)) {
+            val names = Seq("part-0", "part-1", "meta")
+            val bodies =
+              try names.map { f =>
+                val p = Paths.get(path, f)
+                if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8")
+                else null
+              }
+              catch { case _: java.io.IOException => List(null, null, null) }
+            val mixed = bodies.filter(_ != null).distinct.size > 1
+            val absent = bodies.contains(null)
+            if (mixed || (absent && !tolerateAbsence))
+              torn.compareAndSet(null,
+                s"committed artifact incoherent (round $round): ${names.zip(bodies)}")
+          }
+        val reader = new Thread(() =>
+          while (!stop.get()) { readOnce(residueSeeded); Thread.onSpinWait() })
+        reader.start()
+        val builders = (0 until n).map { i =>
+          new Thread(() => {
+            start.await()
+            graft.ops.StagedArtifact.writeOnce(path) { stage =>
+              Files.createDirectories(Paths.get(stage))
+              for (f <- Seq("part-0", "part-1", "meta"))
+                Files.write(Paths.get(stage, f), s"builder-$i".getBytes("UTF-8"))
+              Files.write(Paths.get(stage, "_SUCCESS"), Array.empty[Byte])
+            }
+          })
+        }
+        builders.foreach(_.start()); start.countDown()
+        builders.foreach(_.join(30000)); stop.set(true); reader.join(5000)
+        assert(torn.get() == null, String.valueOf(torn.get()))
+        assert(graft.ops.StagedArtifact.committed(path))
+        // settled artifact: strict in every mode — absence windows end
+        // with the last builder, and residue content must be gone
+        readOnce(tolerateAbsence = false)
+        assert(torn.get() == null, String.valueOf(torn.get()))
+        assert(!Files.exists(Paths.get(path, "part-junk.bin")),
+          "markerless residue must not survive the race")
+        val leftovers = Option(parent.toFile.listFiles()).getOrElse(Array.empty)
+          .map(_.getName)
+          .filter(nm => nm.contains(".stage.") || nm.contains(".trash."))
+        assert(leftovers.isEmpty,
+          s"losing builders must clean up after themselves: ${leftovers.toSeq}")
+      }
+    } finally rm(parent.toFile)
+  }
+
   test("StagedArtifact: a FAILED residue eviction is loud, not a silent no-install") {
     // r14 (r13 ADVICE): the eviction move used to swallow EVERY
     // IOException as "residue already gone"; on a genuine failure
