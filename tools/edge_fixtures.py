@@ -219,9 +219,101 @@ def write_mixed(outdir, base_sf):
     print(f"wrote {outdir} (base {base_sf})")
 
 
+def skew_rows(base_sf):
+    """`skew`: one hot key per table holding a large share of the rows —
+    the routine 100-TB hazard no other variant exercises. Hot user
+    30007 gets 1000 events (50% of the corpus), hot customer 30007 gets
+    750 orders (33%), one hot order fans out to 500 lineitems all on
+    one part/supplier (hot dim key), a 20-copy identical-text document
+    clique (20 + its 20 planted-dup images = band buckets of ~40 rows —
+    deliberately UNDER q29's maxBucket=64, so LSH recall keeps parity
+    with the exact all-pairs oracle; the OVER-cap regime is pinned in
+    TextOpsSpec, not here, because the cap is a documented recall
+    trade the oracle doesn't model), and 20 identical embeddings (one
+    hot IVF cell / LSH bucket, massive top-k ties broken by pinned id
+    order). Ids at +30000: clear of base ids (≤ ~6000), the mixed
+    variant's +20000..25000, and both ranges' +100000 dup images."""
+    ts0 = datetime(1995, 6, 1, 0, 0, 0)
+    from datetime import timedelta
+    docs_text = ("graftskew alpha beta gamma delta epsilon zeta eta "
+                 "theta iota kappa lambda")
+    rows = {
+        "customer": [{"c_custkey": 30007, "c_name": "Customer#hot",
+                      "c_nationkey": 1, "c_acctbal": 1000.0,
+                      "c_mktsegment": "BUILDING"}],
+        "supplier": [{"s_suppkey": 30003, "s_name": "Supplier#hot",
+                      "s_nationkey": 1, "s_acctbal": 500.0}],
+        "part": [{"p_partkey": 30011, "p_name": "hot part",
+                  "p_brand": "Brand#30", "p_type": "PROMO HOT",
+                  "p_size": 7, "p_retailprice": 99.99}],
+        "region": [], "nation": [],
+        "orders": [
+            {"o_orderkey": 31000 + i, "o_custkey": 30007,
+             "o_orderstatus": "O",
+             "o_totalprice": round(100.0 + (i % 500) * 1.37, 2),
+             "o_orderdate": datetime(1995, 5, 1) + timedelta(days=i % 90),
+             "o_orderpriority": "1-URGENT"}
+            for i in range(750)],
+        "events": [
+            {"event_id": 33000 + i, "ts": ts0 + timedelta(seconds=i * 2500),
+             "user_id": 30007,
+             "event_type": ["view", "click", "purchase"][i % 3],
+             "value": round(i * 0.01, 2), "props": '{"k":"v"}'}
+            for i in range(1000)],
+        "documents": [
+            {"doc_id": 30001 + i, "text": docs_text, "lang": "en",
+             "source": "web", "n_chars": len(docs_text)}
+            for i in range(20)],
+    }
+    # 500-line fanout on the hot order + 1 line for each other hot order
+    li = [{"l_orderkey": 31000, "l_partkey": 30011, "l_suppkey": 30003,
+           "l_linenumber": 1 + i, "l_quantity": float(i % 50 + 1),
+           "l_extendedprice": round(10.0 + i * 0.25, 2),
+           "l_discount": 0.04, "l_tax": 0.02,
+           "l_returnflag": "NRA"[i % 3], "l_linestatus": "OF"[i % 2],
+           "l_shipdate": datetime(1995, 5, 4) + timedelta(days=i % 88)}
+          for i in range(500)]
+    li += [{"l_orderkey": 31000 + i, "l_partkey": 30011, "l_suppkey": 30003,
+            "l_linenumber": 1, "l_quantity": 5.0,
+            "l_extendedprice": round(20.0 + i * 0.11, 2),
+            "l_discount": 0.1, "l_tax": 0.05,
+            "l_returnflag": "N", "l_linestatus": "O",
+            "l_shipdate": datetime(1995, 5, 2) + timedelta(days=i % 90)}
+           for i in range(1, 750)]
+    rows["lineitem"] = li
+    # 20 copies of a REAL embedding (64-dim, one hot cell/bucket)
+    emb = pq.read_table(f"{base_sf}/embeddings.parquet").to_pylist()[0]
+    rows["embeddings"] = [
+        {"vec_id": 30001 + i, "embedding": emb["embedding"],
+         "label": emb["label"]} for i in range(20)]
+    return rows
+
+
+def write_skew(outdir, base_sf):
+    import os
+    os.makedirs(outdir, exist_ok=True)
+    extra = skew_rows(base_sf)
+    for name in SCHEMAS:
+        real = pq.read_table(f"{base_sf}/{name}.parquet") \
+            .replace_schema_metadata(None)
+        rows = extra[name]
+        if not rows:
+            pq.write_table(real, f"{outdir}/{name}.parquet")
+            continue
+        cols = {f.name: [r.get(f.name) for r in rows] for f in SCHEMAS[name]}
+        hot = pa.table(
+            {n: pa.array(v, type=SCHEMAS[name].field(n).type)
+             for n, v in cols.items()}, schema=SCHEMAS[name]) \
+            .select(real.column_names).cast(real.schema)
+        pq.write_table(pa.concat_tables([real, hot]),
+                       f"{outdir}/{name}.parquet")
+    print(f"wrote {outdir} (base {base_sf})")
+
+
 def main(root, base_sf="/root/testdata/sf0.001"):
     import os
     write_mixed(os.path.join(root, "mixed"), base_sf)
+    write_skew(os.path.join(root, "skew"), base_sf)
     for variant in ("empty", "onerow", "nulls", "extremes", "unicode"):
         d = os.path.join(root, variant)
         os.makedirs(d, exist_ok=True)

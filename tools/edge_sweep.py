@@ -9,11 +9,16 @@ shapes that are routine at 100 TB (an empty nightly slice, a corpus
 drop with a dead field). The first run of this sweep found 10 distinct
 engine defects/divergences (see SCALING.md "Round-13 edge sweep").
 
-What it does, per variant (mixed / empty / onerow / nulls / extremes /
-unicode — the authoritative list is VARIANTS below; `mixed` is the
-REAL sf0.001 tables with every degenerate row woven in, exercising
-the interactions the tiny variants can't — a null text inside a real
-LSH corpus, a ragged or zero vector among real 64-dim embeddings):
+What it does, per variant (mixed / skew / empty / onerow / nulls /
+extremes / unicode — the authoritative list is VARIANTS below; `mixed`
+is the REAL sf0.001 tables with every degenerate row woven in,
+exercising the interactions the tiny variants can't — a null text
+inside a real LSH corpus, a ragged or zero vector among real 64-dim
+embeddings; `skew` (r14) is the REAL tables plus one hot key per table
+— 50% of events on one user, 33% of orders on one customer, a
+500-line order fanout, an identical-document clique and an
+identical-embedding pile — the routine 100-TB distribution no other
+variant exercises):
   1. regenerate the variant via tools/edge_fixtures.py
   2. clear /tmp/graft_q72_files (q72's deterministic shared export dir
      is keyed to fixture CONTENT by design; across VARIANTS it must be
@@ -38,7 +43,7 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORK = sys.argv[1] if len(sys.argv) > 1 else "/tmp/edge_sweep"
-VARIANTS = ["mixed", "empty", "onerow", "nulls", "extremes", "unicode"]
+VARIANTS = ["mixed", "skew", "empty", "onerow", "nulls", "extremes", "unicode"]
 Q72_DIR = "/tmp/graft_q72_files"
 # rows-only queries allowed to return 0 rows on the EMPTY variant, by
 # name: q30's banded self-join legitimately finds no pairs in no docs
