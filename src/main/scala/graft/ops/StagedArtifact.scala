@@ -66,10 +66,10 @@ object StagedArtifact {
       move: (Path, Path) => Unit = atomicMove): Unit = {
     val s = Paths.get(stage)
     val t = Paths.get(path)
-    def tryMove(): Boolean =
-      try { move(s, t); true }
-      catch { case _: java.io.IOException => false }
-    if (!tryMove()) {
+    def tryMove(): Option[java.io.IOException] =
+      try { move(s, t); None }
+      catch { case e: java.io.IOException => Some(e) }
+    if (tryMove().isDefined) {
       if (committed(path)) rm(s.toFile) // a concurrent builder won
       else {
         // Crashed old-style residue (no marker): replace it. The r12
@@ -106,8 +106,24 @@ object StagedArtifact {
                 s"cannot evict markerless residue at $path; " +
                   "artifact NOT installed", e)
           }
-        if (!tryMove()) rm(s.toFile) // a concurrent builder won the slot
+        val retryFailed = tryMove()
         if (evicted) rm(trash.toFile) // out-of-path: no reader lists it
+        retryFailed.foreach { e =>
+          // the retry rename itself failed. Quiet ONLY when a concurrent
+          // builder demonstrably won the slot; a persistent failure
+          // (ATOMIC_MOVE unsupported, parent-dir permissions) with
+          // nothing committed used to be swallowed here exactly like the
+          // pre-r14 eviction path — stage deleted, no artifact, no error,
+          // readers rebuilding forever (r14 review). May throw spuriously
+          // if a concurrent builder evict-swaps between our failed rename
+          // and this gate check; that failure is retryable and the next
+          // writeOnce call finds the committed artifact and no-ops.
+          rm(s.toFile)
+          if (!committed(path))
+            throw new java.io.IOException(
+              s"install rename into $path failed with no concurrent " +
+                "winner; artifact NOT installed", e)
+        }
       }
     }
   }

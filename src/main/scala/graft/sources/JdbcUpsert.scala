@@ -94,8 +94,14 @@ object JdbcUpsert {
 
   /** Register [[GraftDerbyDialect]] ahead of the built-in (registered
     * dialects are consulted first). Idempotent via the lazy val.
-    * Call before any Derby write. */
+    * Call before any Derby write. The url-taking overload is a no-op
+    * for non-Derby backends, so the registration-time probe `require`
+    * below can never take down a MySQL (or any other) upsert that
+    * would not have consulted the Derby wrapper anyway (r14 review —
+    * mergeInto calls this unconditionally). */
   def ensureDerbyDialect(): Unit = derbyDialectRegistered
+  def ensureDerbyDialect(url: String): Unit =
+    if (url.startsWith("jdbc:derby")) derbyDialectRegistered
   private lazy val derbyDialectRegistered: Unit = {
     val builtin =
       org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:derby:memory:probe")
@@ -252,7 +258,7 @@ object JdbcUpsert {
                 createTableColumnTypes: Option[String] = None,
                 dialect: UpsertDialect = AnsiMergeDialect): Unit = {
     require(keys.nonEmpty, "keyed upsert requires at least one key column")
-    ensureDerbyDialect()
+    ensureDerbyDialect(url)
     val cols = df.columns.toSeq
     require(keys.forall(cols.contains), s"keys $keys must all be in ${cols}")
     val stage = table + "_stage"

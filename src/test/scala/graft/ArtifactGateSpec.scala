@@ -239,10 +239,17 @@ class ArtifactGateSpec extends SparkSpec {
       for (round <- 1 to 5) {
         // rounds 4-5 seed a crashed markerless residue first, racing
         // the builders through the eviction branch too. In THAT branch
-        // the documented worst case is a transient-absence window (two
-        // back-to-back renames of byte-equivalent artifacts) — so
-        // absence after the gate is tolerated there; MIXED content
-        // never is, anywhere.
+        // the documented worst case is the two back-to-back renames:
+        // a transient-absence window, and whole-artifact SWAPS (builder
+        // B can evict builder A's just-committed artifact and install
+        // its own — benign in production where content-keyed stages are
+        // byte-identical). Because this test deliberately writes
+        // DISTINCT builder bytes, a reader straddling a swap can read
+        // part-0 from A and part-1 from B: three non-atomic reads
+        // cannot distinguish that from a genuine tear (r14 review). So
+        // mid-race in seeded rounds BOTH absence and mixes are
+        // tolerated; the settled read below is strict in every mode,
+        // and rounds 1-3 (no eviction branch) stay strict throughout.
         val residueSeeded = round >= 4
         val path = parent.resolve(s"artifact_$round").toString
         if (residueSeeded) {
@@ -253,7 +260,7 @@ class ArtifactGateSpec extends SparkSpec {
         val start = new java.util.concurrent.CountDownLatch(1)
         val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
         val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-        def readOnce(tolerateAbsence: Boolean): Unit =
+        def readOnce(midRaceSeeded: Boolean): Unit =
           if (graft.ops.StagedArtifact.committed(path)) {
             val names = Seq("part-0", "part-1", "meta")
             val bodies =
@@ -265,7 +272,7 @@ class ArtifactGateSpec extends SparkSpec {
               catch { case _: java.io.IOException => List(null, null, null) }
             val mixed = bodies.filter(_ != null).distinct.size > 1
             val absent = bodies.contains(null)
-            if (mixed || (absent && !tolerateAbsence))
+            if ((mixed || absent) && !midRaceSeeded)
               torn.compareAndSet(null,
                 s"committed artifact incoherent (round $round): ${names.zip(bodies)}")
           }
@@ -287,9 +294,9 @@ class ArtifactGateSpec extends SparkSpec {
         builders.foreach(_.join(30000)); stop.set(true); reader.join(5000)
         assert(torn.get() == null, String.valueOf(torn.get()))
         assert(graft.ops.StagedArtifact.committed(path))
-        // settled artifact: strict in every mode — absence windows end
-        // with the last builder, and residue content must be gone
-        readOnce(tolerateAbsence = false)
+        // settled artifact: strict in every mode — absence and swap
+        // windows end with the last builder, and residue must be gone
+        readOnce(midRaceSeeded = false)
         assert(torn.get() == null, String.valueOf(torn.get()))
         assert(!Files.exists(Paths.get(path, "part-junk.bin")),
           "markerless residue must not survive the race")
@@ -337,6 +344,81 @@ class ArtifactGateSpec extends SparkSpec {
       assert(!Files.exists(Paths.get(stage)),
         "the dead stage must be reclaimed before throwing " +
           "(sweepTrash never touches .stage.* siblings)")
+    } finally rm(parent.toFile)
+  }
+
+  test("StagedArtifact: a persistently FAILING install rename is loud when nothing got committed") {
+    // r14 review: the r13 fix made only the EVICTION rename loud; the
+    // install rename itself (first attempt and retry) still swallowed
+    // every IOException. On a filesystem where ATOMIC_MOVE is
+    // unsupported (the very mode the eviction handler enumerates) the
+    // sequence was: first rename swallowed → no residue, so the
+    // eviction rename's NoSuchFileException took the benign branch →
+    // retry rename swallowed → stage silently deleted, install()
+    // returned normally, committed()==false, and every reader behind
+    // the gate rebuilt forever with no error. Pinned: with no
+    // concurrent winner, a failed retry must throw.
+    val parent = Files.createTempDirectory("graft_staged_nomove_")
+    try {
+      val path = parent.resolve("artifact").toString
+      val stage = s"$path.stage.test"
+      Files.createDirectories(Paths.get(stage))
+      Files.write(Paths.get(stage, "part-0"), Array[Byte](1))
+      Files.write(Paths.get(stage, "_SUCCESS"), Array.empty[Byte])
+      val noAtomicMove: (java.nio.file.Path, java.nio.file.Path) => Unit =
+        (a, b) =>
+          if (b.toString.endsWith("artifact"))
+            throw new java.nio.file.AtomicMoveNotSupportedException(
+              a.toString, b.toString, "injected")
+          else graft.ops.StagedArtifact.atomicMove(a, b)
+      val e = intercept[java.io.IOException] {
+        graft.ops.StagedArtifact.install(stage, path, noAtomicMove)
+      }
+      assert(e.getMessage.contains("NOT installed"))
+      assert(!graft.ops.StagedArtifact.committed(path),
+        "a failed install must not look committed")
+      assert(!Files.exists(Paths.get(stage)),
+        "the dead stage must be reclaimed before throwing")
+      val leftovers = Option(parent.toFile.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filterNot(_ == "artifact")
+      assert(leftovers.isEmpty, s"no residue siblings: ${leftovers.toSeq}")
+    } finally rm(parent.toFile)
+  }
+
+  test("StagedArtifact: a failed retry rename stays QUIET when a concurrent builder committed") {
+    // the counterpart to the loud case: the retry rename fails because
+    // another builder installed a complete artifact in the eviction
+    // window — this builder's work is redundant, not broken; install()
+    // must reclaim its stage and return without throwing
+    val parent = Files.createTempDirectory("graft_staged_lost_")
+    try {
+      val path = parent.resolve("artifact").toString
+      Files.createDirectories(Paths.get(path))
+      Files.write(Paths.get(path, "part-junk.bin"), Array[Byte](9))
+      val stage = s"$path.stage.test"
+      Files.createDirectories(Paths.get(stage))
+      Files.write(Paths.get(stage, "part-0"), Array[Byte](1))
+      Files.write(Paths.get(stage, "_SUCCESS"), Array.empty[Byte])
+      // the eviction rename really evicts, then a "concurrent" builder
+      // claims the freed slot before this builder's retry rename
+      val loseTheSlot: (java.nio.file.Path, java.nio.file.Path) => Unit =
+        (a, b) => {
+          graft.ops.StagedArtifact.atomicMove(a, b)
+          if (b.toString.contains(".trash.")) {
+            Files.createDirectories(Paths.get(path))
+            Files.write(Paths.get(path, "part-0"), "winner".getBytes("UTF-8"))
+            Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
+          }
+        }
+      graft.ops.StagedArtifact.install(stage, path, loseTheSlot)
+      assert(graft.ops.StagedArtifact.committed(path))
+      assert(new String(Files.readAllBytes(Paths.get(path, "part-0")),
+        "UTF-8") === "winner", "the concurrent winner's artifact stands")
+      assert(!Files.exists(Paths.get(stage)),
+        "the losing stage must be reclaimed")
+      val leftovers = Option(parent.toFile.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filterNot(_ == "artifact")
+      assert(leftovers.isEmpty, s"no residue siblings: ${leftovers.toSeq}")
     } finally rm(parent.toFile)
   }
 

@@ -121,6 +121,10 @@ class JdbcSpec extends SparkSpec {
       assert(d.getJDBCType(StringType).map(_.databaseTypeDefinition)
         !== Some("VARCHAR(32672)"),
         s"$u got Derby's string mapping via ${d.getClass.getName}")
+      // r14 review: mergeInto routes through the url-gated overload,
+      // which must be a pure no-op off-Derby — the registration-time
+      // probe require() must never be able to fail a MySQL upsert
+      JdbcUpsert.ensureDerbyDialect(u)
     }
   }
 

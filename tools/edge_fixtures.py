@@ -198,25 +198,38 @@ def degenerate_rows(name):
     return rows
 
 
-def write_mixed(outdir, base_sf):
-    """`mixed`: the REAL sf tables with every degenerate row woven in —
-    exercises the interactions the tiny variants can't (a null text
-    inside a real LSH corpus, a zero vector among real embeddings, one
-    domain-edge money value in thousands of lineitems)."""
+def append_rows(outdir, base_sf, rows_by_table):
+    """Write each REAL sf table with the given extra rows appended
+    (schema-aligned to the real file; an empty row list copies the
+    table through unchanged). Shared by `mixed` and `skew` — the two
+    real-data variants must never diverge on the append mechanics
+    (r14 review)."""
     import os
     os.makedirs(outdir, exist_ok=True)
     for name in SCHEMAS:
         real = pq.read_table(f"{base_sf}/{name}.parquet") \
             .replace_schema_metadata(None)
-        rows = degenerate_rows(name)
+        rows = rows_by_table[name]
+        if not rows:
+            pq.write_table(real, f"{outdir}/{name}.parquet")
+            continue
         cols = {f.name: [r.get(f.name) for r in rows] for f in SCHEMAS[name]}
-        degen = pa.table(
+        extra = pa.table(
             {n: pa.array(v, type=SCHEMAS[name].field(n).type)
              for n, v in cols.items()}, schema=SCHEMAS[name]) \
             .select(real.column_names).cast(real.schema)
-        pq.write_table(pa.concat_tables([real, degen]),
+        pq.write_table(pa.concat_tables([real, extra]),
                        f"{outdir}/{name}.parquet")
     print(f"wrote {outdir} (base {base_sf})")
+
+
+def write_mixed(outdir, base_sf):
+    """`mixed`: the REAL sf tables with every degenerate row woven in —
+    exercises the interactions the tiny variants can't (a null text
+    inside a real LSH corpus, a zero vector among real embeddings, one
+    domain-edge money value in thousands of lineitems)."""
+    append_rows(outdir, base_sf,
+                {name: degenerate_rows(name) for name in SCHEMAS})
 
 
 def skew_rows(base_sf):
@@ -281,8 +294,11 @@ def skew_rows(base_sf):
             "l_shipdate": datetime(1995, 5, 2) + timedelta(days=i % 90)}
            for i in range(1, 750)]
     rows["lineitem"] = li
-    # 20 copies of a REAL embedding (64-dim, one hot cell/bucket)
-    emb = pq.read_table(f"{base_sf}/embeddings.parquet").to_pylist()[0]
+    # 20 copies of a REAL embedding (64-dim, one hot cell/bucket);
+    # slice before materializing — to_pylist() on the full table would
+    # convert every row's vector just to copy row 0 (r14 review)
+    emb = pq.read_table(f"{base_sf}/embeddings.parquet") \
+        .slice(0, 1).to_pylist()[0]
     rows["embeddings"] = [
         {"vec_id": 30001 + i, "embedding": emb["embedding"],
          "label": emb["label"]} for i in range(20)]
@@ -290,24 +306,7 @@ def skew_rows(base_sf):
 
 
 def write_skew(outdir, base_sf):
-    import os
-    os.makedirs(outdir, exist_ok=True)
-    extra = skew_rows(base_sf)
-    for name in SCHEMAS:
-        real = pq.read_table(f"{base_sf}/{name}.parquet") \
-            .replace_schema_metadata(None)
-        rows = extra[name]
-        if not rows:
-            pq.write_table(real, f"{outdir}/{name}.parquet")
-            continue
-        cols = {f.name: [r.get(f.name) for r in rows] for f in SCHEMAS[name]}
-        hot = pa.table(
-            {n: pa.array(v, type=SCHEMAS[name].field(n).type)
-             for n, v in cols.items()}, schema=SCHEMAS[name]) \
-            .select(real.column_names).cast(real.schema)
-        pq.write_table(pa.concat_tables([real, hot]),
-                       f"{outdir}/{name}.parquet")
-    print(f"wrote {outdir} (base {base_sf})")
+    append_rows(outdir, base_sf, skew_rows(base_sf))
 
 
 def main(root, base_sf="/root/testdata/sf0.001"):

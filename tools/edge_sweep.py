@@ -27,9 +27,13 @@ variant exercises):
   4. run tools/local_verify.py (same DuckDB compare the driver uses)
   5. reinterpret exactly ONE expected case: an ALLOWLISTED rows-only
      query (q30_simhash only) returning 0 rows on the EMPTY variant is
-     the correct degenerate outcome, not a failure; any OTHER rows-only
-     query that empties out — on any variant — fails loudly until
-     deliberately added to ROWS_ONLY_EMPTY_OK
+     the correct degenerate outcome, not a failure. The allowlist
+     applies to the empty variant ONLY: a rows-only zero on any other
+     variant always fails (real input rows make an empty result a
+     defect for every query, allowlisted or not), and an unlisted
+     rows-only zero on empty fails until deliberately added to
+     ROWS_ONLY_EMPTY_OK (r14 review: the doc used to send the
+     non-empty case to the allowlist, which does nothing there)
 
 Exit 0 iff every variant is green under that reading.
 
