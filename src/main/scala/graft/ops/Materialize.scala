@@ -41,12 +41,8 @@ object Materialize {
       if (sc.getCheckpointDir.isEmpty) {
         val dir = java.nio.file.Files.createTempDirectory("graft_checkpoint_")
         sc.setCheckpointDir(dir.toString)
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          try rm(dir.toFile) catch { case _: Exception => () }
-        }))
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try FsOps.rmTree(dir.toFile) catch { case _: Exception => () }))
       }
     }
 

@@ -128,7 +128,7 @@ object StagedArtifact {
     }
   }
 
-  private def rm(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-  }
+  // best-effort by design: every rm here reclaims this builder's own
+  // residue or a racy sibling both parties may delete (see FsOps)
+  private def rm(f: java.io.File): Unit = FsOps.rmTree(f)
 }

@@ -82,9 +82,22 @@ object NightlyRun {
       .select(col("id"), col("store_id"), col("d").as("sale_d"),
         col("k"), col("region"))
     val mergedObs = Observation()
+    // tiebreak matters on exactly one input shape: the re-runnable
+    // mixed state after a mid-swap crash, where the STANDING slice can
+    // briefly hold one id under both its old and its corrected sale_d
+    // (commitSlice's contract). If the rerun's fetch still carries the
+    // id, incoming (_src_priority 0) beats both copies and the choice
+    // never arises — but if the API has meanwhile dropped it, the two
+    // target copies tie on priority and an empty tiebreak would pick
+    // an ARBITRARY survivor (r14 review). Latest sale_d wins (a date
+    // correction re-sends under the new date), with the remaining
+    // columns closing the total order upsertLatestWins' determinism
+    // contract asks for.
     val merged = RelationalOps
       .upsertLatestWins(standingSlice(spark, martDir, lo, hi), enriched,
-        Seq("id"))
+        Seq("id"),
+        tiebreak = Seq(col("sale_d").desc, col("k").desc,
+          col("store_id").desc, col("region").desc))
       .observe(mergedObs, count(lit(1)).as("n"))
     commitSlice(merged, martDir, lo, hi)
     // gate what LANDED, not what was about to land: the reference's
@@ -171,7 +184,9 @@ object NightlyRun {
     * commit, and the root `_SUCCESS` only ever lands after a
     * complete swap — a tick that died mid-commit leaves either the
     * old partitions (pre-swap crash) or a re-runnable mixed state
-    * that the NEXT tick's latest-wins merge repairs, never a
+    * that the NEXT tick's latest-wins merge repairs (deterministically:
+    * run() passes a sale_d-desc tiebreak for the one shape where both
+    * a key's old and corrected copies survive the crash), never a
     * half-written partition visible as committed.
     */
   private def commitSlice(merged: DataFrame, martDir: String,
@@ -197,14 +212,19 @@ object NightlyRun {
     // Only in-slice dirs are candidates; the rest of the mart stays
     // untouched.
     val stagedNames = staged.map(_.getName).toSet
+    // LOUD delete here (r14 review): a quiet retire failure (held
+    // handle, permissions) would leave the superseded rows standing
+    // AND mark the slice committed below — the gate then flags
+    // key_unique forever with no hint of the cause. Everywhere else
+    // in this method a failed rm is caught by the very next step
+    // (the staging overwrite re-cleans; a surviving dst fails the
+    // Files.move).
     sliceDates(lo, hi).map(d => s"sale_d=$d")
       .filterNot(stagedNames)
-      .foreach(n => rm(root.resolve(n).toFile))
+      .foreach(n => graft.ops.FsOps.rmTreeOrThrow(root.resolve(n).toFile))
     rm(staging.toFile)
     java.nio.file.Files.write(root.resolve("_SUCCESS"), Array.empty[Byte]): Unit
   }
 
-  private def rm(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-  }
+  private def rm(f: java.io.File): Unit = graft.ops.FsOps.rmTree(f)
 }

@@ -189,12 +189,7 @@ object CurateQueries {
         // the pair is always from one build; each half then installs
         // via stage-and-rename so concurrent builders can't
         // interleave writes inside one half
-        def rmDir(p: String): Unit = {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(new java.io.File(p))
-        }
+        def rmDir(p: String): Unit = graft.ops.FsOps.rmTree(new java.io.File(p))
         rmDir(shP); rmDir(bandP)
         val shS = graft.ops.Materialize.once("q93.shS",
           Tables.documents(s, d).select(col("doc_id"),

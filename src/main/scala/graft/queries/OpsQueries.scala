@@ -22,13 +22,7 @@ object OpsQueries {
 
   private val invocation = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private def rmTree(f: java.io.File): Unit = {
-    // null-guard: listFiles() returns null on an IO error or when a
-    // tmp cleaner races the listing — this runs in finally blocks, so
-    // an NPE here would MASK the original failure
-    Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete(): Unit
-  }
+  private def rmTree(f: java.io.File): Unit = graft.ops.FsOps.rmTree(f)
 
 
   val queries: Map[String, Q] = Map(

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import java.sql.Timestamp
@@ -21,14 +21,31 @@ object StreamingOps {
 
   /** Exactly-once-per-event semantics over an at-least-once source:
     * watermark bounds the dedup state (events later than `delay`
-    * behind the max seen ts are dropped), dropDuplicates collapses
-    * redelivery by event id. The streaming analog of the reference's
-    * idempotent PK upsert (load_sales_data.py:129-134).
+    * behind the max seen ts are dropped), and redelivery is collapsed
+    * BY EVENT ID ALONE — `dropDuplicatesWithinWatermark`, not plain
+    * `dropDuplicates(id, ts)`: the plain form needs the event-time
+    * column in the key to evict state, which silently weakens the
+    * contract to per-(id, ts) — a producer retry that re-stamps the
+    * send time then flows through twice and double-counts downstream
+    * (r14 review). State is one id per event inside the watermark
+    * horizon. The streaming analog of the reference's idempotent PK
+    * upsert (load_sales_data.py:129-134).
     */
   def dedupEvents(events: DataFrame, idCol: String, tsCol: String,
                   delay: String): DataFrame =
     events.withWatermark(tsCol, delay)
-      .dropDuplicates(idCol, tsCol)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  // the one watermark → window×key → agg → flatten chain both
+  // windowed twins share (r14 review: it was written twice)
+  private def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
+                          windowLen: String, delay: String,
+                          agg: Column, outName: String): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(agg.as(outName))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col(outName))
 
   /** Tumbling event-time window counts — the streaming twin of
     * q27_sessionize. State is bounded by the watermark; at 100 TB/day
@@ -36,10 +53,8 @@ object StreamingOps {
     */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
                      windowLen: String, delay: String): DataFrame =
-    events.withWatermark(tsCol, delay)
-      .groupBy(window(col(tsCol), windowLen), col(keyCol))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+    windowedAgg(events, tsCol, keyCol, windowLen, delay,
+      count(lit(1)), "n")
 
   /** Incremental per-key running sum of a value column — streaming
     * analog of q22_running_total; emits one row per (key, window)
@@ -47,10 +62,8 @@ object StreamingOps {
     */
   def windowedSums(events: DataFrame, tsCol: String, keyCol: String,
                    valCol: String, windowLen: String, delay: String): DataFrame =
-    events.withWatermark(tsCol, delay)
-      .groupBy(window(col(tsCol), windowLen), col(keyCol))
-      .agg(sum(col(valCol)).as("total"))
-      .select(col("window.start").as("window_start"), col(keyCol), col("total"))
+    windowedAgg(events, tsCol, keyCol, windowLen, delay,
+      sum(col(valCol)), "total")
 
   /** Streaming exact-content dedup for a document stream — the
     * streaming twin of [[graft.ops.TextOps.exactDedupGroups]] (q24):
@@ -93,10 +106,21 @@ object StreamingOps {
     * redelivered micro-batch re-merges to identical rows. The same
     * line pointed at [[graft.sources.JdbcUpsert]] upserts into a real
     * database instead.
+    *
+    * `checkpointDir` is REQUIRED (r14 review): without an explicit
+    * checkpoint Spark allocates a throwaway temp dir, so a restarted
+    * query cannot resume its source offsets — a replayable source
+    * restarts from its defaults and either loses the outage's events
+    * or re-merges the whole topic. The at-least-once + idempotent-
+    * merge composition this doc promises only holds across restarts
+    * when the offsets survive them (maintainMart below always had
+    * this; the two ops now share the discipline).
     */
-  def upsertEachBatch(df: DataFrame, table: String, keys: Seq[String]): StreamingQuery =
+  def upsertEachBatch(df: DataFrame, table: String, keys: Seq[String],
+                      checkpointDir: String): StreamingQuery =
     df.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         batch.write.format("graft.sources.UpsertSinkSource")
           .option("table", table).option("keys", keys.mkString(","))
@@ -194,17 +218,21 @@ object StreamingOps {
     * fixed boundary). State is one (start, end, n) triple per live
     * user; the event-time timeout (watermark-driven) both closes
     * sessions and bounds state size — the 100-TB-stream requirement.
-    * Batches may arrive unordered within the watermark; events inside
-    * one open state window always extend it (intra-batch gap splitting
-    * is deliberately not re-derived — the timeout is the gap
-    * authority). One case the timeout alone CANNOT cover: event-time
+    * The timeout alone CANNOT carry the gap semantics: event-time
     * timeouts fire only for keys with no data in a batch, against the
     * watermark the PREVIOUS batch set — so a low-traffic key's first
-    * post-gap event can arrive before its timeout ever fires. The
-    * data branch therefore also closes the stale session when the
-    * incoming batch's earliest event already sits past end + gap,
-    * instead of fusing two sessions across an arbitrarily long quiet
-    * period.
+    * post-gap event can arrive before its timeout ever fires, and one
+    * micro-batch can pack events from both sides of a quiet period.
+    * The data branch therefore splits on FORWARD gaps itself: events
+    * are processed in ts order seeded with the open state, every
+    * `> gap` jump closes the running session and opens a new one
+    * (r14 review — the earlier `times.min` guard was defeated by a
+    * single in-gap straggler sharing a batch with a post-gap event,
+    * fusing two sessions across an arbitrarily long quiet period).
+    * Out-of-order events AT OR BEFORE the running session's window
+    * extend it backwards rather than re-deriving closed history —
+    * in-watermark disorder is bounded by `delay`, so the error is at
+    * most a session start stretched by the allowed lateness.
     */
   def sessionizeWithState(events: Dataset[UserEvent], gapMs: Long,
                           delay: String): Dataset[ClosedSession] = {
@@ -220,30 +248,26 @@ object StreamingOps {
             Iterator.single(ClosedSession(user,
               new Timestamp(s.start), new Timestamp(s.end), s.n))
           } else {
-            val times = evts.map(_.ts.getTime).toVector
-            state.getOption match {
-              // the gap already elapsed in EVENT time before the
-              // timeout could fire (timeouts need a batch without this
-              // key): close the stale session, start fresh — merging
-              // would fuse sessions across the whole quiet period
-              case Some(s) if times.min > s.end + gapMs =>
-                val fresh =
-                  SessionState(times.min, times.max, times.length.toLong)
-                state.update(fresh)
-                state.setTimeoutTimestamp(fresh.end + gapMs)
-                Iterator.single(ClosedSession(user,
-                  new Timestamp(s.start), new Timestamp(s.end), s.n))
-              case prev =>
-                val merged = prev match {
-                  case Some(s) => SessionState(math.min(s.start, times.min),
-                    math.max(s.end, times.max), s.n + times.length)
-                  case None =>
-                    SessionState(times.min, times.max, times.length.toLong)
-                }
-                state.update(merged)
-                state.setTimeoutTimestamp(merged.end + gapMs)
-                Iterator.empty
+            val times = evts.map(_.ts.getTime).toVector.sorted
+            val closed = Vector.newBuilder[ClosedSession]
+            var cur = state.getOption.orNull
+            times.foreach { t =>
+              if (cur == null) cur = SessionState(t, t, 1L)
+              else if (t > cur.end + gapMs) {
+                // the gap elapsed in EVENT time: close the running
+                // session (the timeout would never fire — this key HAS
+                // data in the batch) and open a fresh one
+                closed += ClosedSession(user,
+                  new Timestamp(cur.start), new Timestamp(cur.end), cur.n)
+                cur = SessionState(t, t, 1L)
+              } else cur = SessionState(math.min(cur.start, t),
+                math.max(cur.end, t), cur.n + 1L)
             }
+            if (cur != null) { // defensive: no state AND no events
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.end + gapMs)
+            }
+            closed.result().iterator
           }
       }
   }

@@ -53,9 +53,16 @@ class StreamingSpec extends SparkSpec {
       // redelivery of id 1 in a later micro-batch + one new event
       mem.addData((1L, ts("2024-01-01 00:00:01")), (3L, ts("2024-01-01 00:00:03")))
       q.processAllAvailable()
+      // r14: a producer retry that RE-STAMPS the send time is still the
+      // same event — the old dropDuplicates(id, ts) treated it as new
+      // and double-counted downstream; per-id WithinWatermark dedup
+      // must collapse it
+      mem.addData((2L, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
       val ids = spark.table("dedup_test").select("event_id")
         .as[Long].collect().sorted.toSeq
-      assert(ids === Seq(1L, 2L, 3L))
+      assert(ids === Seq(1L, 2L, 3L),
+        "redelivery with a re-stamped ts must not flow through twice")
     } finally q.stop()
   }
 
@@ -181,6 +188,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeWithState: an in-gap straggler sharing a batch with a post-gap event does not fuse sessions") {
+    // r14 review: the old guard compared only times.min against
+    // end + gap — one straggler INSIDE the gap routed the whole batch
+    // into the merge branch, so a post-gap event in the same batch
+    // fused two sessions across the quiet period. The fold must
+    // extend the session through the straggler, then split on the
+    // forward gap.
+    import graft.streaming.StreamingOps.{ClosedSession, UserEvent}
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val out = StreamingOps.sessionizeWithState(mem.toDS(),
+      gapMs = 5 * 60 * 1000L, delay = "2 hours")
+    val q = out.writeStream.format("memory").queryName("sess_strag_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(UserEvent(1L, ts("2024-01-01 09:50:00")),
+        UserEvent(1L, ts("2024-01-01 09:53:00")))
+      q.processAllAvailable()
+      // one batch: 09:56 extends the open session (inside the 5-minute
+      // gap from 09:53), 11:00 sits an hour past it — a new session
+      mem.addData(UserEvent(1L, ts("2024-01-01 09:56:00")),
+        UserEvent(1L, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_strag_test").as[ClosedSession].collect()
+      assert(sessions.length === 1,
+        s"exactly the 09:50-09:56 session must close: ${sessions.toSeq}")
+      val s = sessions.head
+      assert(s.session_start === ts("2024-01-01 09:50:00") &&
+        s.session_end === ts("2024-01-01 09:56:00") && s.n_events === 3L,
+        s"the straggler extends, the post-gap event splits: $s")
+    } finally q.stop()
+  }
+
   test("dedupByContent: same text across micro-batches deduped, distinct texts kept") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
@@ -248,7 +288,9 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[String]
     val decoded = RelationalOps.decodeEnvelope(
       mem.toDF().toDF("payload"), "payload", schema)
-    val q = StreamingOps.upsertEachBatch(decoded, table, Seq("id"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_upsert_ckpt_").toString
+    val q = StreamingOps.upsertEachBatch(decoded, table, Seq("id"), ckpt)
     try {
       mem.addData(
         """{"ret_code":"0000","data":[{"id":1,"k":10},{"id":2,"k":20}]}""",
