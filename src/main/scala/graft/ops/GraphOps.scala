@@ -48,6 +48,12 @@ object GraphOps {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIters: Int = 20): DataFrame = {
+    // the in-loop checkpoint() below needs a checkpoint dir; set it
+    // HERE rather than relying on the Materialize.once calls doing it
+    // as a side effect — a refactor accepting pre-materialized edges
+    // would otherwise throw "Checkpoint directory has not been set"
+    // on a fresh session (r14 review)
+    Materialize.ensureCheckpointDir(pairs.sparkSession.sparkContext)
     // both orientations from ONE scan of `pairs` (explode, not a
     // self-union): pairs is typically the output of an expensive
     // near-dup join and a union would execute that lineage twice

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *     salted-random pseudonym would break idempotent re-ingestion).
   *   - Codegen'd built-ins only (sha2/concat/substr/floor) — the
   *     masking pass is a pure projection, ZERO shuffles; the
-  *     k-anonymity audit is one partial-agg shuffle over the class
-  *     keys plus a broadcast join back.
+  *     k-anonymity audit is ONE window count over the class key (a
+  *     single shuffle, no join — see kAnonymize's doc for why the
+  *     older broadcast-join-back formulation was exactly backwards).
   */
 object PrivacyOps {
 
@@ -34,10 +35,23 @@ object PrivacyOps {
     sha2(concat(id, lit("|" + pepper)), 256)
 
   /** Partial mask: keep the first `keepPrefix` and last `keepSuffix`
-    * characters, star the middle. Values too short to have a middle
-    * are fully starred except the kept prefix (never negative repeat).
+    * characters, star the middle.
+    *
+    * CONTRACT — the revealed set, not a starred fraction: the first
+    * `keepPrefix` and last `keepSuffix` characters are treated as
+    * public. A value with no middle (length ≤ keepPrefix+keepSuffix)
+    * is therefore returned WHOLE, zero stars — deliberately (pinned in
+    * PrivacyOpsSpec since the true-tail fix; the r14 review caught this
+    * doc claiming "fully starred except the prefix", which the code
+    * has never done). Callers choosing P/S must size them against the
+    * SHORTEST value the column can carry; a guaranteed-minimum-stars
+    * mask is a different operator.
     */
   def maskMiddle(s: Column, keepPrefix: Int, keepSuffix: Int): Column = {
+    // negative keeps would silently corrupt the slice arithmetic
+    // (empty prefix + inflated star count) — fail fast like band()
+    require(keepPrefix >= 0 && keepSuffix >= 0,
+      s"keepPrefix/keepSuffix must be >= 0, got ($keepPrefix, $keepSuffix)")
     val middle = greatest(length(s) - keepPrefix - keepSuffix, lit(0))
     // the suffix START must move with the CAPPED suffix length: with a
     // fixed start of length-keepSuffix+1, a value whose length falls
@@ -82,6 +96,15 @@ object PrivacyOps {
     * together, same as groupBy.)
     */
   def kAnonymize(df: DataFrame, quasiCols: Seq[String], minK: Long): DataFrame = {
+    // a release GATE must fail loudly on configs that void it: minK < 1
+    // suppresses nothing by construction, an empty quasi set makes the
+    // whole table one class (every row "passes"), and a pre-existing
+    // k_class column would be silently overwritten — destroying a
+    // prior audit's trail (r14 review; same fail-fast rule as band())
+    require(minK >= 1, s"minK must be >= 1, got $minK")
+    require(quasiCols.nonEmpty, "kAnonymize needs at least one quasi-identifier column")
+    require(!df.columns.contains("k_class"),
+      "input already carries a k_class column; rename it before re-auditing")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(quasiCols.map(col): _*)
     val withK = df.withColumn("k_class", count(lit(1)).over(w))

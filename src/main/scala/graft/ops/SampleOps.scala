@@ -32,7 +32,11 @@ object SampleOps {
     * copies). `//` is DuckDB integer division.
     */
   def bucketSql(key: String): String =
-    s"((((($key % 2147483648) + 2147483648) % 2147483648) * 2654435761) " +
+    // `key` is parenthesized before the %: a compound expression
+    // argument ("a + b") would otherwise bind as a + (b % …) — a
+    // silently different hash from bucket(col("a") + col("b"), …)
+    // (r14 review; current callers pass bare identifiers)
+    s"(((((($key) % 2147483648) + 2147483648) % 2147483648) * 2654435761) " +
       "% 4294967296) * 100 // 4294967296"
 
   /** floor(2^32 / golden ratio) — Knuth's multiplicative constant. */

@@ -30,9 +30,9 @@ object CurateQueries {
     // audit: every (nation, band) equivalence class smaller than k=5
     // has its quasi-identifiers SUPPRESSED (nulled), with the class
     // size kept as the audit trail. Scale shape: the masking pass is a
-    // pure codegen'd projection; the audit is one partial-agg count
-    // over class keys (output bounded by #classes, not rows) joined
-    // back broadcast — the corpus scans once and never re-shuffles.
+    // pure codegen'd projection; the audit is ONE window count over the
+    // class key — a single shuffle, no join, one scan (kAnonymize's doc
+    // explains why the old broadcast-join-back form was backwards).
     "q86_pii_mask" -> ((s, d) => {
       val base = Tables.customer(s, d).select(
         col("c_custkey"),
@@ -325,7 +325,11 @@ object CurateQueries {
          |   coalesce(comp.component, ids.doc_id) AS k
          |   FROM ids LEFT JOIN comp USING (doc_id))
          |SELECT doc_id,
-         |  CASE WHEN ${bucketSql("k")} < 80 THEN 'train'
+         |  -- NULL-key branch mirrors the engine's NULL-split contract
+         |  -- (r14 review; k = coalesce(component, doc_id) is non-null
+         |  -- whenever doc_id is, so this only matters off-fixture)
+         |  CASE WHEN k IS NULL THEN NULL
+         |       WHEN ${bucketSql("k")} < 80 THEN 'train'
          |       WHEN ${bucketSql("k")} < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM keyed""".stripMargin,

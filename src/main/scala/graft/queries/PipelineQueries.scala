@@ -359,7 +359,14 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "q63_hash_split" ->
       s"""SELECT doc_id, lang,
-         | CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+         | -- NULL-key branch: the engine's hashSplit deliberately
+         | -- yields a NULL split for a NULL key (no hash, no
+         | -- deterministic assignment — SampleOps.bucket doc); a bare
+         | -- ELSE 'test' would silently disagree on that row (r14
+         | -- review). Fixture doc_ids are non-null; this pins parity
+         | -- for inputs that aren't.
+         | CASE WHEN doc_id IS NULL THEN NULL
+         |      WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
          |      WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
          |      ELSE 'test' END AS split
          |FROM documents""".stripMargin,

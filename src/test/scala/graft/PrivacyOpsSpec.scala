@@ -123,6 +123,26 @@ class PrivacyOpsSpec extends SparkSpec {
       s"expected exactly one exchange:\n$plan")
   }
 
+  test("gate configs that void the audit fail fast: minK < 1, no quasi cols, k_class collision, negative keeps") {
+    // r14 review: a release gate that silently passes everything is
+    // worse than no gate — these all used to be accepted quietly
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "q")
+    intercept[IllegalArgumentException] {
+      PrivacyOps.kAnonymize(df, Seq("q"), minK = 0)
+    }
+    intercept[IllegalArgumentException] {
+      PrivacyOps.kAnonymize(df, Seq.empty, minK = 5)
+    }
+    intercept[IllegalArgumentException] { // silent audit-trail overwrite
+      PrivacyOps.kAnonymize(
+        PrivacyOps.kAnonymize(df, Seq("q"), minK = 1), Seq("q"), minK = 1)
+    }
+    intercept[IllegalArgumentException] { // corrupt-mask arithmetic
+      PrivacyOps.maskMiddle(col("q"), -1, 3)
+    }
+  }
+
   test("band: zero width fails at build, not as silent NULL bands") {
     intercept[IllegalArgumentException] { PrivacyOps.band(col("v"), 0.0) }
   }

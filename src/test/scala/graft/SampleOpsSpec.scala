@@ -112,6 +112,26 @@ class SampleOpsSpec extends SparkSpec {
     assert(s.filter(col("split").isNull).count() == 0)
   }
 
+  test("null key: NULL split from hashSplit, dropped by stratifiedSample — the documented contract") {
+    // r14 review: the oracle twins used to end in a bare ELSE 'test',
+    // which would have assigned every null-key row to the test split
+    // while the engine yields NULL (no key, no hash, no deterministic
+    // assignment — SampleOps.bucket doc). Both sides now agree on
+    // NULL; this pins the engine half.
+    import spark.implicits._
+    val df = Seq((Some(1L), "en"), (None: Option[Long], "ko"))
+      .toDF("doc_id", "lang")
+    val split = SampleOps.hashSplit(df, "doc_id", "split",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .collect().map(r => Option(r.get(0)) -> Option(r.getString(2))).toMap
+    assert(split(Some(1L)).isDefined, "a real key gets a split")
+    assert(split(None).isEmpty, "a NULL key must yield a NULL split, never 'test'")
+    val kept = SampleOps.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 100), defaultPct = 100).count()
+    assert(kept === 1L,
+      "NULL bucket < pct is NULL → the null-key row drops from samples")
+  }
+
   test("string keys fail fast instead of silently null-bucketing the corpus away") {
     import spark.implicits._
     val df = Seq(("doc_ab12", "en"), ("doc_cd34", "ko")).toDF("id", "lang")
