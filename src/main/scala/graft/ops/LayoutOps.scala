@@ -66,12 +66,20 @@ object LayoutOps {
     require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
     val r = df.agg(min(xCol).cast("long"), max(xCol).cast("long"),
       min(yCol).cast("long"), max(yCol).cast("long")).collect().head
-    if (r.isNullAt(0) || r.isNullAt(2)) lit(0L) // empty input: any key
-    else {
-      def scaled(c: Column, lo: Long, hi: Long): Column = {
-        val span = hi - lo + 1
-        require(span < (1L << (62 - bits)),
-          s"key span $span too wide to scale without overflow at $bits bits")
+    def scaled(c: Column, lo: Long, hi: Long): Column = {
+      // exact span arithmetic (r14 review): hi - lo + 1 in plain longs
+      // overflows for domains wider than Long.MaxValue (a MinValue
+      // sentinel plus any positive max), and the WRAPPED negative span
+      // sailed through the width require below — surfacing later as
+      // mortonCode's confusing out-of-range raise, or worse
+      val span =
+        try Math.addExact(Math.subtractExact(hi, lo), 1L)
+        catch {
+          case _: ArithmeticException => throw new IllegalArgumentException(
+            s"key span [$lo, $hi] too wide to scale without overflow")
+        }
+      require(span > 0 && span < (1L << (62 - bits)),
+        s"key span $span too wide to scale without overflow at $bits bits")
         // (v-lo)*2^bits div span ∈ [0, 2^bits) exactly (v ≤ hi ⇒
         // numerator ≤ (span-1)·2^bits < span·2^bits). The division must
         // be INTEGRAL (Catalyst IntegralDivide via the registered `div`
@@ -84,8 +92,22 @@ object LayoutOps {
         call_function("div",
           (c.cast("long") - lit(lo)) * lit(1L << bits), lit(span))
       }
-      mortonCode(scaled(xCol, r.getLong(0), r.getLong(1)),
-        scaled(yCol, r.getLong(2), r.getLong(3)), bits)
-    }
+      val xStats = !r.isNullAt(0)
+      val yStats = !r.isNullAt(2)
+      // degenerate-column fallbacks (r14 review): the old single check
+      // returned a CONSTANT key whenever either column had no stats —
+      // right for an empty input, but an all-null x over a populated y
+      // silently destroyed y's clustering too (row groups spanning y's
+      // whole domain, zero pruning — the exact failure this operator
+      // exists to prevent). One populated dimension now falls back to
+      // its monotonic 1-D scaled key.
+      (xStats, yStats) match {
+        case (false, false) => lit(0L) // empty or all-null input: any key
+        case (true, false) => scaled(xCol, r.getLong(0), r.getLong(1))
+        case (false, true) => scaled(yCol, r.getLong(2), r.getLong(3))
+        case (true, true) =>
+          mortonCode(scaled(xCol, r.getLong(0), r.getLong(1)),
+            scaled(yCol, r.getLong(2), r.getLong(3)), bits)
+      }
   }
 }

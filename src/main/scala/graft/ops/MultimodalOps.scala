@@ -109,8 +109,21 @@ object MultimodalOps {
       .filter(col("payload").isNotNull) // same drop-not-NPE contract
       .as[MediaRecord]
       .flatMap { r =>
-        val cps = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
-          .codePoints().toArray
+        // bounded-prefix decode (r14 review; decodeOne's argument):
+        // frames read at most maxFrames·chunk code points, each ≤ 4
+        // UTF-8 bytes — decoding the whole multi-MB payload allocated
+        // ~8× payload transient memory per record to checksum a few
+        // dozen characters. +3 lets a straddling char decode whole; a
+        // truncated tail char (U+FFFD) can only sit past the framed
+        // range (≥ needCps complete code points precede it), and the
+        // limit() excludes it. Frame COUNT is unchanged: past the
+        // prefix the count saturates at maxFrames anyway.
+        val needCps = maxFrames.toLong * chunk
+        val needBytes =
+          math.min(r.payload.length.toLong, 4L * needCps + 3L).toInt
+        val prefix = java.util.Arrays.copyOfRange(r.payload, 0, needBytes)
+        val cps = new String(prefix, java.nio.charset.StandardCharsets.UTF_8)
+          .codePoints().limit(needCps).toArray
         val nFrames = math.min(maxFrames.toLong,
           (cps.length + chunk - 1L) / chunk)
         (0L until nFrames).map { fi =>
@@ -140,6 +153,22 @@ object MultimodalOps {
   def writeBinaryFiles(df: DataFrame, nameCol: String, payloadCol: String,
                        dir: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // reclaim orphaned tmp files from PRIOR exports (r14 review): a
+    // task killed between write and move leaves its uuid-named tmp
+    // forever — retries never reuse the name. Swept here on the
+    // driver BEFORE any task starts, the only moment no live attempt
+    // can own a tmp (an in-job sweep could delete a speculative
+    // twin's file mid-write). Residue from THIS job, if it crashes,
+    // is bounded by one file per dead attempt and reclaimed by the
+    // next export to the same dir.
+    scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir))) { s =>
+      s.forEach { q =>
+        val nm = q.getFileName.toString
+        if (nm.startsWith(".") && nm.endsWith(".tmp"))
+          java.nio.file.Files.deleteIfExists(q): Unit
+      }
+    }
     df.select(col(nameCol).cast("string"), col(payloadCol).cast("binary"))
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         it.foreach { r =>

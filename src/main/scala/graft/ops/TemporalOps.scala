@@ -59,12 +59,27 @@ object TemporalOps {
     val buildType = build.select(buildStruct).schema.head.dataType
 
     payloadCols.foreach { c =>
-      require(payloadPrefix.nonEmpty || !probe.columns.contains(c),
-        s"payload column '$c' collides with a probe column; pass a " +
-          "non-empty payloadPrefix or rename — two same-named output " +
+      // check the PREFIXED output name (r14 review): a non-empty prefix
+      // used to short-circuit the guard even when prefix+c still
+      // collided with a probe column
+      require(!probe.columns.contains(payloadPrefix + c),
+        s"output column '$payloadPrefix$c' collides with a probe column; " +
+          "change payloadPrefix or rename — two same-named output " +
           "columns fail on first reference (AMBIGUOUS_REFERENCE)")
     }
-    val buildSide = build.select(
+    // join semantics for the degenerate build rows (r14 review):
+    // a NULL build timestamp satisfies no `build.ts <= probe.ts`
+    // (UNKNOWN in SQL) yet sorted nulls-FIRST and its payload was
+    // carried to every no-prior-match probe row; a NULL build key
+    // matches no probe key under join semantics yet window
+    // partitioning groups nulls together. Both are dropped from the
+    // build side — probe rows keep left-outer NULL payloads (a probe
+    // row with a null key then shares its partition with no build row,
+    // so its payload is null by construction).
+    val buildKeyed = keys.foldLeft(build.filter(col(buildTs).isNotNull)) {
+      (b, k) => b.filter(col(k).isNotNull)
+    }
+    val buildSide = buildKeyed.select(
       keys.map(col) ++ Seq(
         col(buildTs).as("_t"), lit(0).as("_tag"),
         buildStruct.as("_bv"), lit(null).cast(probeType).as("_pv")): _*)
@@ -167,7 +182,13 @@ object TemporalOps {
       .groupBy(col(keyCol), col("_run"))
       .agg(min(col(valueCol)).as("status"), // constant within a run
         min(col(tsCol)).as("valid_from"))
-    val wOut = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"))
+    // _run breaks valid_from ties (r14 review): two runs can share a
+    // valid_from when an equal-timestamp value change is split by
+    // tieCol — ordering by valid_from alone left lead() free to assign
+    // valid_to/is_current to either run, flapping between executions
+    // despite the determinism claim above
+    val wOut = Window.partitionBy(col(keyCol))
+      .orderBy(col("valid_from"), col("_run"))
     runs.select(col(keyCol), col("status"), col("valid_from"),
         lead(col("valid_from"), 1).over(wOut).as("valid_to"))
       .withColumn("is_current", col("valid_to").isNull)
@@ -196,6 +217,9 @@ object TemporalOps {
   def trailingAttribution(sources: org.apache.spark.sql.Dataset[(Long, Long)],
                           targets: org.apache.spark.sql.Dataset[(Long, Long)],
                           windowMicros: Long): DataFrame = {
+    // a negative window attributes NOTHING (t - prior >= 0 always) —
+    // a silently-wrong metric, not an error; fail fast like bandDays
+    require(windowMicros >= 0, s"windowMicros must be >= 0, got $windowMicros")
     val spark = sources.sparkSession
     import spark.implicits._
     sources.groupByKey(_._1).cogroup(targets.groupByKey(_._1)) {

@@ -36,6 +36,19 @@ object Compaction {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val p = new Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // degenerate inputs no-op instead of crashing (r14 review): a
+    // nightly that landed zero rows leaves a marker-only directory
+    // (Spark writes no part file for an empty task set), and
+    // spark.read.parquet on it dies with 'Unable to infer schema' —
+    // maintenance over an empty slice is a no-op, not an error. The
+    // recursive probe stops at the FIRST data file, so the steady
+    // (non-empty) path pays one listing step, not a full walk.
+    if (!fs.exists(p)) return 0
+    val probe = fs.listFiles(p, true)
+    var hasData = false
+    while (!hasData && probe.hasNext)
+      hasData = probe.next().getPath.getName.endsWith(".parquet")
+    if (!hasData) return 0
     val bytes = fs.getContentSummary(p).getLength
     // Long math, clamped: a typo'd tiny target on a huge input would
     // overflow toInt negative and fail repartition AFTER planning

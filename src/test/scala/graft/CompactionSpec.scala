@@ -5,6 +5,21 @@ import org.apache.spark.sql.functions._
 
 class CompactionSpec extends SparkSpec {
 
+  test("compactParquet: marker-only and nonexistent inputs no-op instead of crashing") {
+    // r14 review: a nightly that landed zero rows leaves a dir with
+    // only _SUCCESS (Spark writes no part file for an empty task set);
+    // the next maintenance run used to die in schema inference
+    val base = java.nio.file.Files.createTempDirectory("graft_compact0").toString
+    val in = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "_SUCCESS"),
+      Array.empty[Byte])
+    assert(Compaction.compactParquet(spark, in, s"$base/out", 1024) === 0,
+      "an empty slice compacts to zero files, loudly not fatally")
+    assert(Compaction.compactParquet(spark, s"$base/missing", s"$base/out2",
+      1024) === 0, "a nonexistent input is the same no-op")
+  }
+
   test("compactParquet: many small files -> few target-sized files, content identical") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString

@@ -91,6 +91,31 @@ class LayoutOpsSpec extends SparkSpec {
     }
   }
 
+  test("zorderKey: an over-wide domain fails loudly; an all-null dimension falls back to 1-D") {
+    import spark.implicits._
+    // r14 review, both arms. Arm 1: hi - lo + 1 in plain longs wraps
+    // negative for domains wider than Long.MaxValue and the wrapped
+    // span sailed through the width guard
+    val wide = Seq(Long.MinValue, 10L).toDF("x")
+      .withColumn("y", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      wide.select(LayoutOps.zorderKey(wide, col("x"), col("y"), 8)).collect()
+    }
+    assert(e.getMessage.contains("too wide"))
+    // Arm 2: an all-null x over a populated y used to yield a CONSTANT
+    // key — silently destroying y's clustering too; now the populated
+    // dimension keeps its monotonic 1-D ordering
+    val halfNull = Seq((None: Option[Long], 1L), (None, 100L), (None, 50L))
+      .toDF("x", "y")
+    val keys = halfNull
+      .select(col("y"), LayoutOps.zorderKey(halfNull, col("x"), col("y"), 8)
+        .as("z"))
+      .orderBy("y").as[(Long, Long)].collect().map(_._2)
+    assert(keys.distinct.length > 1, s"y clustering must survive: ${keys.toSeq}")
+    assert(keys.toSeq === keys.sorted.toSeq,
+      "the 1-D fallback must stay monotonic in the populated column")
+  }
+
   test("mortonCode preserves 2-D locality: sorted prefix blocks bound both dims") {
     import spark.implicits._
     // 32×32 grid; under z-order, each aligned block of 64 consecutive

@@ -65,6 +65,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("sampleFrames: bounded-prefix decode matches the full decode past the framed range") {
+    import spark.implicits._
+    // r14 review: the flatMap decoded the ENTIRE payload into a
+    // code-point array per record to checksum a few dozen characters.
+    // Parity pin: a payload far larger than maxFrames*chunk — with a
+    // multi-byte char straddling the prefix cut — yields the same
+    // frames as the character-indexed definition.
+    val head = "ab¢def€hij" * 10 // 100 code points, multibyte inside
+    val payload = (head + ("z" * 100000))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = MultimodalOps.sampleFrames(
+        Seq((1L, payload)).toDF("id", "bin"), "id", "bin",
+        chunk = 7, maxFrames = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    val cps = (head + "z").codePoints().toArray // enough for 3×7
+    val expect = (0 until 3).map { fi =>
+      (1L, fi.toLong,
+        cps.slice(fi * 7, fi * 7 + 7).map(_.toLong).sum % 997L)
+    }
+    assert(out.toSeq === expect, s"got ${out.toSeq}")
+  }
+
+  test("writeBinaryFiles sweeps orphaned tmp residue from prior exports") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_export_tmp_").toString
+    try {
+      // a "dead attempt" from a previous job: uuid-named, never moved
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, ".old.bin.deadbeef.tmp"), Array[Byte](1))
+      MultimodalOps.writeBinaryFiles(
+        Seq(("new.bin", Array[Byte](5))).toDF("name", "payload"),
+        "name", "payload", dir)
+      val names = new java.io.File(dir).listFiles.map(_.getName).toSet
+      assert(names === Set("new.bin"),
+        s"prior-job tmp residue must be reclaimed: $names")
+    } finally {
+      graft.ops.FsOps.rmTree(new java.io.File(dir))
+    }
+  }
+
   test("writeBinaryFiles rejects data-controlled unsafe names; sampleFrames rejects chunk=0") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_export_").toString

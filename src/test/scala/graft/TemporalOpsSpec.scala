@@ -192,6 +192,70 @@ class TemporalOpsSpec extends SparkSpec {
     assert(ok.columns.contains("asof_price"))
   }
 
+  test("asofJoin: NULL build timestamps and NULL keys match nothing (join semantics)") {
+    // r14 review: a null-ts build row sorted nulls-FIRST and its
+    // payload was carried to every no-prior-match probe row; null keys
+    // grouped together under window partitioning where a join would
+    // never match them. Both now behave like the SQL join they stand
+    // in for.
+    val probe = Seq(
+      (Some(1L), ts("2024-01-01 10:00:00"), 100L),
+      (None: Option[Long], ts("2024-01-01 10:00:00"), 101L)
+    ).toDF("user_id", "ts", "purchase_id")
+    val build = Seq(
+      (Some(1L), None: Option[java.sql.Timestamp], 11L), // null ts
+      (None: Option[Long], Some(ts("2024-01-01 09:00:00")), 12L) // null key
+    ).toDF("user_id", "ts", "click_id")
+    val out = TemporalOps.asofJoin(probe, build, Seq("user_id"), "ts", "ts",
+        payloadCols = Seq("click_id"))
+      .select("purchase_id", "click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(100L) === None,
+      "a NULL build ts satisfies no build.ts <= probe.ts — no match")
+    assert(out(101L) === None,
+      "NULL keys never match under join semantics; the probe row still emits")
+  }
+
+  test("asofJoin: a PREFIXED payload name colliding with a probe column fails at build") {
+    // r14 review: a non-empty prefix used to short-circuit the guard
+    val probe = Seq((1L, ts("2024-01-01 10:00:00"), 5L))
+      .toDF("user_id", "ts", "p_click_id")
+    val build = Seq((1L, ts("2024-01-01 09:00:00"), 11L))
+      .toDF("user_id", "ts", "click_id")
+    val e = intercept[IllegalArgumentException] {
+      TemporalOps.asofJoin(probe, build, Seq("user_id"), "ts", "ts",
+        payloadCols = Seq("click_id"), payloadPrefix = "p_")
+    }
+    assert(e.getMessage.contains("p_click_id"))
+  }
+
+  test("changeHistory: equal-timestamp runs split by tieCol get deterministic intervals") {
+    // r14 review: two runs sharing a valid_from (an equal-ts value
+    // change split by the tie column) were ordered by valid_from alone
+    // — lead() picked an arbitrary winner and is_current flapped
+    // between executions; _run now breaks the tie
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A", 1L),
+      (1L, ts("2024-01-01 10:00:00"), "B", 2L) // same ts, later tie
+    ).toDF("id", "ts", "status", "seq")
+    val out = TemporalOps.changeHistory(df, "id", "ts", "status", "seq")
+      .select("status", "valid_to", "is_current")
+      .as[(String, Option[java.sql.Timestamp], Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("A") === ((Some(ts("2024-01-01 10:00:00")), false)),
+      "the tie-earlier run closes at the shared timestamp")
+    assert(out("B") === ((None, true)),
+      "the tie-later run is current — deterministically, on every run")
+  }
+
+  test("trailingAttribution: a negative window fails fast instead of attributing zero") {
+    val src = Seq((1L, 10L)).toDS()
+    val tgt = Seq((1L, 20L)).toDS()
+    intercept[IllegalArgumentException] {
+      TemporalOps.trailingAttribution(src, tgt, windowMicros = -1L)
+    }
+  }
+
   test("trailingAttribution: boundary inclusivity, no-source targets, unordered input") {
     val m = 60L * 1000000 // one minute in micros
     // sources (views) and targets (clicks) deliberately unsorted —
