@@ -146,13 +146,26 @@ object TextOps {
     * constant factor that matters.
     */
   def lshBands(docs: DataFrame, idCol: String, sigCol: String,
-               bands: Int, rows: Int): DataFrame =
+               bands: Int, rows: Int): DataFrame = {
+    // a signature SHORTER than bands*rows must fail loudly (r14
+    // review): slice past the array end returns empty and
+    // aggregate(empty, 0L, …) = 0L, so every doc would emit the tail
+    // bands with band_sig=0 — corpus-wide fake collision buckets that
+    // either blow the self-join up quadratically or (capped) silently
+    // contribute nothing. A LONGER signature is fine by design: the
+    // tail minhashes beyond bands*rows are deliberately unused.
+    val need = bands * rows
+    val sig = when(size(col(sigCol)) >= need, col(sigCol))
+      .otherwise(raise_error(concat(
+        lit(s"lshBands: signature shorter than bands*rows=$need: "),
+        size(col(sigCol)).cast("string"))))
     docs.select(col(idCol), explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_idx"),
-            aggregate(slice(col(sigCol), b * rows + 1, lit(rows)), lit(0L),
+            aggregate(slice(sig, b * rows + 1, lit(rows)), lit(0L),
               (acc, m) => shiftleft(acc, 31).bitwiseXOR(m)).as("band_sig")))))
       .select(col(idCol), col("col.band_idx"), col("col.band_sig"))
+  }
 
   /** Candidate pairs from LSH buckets: self-join on the band key with
     * id< to orient, then distinct (a pair can collide in several
@@ -181,19 +194,35 @@ object TextOps {
     * the (large) banded table on either side — the sort was pure
     * overhead at every scale.
     */
+  /** Drop over-cap (band_idx, band_sig) buckets via a broadcast
+    * anti-join — the skew cap shared by [[lshCandidates]] and
+    * [[lshCandidatesAgainst]] (r14 review: it was written twice, and
+    * only the Against form had the uncapped short-circuit).
+    * Int.MaxValue skips the aggregation entirely: no count can exceed
+    * it, so the pass would be a full-table shuffle that drops nothing.
+    */
+  private def dropHotBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded
+    else {
+      val hot = banded.groupBy(col("band_idx"), col("band_sig"))
+        .agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") > maxBucket)
+        .select(col("band_idx"), col("band_sig"))
+      banded.join(broadcast(hot), Seq("band_idx", "band_sig"), "left_anti")
+    }
+
   def lshCandidates(banded: DataFrame, idCol: String,
                     maxBucket: Int): DataFrame = {
-    // the banded table feeds the hot-bucket aggregation AND the capped
-    // self-join (whose a/b sides share one exchange, but the agg
-    // cannot) — without materialization the whole upstream
-    // minhash/banding pipeline runs at least twice per action
-    val mat = Materialize.once("textops.lshBands", banded)
-    val hot = mat.groupBy(col("band_idx"), col("band_sig"))
-      .agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") > maxBucket)
-      .select(col("band_idx"), col("band_sig"))
-    val capped = mat.join(broadcast(hot),
-      Seq("band_idx", "band_sig"), "left_anti")
+    // capped path: the banded table feeds the hot-bucket aggregation
+    // AND the capped self-join (whose a/b sides share one exchange,
+    // but the agg cannot) — without materialization the whole
+    // upstream minhash/banding pipeline runs at least twice per
+    // action. Uncapped path: the self-join is the only consumer and
+    // its two sides reuse one exchange — no materialization needed.
+    val capped =
+      if (maxBucket == Int.MaxValue) banded
+      else dropHotBuckets(Materialize.once("textops.lshBands", banded),
+        maxBucket)
     val a = capped.select(col("band_idx"), col("band_sig"), col(idCol).as("id_a"))
     val b = capped.select(col("band_idx"), col("band_sig"), col(idCol).as("id_b"))
     a.join(b.hint("shuffle_hash"), Seq("band_idx", "band_sig"))
@@ -223,16 +252,7 @@ object TextOps {
     */
   def lshCandidatesAgainst(deltaBanded: DataFrame, standingBanded: DataFrame,
                            idCol: String, maxBucket: Int): DataFrame = {
-    val capped =
-      if (maxBucket == Int.MaxValue) standingBanded
-      else {
-        val hot = standingBanded.groupBy(col("band_idx"), col("band_sig"))
-          .agg(count(lit(1)).as("_bn"))
-          .filter(col("_bn") > maxBucket)
-          .select(col("band_idx"), col("band_sig"))
-        standingBanded.join(broadcast(hot),
-          Seq("band_idx", "band_sig"), "left_anti")
-      }
+    val capped = dropHotBuckets(standingBanded, maxBucket)
     val a = deltaBanded.select(col("band_idx"), col("band_sig"),
       col(idCol).as("id_a"))
     val b = capped.select(col("band_idx"), col("band_sig"),
@@ -265,6 +285,15 @@ object TextOps {
     */
   def prefixFilterCandidates(docShingles: DataFrame, idCol: String,
                              shCol: String, num: Int, den: Int): DataFrame = {
+    // CALLER CONTRACT (r14 review): pass a MATERIALIZED docShingles
+    // (q37 does — Materialize.once("q37.sh", …)). The exploded
+    // inverted index below is consumed twice — inside the prefix-index
+    // build and, re-derived, as the exact-overlap refinement's idxB —
+    // so an unmaterialized shingle pipeline would run end-to-end
+    // twice per action. With the input materialized, the re-derive is
+    // one cheap checkpoint-read + explode, deliberately NOT persisted:
+    // the full token explosion is the largest table in this operator,
+    // and only the skinny prefix index earns storage.
     val idx = docShingles.select(col(idCol), size(col(shCol)).as("_sz"),
       explode(col(shCol)).as("_tok"))
     // dfreq is |distinct shingles| rows of two longs — broadcast it so
@@ -531,7 +560,14 @@ object TextOps {
       .withColumn("stopword_ratio",
         col("n_stopwords").cast("double") / col("n_tokens"))
       .withColumn("quality_flag",
-        when(col("n_tokens") < 10, lit("too_short"))
+        // null text first (r14 review): n_tokens is NULL there, both
+        // threshold whens evaluate NULL (not matched) and a contentless
+        // doc fell through to 'ok' — passing the very filter that
+        // exists to drop it. Counts stay NULL (the q90 rule: absent
+        // content keeps NULL stats); only the FLAG pins it too_short.
+        // n_chars is NULL exactly when the text is (length(NULL)).
+        when(col("n_chars").isNull, lit("too_short"))
+          .when(col("n_tokens") < 10, lit("too_short"))
           .when(col("n_distinct") * 3 < col("n_tokens"), lit("repetitive"))
           .otherwise(lit("ok")))
   }
@@ -567,11 +603,16 @@ object TextOps {
     * in HUGEINT).
     */
   def docFingerprint(toks: Column): Column =
-    // empty guard: sequence(1, 0) yields the DESCENDING [1, 0] (not an
-    // empty array), zip_with null-pads the empty token side, and the
-    // fold returns NULL — which silently drops the doc from any
-    // fingerprint-equality join. The empty sum mod p is 0.
-    when(size(toks) === 0, lit(0L)).otherwise(
+    // empty/NULL guard: sequence(1, 0) yields the DESCENDING [1, 0]
+    // (not an empty array), zip_with null-pads the empty token side,
+    // and the fold returns NULL — which silently drops the doc from
+    // any fingerprint-equality join. A NULL token array hit the SAME
+    // silent drop through the other door: size(NULL) is NULL under
+    // ANSI, the empty guard fell through, and the fold over NULL was
+    // NULL (r14 review — the guard was half-done against its own
+    // rationale). Both contentless shapes fingerprint as the empty
+    // sum mod p = 0.
+    when(toks.isNull || size(toks) === 0, lit(0L)).otherwise(
       aggregate(
         zip_with(toks, sequence(lit(1), size(toks)),
           (t, i) => i.cast("long") * (ascii(t) * 131L + length(t))),

@@ -26,8 +26,21 @@ object VectorOps {
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity of two double arrays (portable HOF form). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity of two double arrays (portable HOF form).
+    * Zero-norm inputs yield NaN through a guarded branch (r14 review):
+    * under Spark 4's ANSI default a raw double division THROWS
+    * DIVIDE_BY_ZERO (the r13 q74 finding), so the unguarded form would
+    * kill a whole scan on one all-zero embedding where the native
+    * `graft_cosine` codegen yields NaN that callers filter with
+    * isnan — the CaseWhen evaluates only the matching branch, keeping
+    * the nonzero path bit-identical to the native division (the
+    * parity spec asserts ===). NULL inputs stay NULL (the when
+    * condition is NULL → otherwise → null/null = NULL pre-division:
+    * dot() is NULL and the product short-circuits before any /0). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(Double.NaN)).otherwise(dot(a, b) / denom)
+  }
 
   /** Native codegen'd dot product / fused one-pass cosine
     * (graft.plans.VectorExpressions), resolved by name — requires the
@@ -207,6 +220,11 @@ object VectorOps {
     * assign at ingest, store as a column, partition by it.
     */
   def rhpBucket(vec: Column, bits: Int): Column = {
+    // bits > 64 would silently ALIAS plane signs onto wrapped bit
+    // positions (Java shift semantics: 1L << 64 == 1L) — two
+    // independent hyperplanes OR-ed into one bit, wrong buckets with
+    // no error (r14 review)
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
     val planes = (0 until bits).map { i =>
       val d = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

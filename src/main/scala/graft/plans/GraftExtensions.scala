@@ -20,6 +20,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def asVec(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
 
+  // arity check at resolution time (r14 review): children(i) alone
+  // silently DROPPED extra arguments (graft_dot(a, b, c) returned
+  // dot(a, b) — a plausible wrong answer through the SQL front door)
+  // and threw a raw IndexOutOfBounds on too few, instead of the
+  // analysis error every built-in raises
+  private def binary(name: String, mk: (Expression, Expression) => Expression)
+      (children: Seq[Expression]): Expression = {
+    if (children.size != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> "2",
+          "actualNum" -> children.size.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    mk(asVec(children(0)), asVec(children(1)))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // sort-free latest-wins: row_number=1 upserts → min_by aggregates
     // (map-side partial agg slashes the upsert's shuffle volume)
@@ -28,11 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       info(classOf[DotProduct], "graft_dot",
         "graft_dot(a, b) - dot product of two double arrays"),
-      (children: Seq[Expression]) => DotProduct(asVec(children(0)), asVec(children(1)))))
+      binary("graft_dot", DotProduct.apply)))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       info(classOf[CosineSimilarity], "graft_cosine",
         "graft_cosine(a, b) - cosine similarity of two double arrays"),
-      (children: Seq[Expression]) => CosineSimilarity(asVec(children(0)), asVec(children(1)))))
+      binary("graft_cosine", CosineSimilarity.apply)))
   }
 }

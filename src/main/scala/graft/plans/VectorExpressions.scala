@@ -1,9 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the vector hot loop (SURVEY.md §2h
   * stretch goal; registered via [[GraftExtensions]]).
@@ -25,11 +25,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * check is one branch the JIT hoists when the array's containsNull
   * is false.
   */
-abstract class VectorFold extends BinaryExpression with Serializable {
-  // Input typing: the registry builder (GraftExtensions) wraps both
-  // children in Cast(_, array<double>) — no-op casts are optimized
-  // away, float arrays widen in one codegen'd pass, and anything
-  // uncastable fails analysis with a standard cast error.
+abstract class VectorFold extends BinaryExpression with ExpectsInputTypes
+    with Serializable {
+  // Input typing, both routes (r14 review): the registry builder
+  // (GraftExtensions) wraps both children in Cast(_, array<double>) —
+  // no-op casts are optimized away, float arrays widen in one
+  // codegen'd pass, and anything uncastable fails analysis with a
+  // standard cast error. A DIRECTLY-constructed DotProduct(e1, e2)
+  // over non-array children used to pass analysis (dataType is
+  // hardcoded) and die at runtime in codegen/eval; ExpectsInputTypes
+  // turns that into the clean analysis-time type error.
+  // inferred return type: AbstractDataType is private[sql], unnameable
+  // from here; Seq[ArrayType] conforms to the override
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
 
   // These folds return null for NON-null inputs (length mismatch, null
@@ -92,8 +100,10 @@ case class DotProduct(left: Expression, right: Expression) extends VectorFold {
 
 /** cosine(a, b) = dot/(|a|·|b|), dot and BOTH norms fused into a single
   * pass (the HOF formulation folds the arrays three times). 0-norm
-  * input yields NaN, same as the HOF division; null on length mismatch
-  * or any null element (the HOF forms' semantics, see class doc).
+  * input yields NaN — Java division here, a guarded CaseWhen in the
+  * HOF form (`VectorOps.cosine`), because under ANSI mode a raw SQL
+  * double division would THROW instead (r14 review); null on length
+  * mismatch or any null element (the HOF forms' semantics, class doc).
   */
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "graft_cosine"

@@ -369,7 +369,11 @@ object NorthQueries {
         |   t -> t IN ('the','a','an','of','and','or','to','in','is','are','was',
         |              'it','that','this','for','on','with','as','at','by','be'))) AS DOUBLE)
         |   / len(string_split(text, ' ')) AS stopword_ratio,
-        | CASE WHEN len(string_split(text, ' ')) < 10 THEN 'too_short'
+        | -- NULL text flags too_short like the engine (r14 review: the
+        | -- bare CASE fell through to 'ok' on both sides — agreeing,
+        | -- but agreeing on letting contentless docs pass the filter)
+        | CASE WHEN text IS NULL THEN 'too_short'
+        |      WHEN len(string_split(text, ' ')) < 10 THEN 'too_short'
         |      WHEN len(list_distinct(string_split(text, ' '))) * 3 < len(string_split(text, ' ')) THEN 'repetitive'
         |      ELSE 'ok' END AS quality_flag
         |FROM documents""".stripMargin,

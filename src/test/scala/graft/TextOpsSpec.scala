@@ -102,6 +102,47 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L).longValue != 0L)
   }
 
+  test("docFingerprint: a NULL token array fingerprints to 0 like the empty one") {
+    // r14 review: size(NULL) is NULL under ANSI, so the empty guard
+    // fell through and the fold over NULL returned NULL — the exact
+    // silent join-drop the guard's own comment warns about
+    val out = Seq((1L, null: Seq[String]), (2L, Seq("a")))
+      .toDF("doc_id", "toks")
+      .select(col("doc_id"), TextOps.docFingerprint(col("toks")).as("fp"))
+      .as[(Long, java.lang.Long)].collect().toMap
+    assert(out(1L) === 0L, "contentless is contentless: NULL ≡ empty here")
+    assert((out(2L): Any) != null)
+  }
+
+  test("qualitySignals: null text is too_short, never ok") {
+    // r14 review: n_tokens is NULL for null text, both threshold
+    // whens evaluated NULL, and the contentless doc fell through to
+    // 'ok' — passing the very filter that exists to drop it. Counts
+    // stay NULL (the q90 rule); only the flag pins it.
+    val out = TextOps.qualitySignals(
+        Seq((1L, null: String), (2L, "one two three four five six seven eight nine ten"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "quality_flag").as[(Long, String)].collect().toMap
+    assert(out(1L) === "too_short")
+    assert(out(2L) === "ok")
+  }
+
+  test("lshBands: a signature shorter than bands*rows fails loudly, not as fake zero buckets") {
+    // r14 review: slice past the array end is empty and
+    // aggregate(empty, 0L, …) = 0L — every doc would emit the tail
+    // bands with band_sig=0, corpus-wide fake collision buckets.
+    // Longer signatures stay legal: tail minhashes are unused by
+    // design.
+    val sigs = Seq((1L, Seq(1L, 2L, 3L, 4L))).toDF("doc_id", "sig")
+    val e = intercept[Exception] {
+      TextOps.lshBands(sigs, "doc_id", "sig", bands = 3, rows = 2).collect()
+    }
+    assert(e.getMessage.contains("shorter than bands*rows"), s"got $e")
+    val ok = TextOps.lshBands(sigs, "doc_id", "sig", bands = 2, rows = 2)
+      .collect()
+    assert(ok.length === 2, "k >= bands*rows stays legal")
+  }
+
   test("simhash64: identical text ⇒ equal; near-dup ⇒ small Hamming; unrelated ⇒ large") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near = base + " extra"

@@ -227,6 +227,51 @@ class VectorOpsSpec extends SparkSpec {
       s"zero vector must pair with nothing: $pairs")
   }
 
+  test("portable cosine: zero-norm yields NaN under ANSI (native parity), not DIVIDE_BY_ZERO") {
+    // r14 review: under Spark 4's ANSI default a raw double division
+    // throws — one all-zero embedding killed any scan through the HOF
+    // form while the native codegen yielded a filterable NaN. The
+    // guarded CaseWhen restores parity without touching the nonzero
+    // path's bit-exactness (the parity test above asserts ===).
+    val d = Seq(
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)),   // zero-norm left
+      (Seq(0.0, 0.0), Seq(0.0, 0.0)),   // both zero
+      (null, Seq(1.0, 0.0))             // null stays null
+    ).toDF("a", "b")
+    val out = d.select(
+        VectorOps.cosine(col("a"), col("b")).as("hof"),
+        VectorOps.nativeCosine(col("a"), col("b")).as("nat"))
+      .collect()
+    Seq(0, 1).foreach { i =>
+      assert(out(i).getDouble(0).isNaN && out(i).getDouble(1).isNaN,
+        s"row $i: expected NaN/NaN, got ${out(i)}")
+    }
+    assert(out(2).isNullAt(0) && out(2).isNullAt(1),
+      "NULL input must stay NULL in both forms")
+  }
+
+  test("rhpBucket: bits past a long's width fail fast instead of aliasing planes") {
+    intercept[IllegalArgumentException] {
+      VectorOps.rhpBucket(col("v"), 65)
+    }
+  }
+
+  test("graft_dot/graft_cosine: wrong arity is an analysis error, never a silently dropped argument") {
+    // r14 review: children(0)/children(1) alone made graft_dot(a,b,c)
+    // return dot(a,b) — a plausible wrong answer through the SQL front
+    // door — and graft_dot(a) threw a raw IndexOutOfBounds
+    Seq(Seq(1.0, 2.0)).toDF("v").createOrReplaceTempView("arity_probe")
+    for (sql <- Seq(
+      "SELECT graft_dot(v, v, v) FROM arity_probe",
+      "SELECT graft_dot(v) FROM arity_probe",
+      "SELECT graft_cosine(v) FROM arity_probe")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getMessage.contains("requires 2 parameters"), s"$sql: $e")
+    }
+  }
+
   test("native dot/cosine: null on length mismatch or null element — the HOF forms' semantics") {
     val d = Seq(
       ("ok", Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
