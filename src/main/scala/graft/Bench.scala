@@ -5,6 +5,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // fail BEFORE the multi-minute warm-up, not after it with an
+    // opaque empty-collection error inside the first median (r14)
+    require(reps > 0, s"SPARK_GRAFT_BENCH_REPS must be positive, got $reps")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -172,7 +175,18 @@ object Bench {
       if (failCounts.isEmpty) ""
       else failCounts.map { case (k, v) => s""""$k":$v""" }
         .mkString(""","failed":{""", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_min":${r4(totalMin)},"probe_flagged":$pf,"machine_state":${ms.json}$failedField,"queries":$qs,"spread":$spread,"ambient":$ambient,"fixtures":"$fixtures","reps":$reps${BenchStamp.fragment(nowSec, bootOpt)},"sf":"$sfDir"$onlyField}"""
+    // sfDir is the ONE raw external string in the line (query names,
+    // fixtures hex, verdicts are [A-Za-z0-9_,]+ by construction) — a
+    // quote or backslash in the path would corrupt bench_full.jsonl
+    // and parseBaselines would silently drop the line from every
+    // future machine-state comparison (r14 review)
+    val sfJson = "\"" + sfDir.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_min":${r4(totalMin)},"probe_flagged":$pf,"machine_state":${ms.json}$failedField,"queries":$qs,"spread":$spread,"ambient":$ambient,"fixtures":"$fixtures","reps":$reps${BenchStamp.fragment(nowSec, bootOpt)},"sf":$sfJson$onlyField}"""
     println(line)
     // The driver stores only a 2000-char tail of stdout, which
     // truncates before ~80 of the 113 queries AND the total (round-8

@@ -33,7 +33,7 @@ import scala.jdk.CollectionConverters._
   */
 object Fixtures {
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Int), String]()
 
   /** 8-hex-digit CRC32C of one fixture table's bytes; "absent" if it
     * does not exist (a legal state for probe dirs in specs). The
@@ -54,13 +54,27 @@ object Fixtures {
       } finally in.close()
     }
     if (Files.isRegularFile(p)) {
-      val key = (p.toString, Files.size(p),
-        Files.getLastModifiedTime(p).toMillis)
-      cache.computeIfAbsent(key, _ => {
+      // memo key at NANOSECOND mtime resolution, and attrs re-read
+      // AFTER hashing (r14 review): with a millis key, a same-size
+      // rewrite landing in the same millisecond served the previous
+      // fingerprint — content-keyed artifacts would silently validate
+      // stale centroids/pair tables against regenerated data; and a
+      // file mutated mid-hash would cache a torn CRC under the
+      // pre-mutation key. If the attrs moved while hashing, return
+      // the fresh hash uncached — the next call re-keys.
+      def attrs() = (p.toString, Files.size(p),
+        Files.getLastModifiedTime(p).toInstant.getEpochSecond,
+        Files.getLastModifiedTime(p).toInstant.getNano)
+      val key = attrs()
+      val cached = cache.get(key)
+      if (cached != null) cached
+      else {
         val crc = new CRC32C()
         hashInto(crc, p)
-        f"${crc.getValue}%08x"
-      })
+        val hex = f"${crc.getValue}%08x"
+        if (attrs() == key) cache.put(key, hex): Unit
+        hex
+      }
     } else if (Files.isDirectory(p)) {
       // not memoized: spec-sized, and a dir has no single cheap
       // (size, mtime) change signal

@@ -10,6 +10,10 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+      case _ => // r14 review: a bare MatchError explained nothing
+        System.err.println(
+          "usage: graft.Verify <sfDir> <outDir> [q1,q2,...]")
+        sys.exit(64)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -99,6 +99,13 @@ object RelationalOps {
   def upsertLatestWins(target: DataFrame, incoming: DataFrame,
                        keys: Seq[String],
                        tiebreak: Seq[Column] = Nil): DataFrame = {
+    // reserved working names (r14 review): withColumn would silently
+    // OVERWRITE a same-named business column and drop it on the way
+    // out — loud beats a vanished column
+    Seq("_src_priority", "_rn").foreach { r =>
+      require(!target.columns.contains(r) && !incoming.columns.contains(r),
+        s"column name '$r' is reserved by upsertLatestWins; rename it")
+    }
     val unioned = target.withColumn("_src_priority", lit(1))
       .unionByName(incoming.withColumn("_src_priority", lit(0)))
     val w = Window.partitionBy(keys.map(col): _*)
@@ -173,7 +180,12 @@ object RelationalOps {
     val payloadFields = schema("data").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType]
       .elementType.asInstanceOf[StructType].fieldNames.toSeq
-    val recCols = payloadFields.filterNot(keep.contains)
+    // case-INSENSITIVE collision filter (r14 review): Spark resolves
+    // names case-insensitively by default, so a payload field
+    // "STORE_ID" next to keep("store_id") would re-open the exact
+    // AMBIGUOUS_REFERENCE this filter exists to close
+    val recCols = payloadFields
+      .filterNot(f => keep.exists(_.equalsIgnoreCase(f)))
       .map(f => col(s"_rec.$f"))
     raw.withColumn("_env", from_json(col(jsonCol), schema))
       .filter(col("_env.ret_code") === "0000")
@@ -249,6 +261,8 @@ object RelationalOps {
     // deep inside the shuffle (and sequence(0,-1) happily yields
     // [0,-1]); fail at entry, attributably
     require(salts > 0, s"salts must be positive, got $salts")
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "column name '_salt' is reserved by saltedJoin; rename it")
     val f = fact.withColumn("_salt",
       pmod(spark_partition_id().cast("long") + monotonically_increasing_id(),
         lit(salts.toLong)))
@@ -278,6 +292,8 @@ object RelationalOps {
     */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
+    require(!cols.contains("_cnt"),
+      "column name '_cnt' is reserved by profileColumns; alias it first")
     cols.map { c =>
       df.groupBy(col(c)).agg(count(lit(1)).as("_cnt"))
         .agg(
@@ -315,8 +331,14 @@ object RelationalOps {
         m.cast("double").as(s"_m${i + 1}")
       }: _*)
     val verdicts = checks.zipWithIndex.map { case ((name, _, pass), i) =>
+      // fail CLOSED on an unevaluable verdict (r14 review): a metric
+      // that aggregates to NULL (avg over an empty/all-null slice)
+      // makes pass(NULL) NULL — neither true nor false — and a caller
+      // filtering passed === false would see no failure and land the
+      // slice; NightlyRun's getBoolean would NPE instead. A gate that
+      // cannot evaluate its expectation has not passed it.
       struct(lit(name).as("check"), col(s"_m$i").as("observed"),
-        pass(col(s"_m$i")).as("passed"))
+        coalesce(pass(col(s"_m$i")), lit(false)).as("passed"))
     }
     aggd.select(explode(array(verdicts: _*)).as("_v"))
       .select(col("_v.check"), col("_v.observed"), col("_v.passed"))

@@ -58,9 +58,12 @@ object PipelineQueries {
           "doc_id", "lang", Map("en" -> 30), defaultPct = 10)),
 
     // Corpus profiling: per-column null count / exact distinct count /
-    // min / max in ONE aggregation pass + a constant unpivot — the
-    // "what did this drop actually contain" gate before any training
-    // run. Never one scan per column.
+    // min / max — the "what did this drop actually contain" gate
+    // before any training run. Plan shape: one two-phase HASH
+    // aggregation per column, unioned (profileColumns' doc has the
+    // measurement: the tempting single-pass multi-count(DISTINCT)
+    // form plans as an Expand into a SORT aggregate, 7× slower; on a
+    // columnar source the per-column passes read the same bytes).
     "q66_profile" -> ((s, d) =>
       RelationalOps.profileColumns(
         Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),

@@ -148,6 +148,40 @@ class RelationalOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { profileColumns(df, Nil) }
   }
 
+  test("reserved working names are rejected, never silently clobbered") {
+    // r14 review: withColumn would OVERWRITE a same-named business
+    // column and drop it on the way out — a column vanishing from the
+    // output with no error
+    val salted = Seq((1, 0L)).toDF("k", "_salt")
+    val plain = Seq((1, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] { saltedJoin(salted, plain, "k", 4) }
+    intercept[IllegalArgumentException] { saltedJoin(plain, salted, "k", 4) }
+    val pri = Seq((1, 9)).toDF("k", "_src_priority")
+    intercept[IllegalArgumentException] { upsertLatestWins(pri, plain, Seq("k")) }
+    intercept[IllegalArgumentException] { upsertLatestWins(plain, pri, Seq("k")) }
+    intercept[IllegalArgumentException] {
+      profileColumns(Seq(Tuple1(1)).toDF("_cnt"), Seq("_cnt"))
+    }
+  }
+
+  test("decodeEnvelope: keep shadows a payload field that differs only in CASE") {
+    // r14 review: the collision filter was case-sensitive while Spark
+    // resolution is case-insensitive by default — a payload STORE_ID
+    // next to keep("store_id") re-opened the AMBIGUOUS_REFERENCE the
+    // filter exists to close
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructType}
+    val schema = new StructType()
+      .add("ret_code", StringType)
+      .add("data", ArrayType(new StructType()
+        .add("id", LongType).add("STORE_ID", StringType)))
+    val raw = Seq(("s1", """{"ret_code":"0000","data":[{"id":7,"STORE_ID":"api"}]}"""))
+      .toDF("store_id", "payload")
+    val out = decodeEnvelope(raw, "payload", schema, keep = Seq("store_id"))
+    assert(out.columns.count(_.equalsIgnoreCase("store_id")) === 1)
+    assert(out.select("store_id", "id").as[(String, Long)].collect().toSeq ===
+      Seq(("s1", 7L)), "the work unit's coordinate wins, resolvable by name")
+  }
+
   test("decodeEnvelope: ret_code gate drops bad batches, payload fields nullable (S1)") {
     val schema = StructType(Seq(
       StructField("ret_code", StringType),
@@ -210,6 +244,23 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out("rows_min_2") === ((3.0, true)))
     assert(out("k_unique") === ((1.0, false)), "duplicate key must FAIL, not throw")
     assert(out("v_nonneg") === ((1.0, false)))
+  }
+
+  test("qualityGate fails CLOSED when a metric aggregates to NULL") {
+    // r14 review: avg over an empty slice observes NULL, pass(NULL) is
+    // NULL (neither true nor false), and a caller filtering
+    // passed === false saw no failure — the gate failed OPEN
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    val out = qualityGate(empty, Seq(
+      ("avg_sane", avg(col("v")),
+        (m: org.apache.spark.sql.Column) => m.between(0, 100)),
+      ("nonempty", count(lit(1)),
+        (m: org.apache.spark.sql.Column) => m > 0)))
+      .as[(String, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("avg_sane") === ((None, false)),
+      "an unevaluable expectation has NOT passed")
+    assert(out("nonempty") === ((Some(0.0), false)))
   }
 
   test("sumMoney is exact regardless of partitioning") {
