@@ -84,7 +84,12 @@ def load(path):
 
 
 def pick(lines, idx):
-    # 1-indexed from the front, negative from the end (like tail)
+    # 1-indexed from the front, negative from the end (like tail);
+    # 0 is not a line in this scheme — mapping it to "first" silently
+    # adjudicated against a decade-old baseline (r14 review)
+    if idx == 0:
+        sys.exit("index 0 is invalid: lines are 1-indexed "
+                 "(negatives count from the end)")
     return lines[idx - 1] if idx > 0 else lines[idx]
 
 
@@ -94,7 +99,11 @@ def main(argv):
     it = iter(argv)
     for a in it:
         if a == "--ratio":
-            ratio = float(next(it))
+            try:
+                ratio = float(next(it))
+            except (StopIteration, ValueError):
+                sys.exit("usage: bench_adjudicate.py [--ratio R] "
+                         "[BASE_IDX] [NEW_IDX]")
         else:
             args.append(int(a))
     base_idx = args[0] if len(args) > 0 else -2
@@ -120,9 +129,20 @@ def main(argv):
     # a loaded machine elevates every probe, and a query must be read
     # against the probes AROUND it in the same line
     amb = new.get("ambient", {})
-    cn_base = median([a.get("canary", 0) for a in amb.values()]) or 1e-9
-    io_base = median([a.get("io", 0) for a in amb.values()]) or 1e-9
+    # pre-ambient lines (r1-r10) have no probe block at all: degrade to
+    # the documented canary-only-or-nothing attribution instead of
+    # crashing in median([]) (r14 review)
+    cn_base = (median([a.get("canary", 0) for a in amb.values()])
+               if amb else 0) or 1e-9
+    io_base = (median([a.get("io", 0) for a in amb.values()])
+               if amb else 0) or 1e-9
     has_io = any("io" in a for a in amb.values())
+    # gc in the ambient block is the CUMULATIVE GC-ms across the whole
+    # rep loop (Bench.scala), while `added` below is a per-rep median
+    # delta — compare per-rep to per-rep or steady GC over-triggers the
+    # gc tag by a factor of reps and adjudicates real regressions as
+    # noise (r14 review)
+    gc_reps = max(1, int(new.get("reps", 1)))
 
     # self-reported storm-robust fields (r12, BenchLine.scala): every
     # full line now carries its own verdict vs the last committed
@@ -152,7 +172,11 @@ def main(argv):
     verdicts = []
     for q, nv in sorted(new["queries"].items(), key=lambda kv: -kv[1]):
         bv = base["queries"].get(q)
-        if q in excluded or bv is None or nv < MIN_SECS or nv / bv < ratio:
+        # the ratio floors the BASE at MIN_SECS too (r14 review): a
+        # 0.2s query jittering to 0.32s is scheduling noise, not a
+        # 1.6x verdict — the same convention min_ratios below applies
+        if q in excluded or bv is None or nv < MIN_SECS \
+                or nv / max(bv, MIN_SECS) < ratio:
             continue
         a = amb.get(q, {})
         sp = new.get("spread", {}).get(q, {})
@@ -165,7 +189,7 @@ def main(argv):
             tag = "external-cpu"
         elif has_io and a.get("io", 0) > IO_UP * io_base:
             tag = "disk"
-        elif a.get("gc", 0) / 1000.0 > GC_SHARE * added:
+        elif a.get("gc", 0) / 1000.0 / gc_reps > GC_SHARE * added:
             tag = "gc"
         elif min_moved:
             tag = "query-change"

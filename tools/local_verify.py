@@ -42,6 +42,13 @@ def norm_type(t: pa.DataType) -> pa.DataType:
     Everything else — crucially int vs decimal/float — must match."""
     if pa.types.is_timestamp(t):
         return pa.timestamp("us")
+    # uint64 does NOT fold to int64 (r14 review): values past 2^63-1
+    # would wrap in the astype — a wrapped-but-matching pair passing,
+    # or a spurious value diff, instead of the dtype-mismatch failure
+    # class this tool promises. Narrower unsigned widths fit int64
+    # losslessly and keep folding.
+    if pa.types.is_unsigned_integer(t) and t.bit_width == 64:
+        return t
     if pa.types.is_integer(t):
         return pa.int64()
     if pa.types.is_large_string(t) or pa.types.is_string(t):
@@ -74,12 +81,24 @@ def to_pandas_sorted(tbl: pa.Table, cols):
             if getattr(df[c].dt, "tz", None) is not None:
                 df[c] = df[c].dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]")
-        if str(df[c].dtype) in ("int8", "int16", "int32", "uint8", "uint16", "uint32", "uint64"):
+        if str(df[c].dtype) in ("int8", "int16", "int32", "uint8", "uint16", "uint32"):
             df[c] = df[c].astype("int64")
-        # lists arrive as np.ndarray cells; normalize to tuples so equals() works
+        # lists arrive as np.ndarray cells; normalize RECURSIVELY to
+        # tuples (a nested ndarray breaks tuple equality with "truth
+        # value of an array is ambiguous") and map NaN floats inside
+        # containers to one sentinel (distinct NaN objects inside
+        # tuples bypass pandas' top-level NaN handling) — r14 review
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list,)) or type(v).__name__ == "ndarray" else v)
+            df[c] = df[c].map(norm_cell)
     return df.sort_values(cols).reset_index(drop=True)
+
+
+def norm_cell(v):
+    if isinstance(v, list) or type(v).__name__ == "ndarray":
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, float) and v != v:
+        return "__nan__"
+    return v
 
 
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
@@ -101,12 +120,30 @@ for name in sorted(os.listdir(outdir)):
     qdir = os.path.join(outdir, name)
     if not os.path.isdir(qdir):
         continue
+    # a dump dir this run's manifest does not know is STALE (a
+    # previous full run into a reused outDir, overwritten by a
+    # filtered dev-loop run): treating it as rows-only printed ALL
+    # GREEN having compared nothing (r14 review)
+    if name not in expected:
+        print(f"{name}: STALE/UNKNOWN DUMP (not in this run's "
+              "queries.json/oracle_sql.json) — clear the outDir")
+        fails.append(name)
+        continue
     files = sorted(glob.glob(f"{qdir}/*.parquet"))
     if not files:
         print(f"{name}: NO SPARK OUTPUT")
         fails.append(name)
         continue
     stbl = pq.read_table(files)
+    # the decimal hazard applies to EVERY final schema, rows-only
+    # included (r14 review: the rows-only continue used to skip it
+    # exactly where no oracle compare would catch it on the driver)
+    haz_s = decimal_cols(stbl)
+    if haz_s:
+        print(f"{name}: DECIMAL IN FINAL SCHEMA ({', '.join(haz_s)}) — "
+              "driver-portability hazard; CAST the output to BIGINT/DOUBLE")
+        fails.append(name)
+        continue
     if name not in oracles:
         print(f"{name}: rows-only (no oracle) spark_rows={stbl.num_rows}")
         if stbl.num_rows == 0:
@@ -123,9 +160,9 @@ for name in sorted(os.listdir(outdir)):
     ok_schema = scols == ocols
     ok_dtype = False
     ok_hash = False
-    hazards = decimal_cols(stbl) + [c + " (oracle)" for c in decimal_cols(otbl)]
-    if hazards:
-        print(f"{name}: DECIMAL IN FINAL SCHEMA ({', '.join(hazards)}) — "
+    haz_o = [c + " (oracle)" for c in decimal_cols(otbl)]
+    if haz_o:
+        print(f"{name}: DECIMAL IN FINAL SCHEMA ({', '.join(haz_o)}) — "
               "driver-portability hazard; CAST the output to BIGINT/DOUBLE")
         fails.append(name)
         continue
