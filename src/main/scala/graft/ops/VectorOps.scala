@@ -77,7 +77,7 @@ object VectorOps {
       // NaN guard: Spark orders NaN ABOVE every real double, so a
       // zero-norm corpus vector (cos = 0/0 = NaN) would sit at rank 1
       // and displace a true neighbor
-      .filter(!isnan(col("sim")))
+      .filter(col("sim").isNotNull && !isnan(col("sim")))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -279,7 +279,7 @@ object VectorOps {
     bucketed.join(p, "_bucket") // bucket pruning: `probes` buckets scanned
       .select(col(idCol),
         round(nativeCosine(col("_v"), col("_probe_vec")), 6).as("sim"))
-      .filter(!isnan(col("sim"))) // zero-norm rows must not outrank sim=1.0
+      .filter(col("sim").isNotNull && !isnan(col("sim"))) // zero-norm rows must not outrank sim=1.0
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -301,7 +301,7 @@ object VectorOps {
       centroids.join(p)
         .select(col(labelCol),
           nativeCosine(col("_centroid"), col("_probe_vec")).as("_csim"))
-        .filter(!isnan(col("_csim"))) // a zero-mean cell must not hog a probe slot
+        .filter(col("_csim").isNotNull && !isnan(col("_csim"))) // a zero-mean cell must not hog a probe slot
         .orderBy(col("_csim").desc, col(labelCol))
         .limit(nprobe)
         .select(col(labelCol)))
@@ -310,7 +310,7 @@ object VectorOps {
       // registry cast handles the float→double widening (see cosineTopK)
       .select(col(idCol),
         round(nativeCosine(col(vecCol), col("_probe_vec")), 6).as("sim"))
-      .filter(!isnan(col("sim")))
+      .filter(col("sim").isNotNull && !isnan(col("sim")))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }

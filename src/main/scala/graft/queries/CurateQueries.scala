@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** q86–q91: round-6 corpus-governance tier — the operators that sit
+/** q86–q91 + q93 (incremental near-dup): corpus-governance tier — the
+  * operators that sit
   * between "the corpus is deduplicated" (§2h) and "the corpus may
   * ship": PII pseudonymization with a k-anonymity release gate,
   * proportional per-source quota sampling (largest-remainder),
@@ -67,9 +68,13 @@ object CurateQueries {
         .withColumn("_fr", expr(s"($budget * n) % _tot"))
       val withRem = withTot.crossJoin(
         broadcast(withTot.agg((lit(budget) - sum(col("_q0"))).as("_rem"))))
-      // global window over the #sources-row quota relation only
+      // global window over the #sources-row quota relation only.
+      // asc_nulls_last EXPLICITLY (r14 review): Spark's bare asc sorts
+      // nulls FIRST, DuckDB's default is NULLS LAST — a NULL-source
+      // group tying on _fr with a named source near the remainder cut
+      // would hand the +1 quota to different sources per engine
       val rk = row_number().over(
-        Window.orderBy(col("_fr").desc, col("source")))
+        Window.orderBy(col("_fr").desc, col("source").asc_nulls_last))
       val quotas = withRem
         .withColumn("quota",
           col("_q0") + when(rk <= col("_rem"), 1L).otherwise(0L))
@@ -182,22 +187,28 @@ object CurateQueries {
       def bands(x: DataFrame) = TextOps.lshBands(
         TextOps.minhashSignatures(x, "doc_id", "sh", 32),
         "doc_id", "sig", 16, 2)
-      if (!graft.ops.StagedArtifact.committed(shP) ||
-          !graft.ops.StagedArtifact.committed(bandP)) {
-        // both-halves-or-REBUILD-BOTH (ArtifactGateSpec): a crash
-        // between the sub-writes retires the surviving half too, so
-        // the pair is always from one build; each half then installs
-        // via stage-and-rename so concurrent builders can't
-        // interleave writes inside one half
-        def rmDir(p: String): Unit = graft.ops.FsOps.rmTree(new java.io.File(p))
-        rmDir(shP); rmDir(bandP)
+      // BOTH halves install under ONE base-level stage-and-rename
+      // (r14 review): the old shape gated each half separately and,
+      // on a missing half, rmTree'd the LIVE shared paths in place —
+      // a concurrent session could tear down a half another session
+      // had just committed (or was mid-reading), exactly the
+      // multi-step-delete-in-the-live-path hazard StagedArtifact
+      // exists to close. One base gate = both-halves-or-neither for
+      // free: a crash between the sub-writes leaves a markerless
+      // stage (never installed), a crashed old-layout residue has no
+      // base _SUCCESS and is evicted by rename-aside, and concurrent
+      // builders race through the hammered install protocol.
+      if (!graft.ops.StagedArtifact.committed(base)) {
         val shS = graft.ops.Materialize.once("q93.shS",
           Tables.documents(s, d).select(col("doc_id"),
             TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("sh")))
-        graft.ops.StagedArtifact.writeOnce(shP)(stage =>
-          shS.write.mode("overwrite").parquet(stage))
-        graft.ops.StagedArtifact.writeOnce(bandP)(stage =>
-          bands(shS).write.mode("overwrite").parquet(stage))
+        graft.ops.StagedArtifact.writeOnce(base) { stage =>
+          shS.write.parquet(s"$stage/shingles")
+          bands(shS).write.parquet(s"$stage/bands")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(stage, "_SUCCESS"),
+            Array.empty[Byte]): Unit
+        }
       }
       val shS = s.read.parquet(shP)
       val delta = Tables.documents(s, d)

@@ -118,8 +118,13 @@ object ServeQueries {
         .groupBy(floor(datediff(to_date(col("ts")), to_date(lit("1970-01-05"))) / 7)
           .cast("long").as("week"))
         .agg(countDistinct(col("user_id")).as("n_users"))
-      weekly.join(exact, "week")
-        .select(col("week"), col("n_users"),
+      // null-SAFE join key (r14 review): a NULL ts makes week NULL on
+      // both sides; plain equality drops that group while the oracle's
+      // GROUP BY emits it — and q27 keeps its null group, so dropping
+      // here would also break the suite's null-group convention.
+      // Fixture ts is non-null today; this pins the drift class.
+      weekly.join(exact, weekly("week") <=> exact("week"))
+        .select(weekly("week").as("week"), col("n_users"),
           (abs(col("_est") - col("n_users")) <=
             greatest(lit(2L), (col("n_users") * 0.05).cast("long"))).as("within_tol"))
     }),
@@ -224,8 +229,19 @@ object ServeQueries {
     "q106_variant_extract" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_type"), try_parse_json(col("props")).as("v"))
+        // integral-only long (r14 review): extracting straight to
+        // 'long' CASTS a JSON double through double→long (50.7 → 50,
+        // fraction truncation is a legal cast) while the oracle's
+        // TRY_CAST('50.7' AS BIGINT) is NULL in DuckDB — a
+        // non-integral k is "not a long", not a truncation. Extract
+        // the typed double, keep it only when exact. (Longs past 2^53
+        // would lose precision through the double; event payloads
+        // here are small counters by contract.)
         .select(col("event_type"),
-          try_variant_get(col("v"), "$.k", "long").as("k"))
+          try_variant_get(col("v"), "$.k", "double").as("_kd"))
+        .select(col("event_type"),
+          when(col("_kd") === floor(col("_kd")), col("_kd").cast("long"))
+            .as("k"))
         .filter(col("k") >= 50)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
@@ -328,12 +344,18 @@ object ServeQueries {
           !new java.io.File(s"$sink/_SUCCESS").exists())
         s.sql(s"DROP TABLE $tbl")
       if (!s.catalog.tableExists(tbl)) {
-        if (!new java.io.File(s"$sink/_SUCCESS").exists())
+        // stage-and-rename like every other shared content-keyed
+        // artifact (r14 review): a direct overwrite into the shared
+        // sink let two JVMs' delete/commit phases interleave a mixed
+        // part-file set under a valid _SUCCESS that the content key
+        // then never invalidates — the exact pre-r12 failure
+        // StagedArtifact closed for q35/q56/q93
+        graft.ops.StagedArtifact.writeOnce(sink)(stage =>
           Tables.orders(s, d)
             .select(col("o_orderkey"), col("o_totalprice"),
               date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
             .repartition(col("order_month"))
-            .write.partitionBy("order_month").mode("overwrite").parquet(sink)
+            .write.partitionBy("order_month").mode("overwrite").parquet(stage))
         s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
         // explicit columns + PARTITIONED BY, never inference: over an
         // empty sink (zero partition dirs) schema inference throws
@@ -353,8 +375,14 @@ object ServeQueries {
         // lookup (LocalTableScan, no job), so the steady state stays
         // zero-job while the half-registered state self-heals.
         s.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
-      val monthDim = Tables.orders(s, d)
-        .select(date_format(col("o_orderdate"), "yyyy-MM").as("m")).distinct()
+      // month dim from SHOW PARTITIONS — a pure catalog lookup
+      // (LocalTableScan, zero jobs), not a re-scan (r14 review: the
+      // old distinct over the raw orders table paid a full fact scan
+      // + shuffle per invocation to derive ~84 rows that ARE the
+      // partition list — forfeiting at the dim exactly the
+      // full-relisting cost DPP saves at the fact)
+      val monthDim = s.sql(s"SHOW PARTITIONS $tbl")
+        .select(regexp_replace(col("partition"), "^order_month=", "").as("m"))
         .withColumn("qtr", concat(substring(col("m"), 1, 4), lit("-Q"),
           ((substring(col("m"), 6, 2).cast("int") - 1) / 3 + 1).cast("int")))
       s.table(tbl)

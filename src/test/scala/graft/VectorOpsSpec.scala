@@ -250,6 +250,22 @@ class VectorOpsSpec extends SparkSpec {
       "NULL input must stay NULL in both forms")
   }
 
+  test("NULL embeddings never surface in top-k output (isnan(NULL) is false, not true)") {
+    // r14 review: graft_cosine returns NULL (not NaN) for null/ragged
+    // vectors, and !isnan(NULL) evaluates to... NULL→false→kept by
+    // the old filter only through the not — concretely, the NULL sim
+    // rows survived the NaN guard and, when rankable rows were fewer
+    // than k, padded the top-k with (id, NULL) rows the oracle drops
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, null: Seq[Double]), (3L, Seq(0.5)))
+      .toDF("id", "v") // id 2 NULL, id 3 ragged → both sim NULL
+    val probe = Seq(Tuple1(Seq(1.0, 0.0))).toDF("v")
+    val top = VectorOps.cosineTopK(corpus, probe, "id", "v", 3)
+      .as[(Long, Double)].collect()
+    assert(top.map(_._1).toSeq === Seq(1L),
+      s"NULL-sim rows must be dropped, not padded in: ${top.toSeq}")
+  }
+
   test("rhpBucket: bits past a long's width fail fast instead of aliasing planes") {
     intercept[IllegalArgumentException] {
       VectorOps.rhpBucket(col("v"), 65)
