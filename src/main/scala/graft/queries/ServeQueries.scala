@@ -233,14 +233,17 @@ object ServeQueries {
         // 'long' CASTS a JSON double through double→long (50.7 → 50,
         // fraction truncation is a legal cast) while the oracle's
         // TRY_CAST('50.7' AS BIGINT) is NULL in DuckDB — a
-        // non-integral k is "not a long", not a truncation. Extract
-        // the typed double, keep it only when exact. (Longs past 2^53
-        // would lose precision through the double; event payloads
-        // here are small counters by contract.)
+        // non-integral k is "not a long", not a truncation. Route
+        // through the variant's STRING rendering + try_cast: a JSON
+        // integer renders "50" → 50, a double "50.7" → NULL, exactly
+        // the oracle's props->>'$.k' text path — and the expression
+        // keeps ONE variant extraction per reference, same cost shape
+        // as the pre-fix form (a double+floor integral check was
+        // measured 3× slower: predicate pushdown substitutes the
+        // projection into the filter and every extra reference
+        // re-evaluates the non-codegen parse).
         .select(col("event_type"),
-          try_variant_get(col("v"), "$.k", "double").as("_kd"))
-        .select(col("event_type"),
-          when(col("_kd") === floor(col("_kd")), col("_kd").cast("long"))
+          try_variant_get(col("v"), "$.k", "string").try_cast("bigint")
             .as("k"))
         .filter(col("k") >= 50)
         .groupBy(col("event_type"))
