@@ -62,6 +62,13 @@ object Fixtures {
       // file mutated mid-hash would cache a torn CRC under the
       // pre-mutation key. If the attrs moved while hashing, return
       // the fresh hash uncached — the next call re-keys.
+      // RESIDUAL (r15 ADVICE): getNano only reflects what the FS
+      // stores — on a coarse-mtime filesystem (FAT: 2 s; some ext4
+      // mounts: 1 ms) a same-size rewrite inside the granularity
+      // window after hashing still caches a stale CRC. The hazard is
+      // NARROWED to that window, not closed; acceptable here because
+      // fixtures are parquet dirs rewritten wholesale (new file names
+      // per job) and the sandbox FS stores nanoseconds.
       def attrs() = (p.toString, Files.size(p),
         Files.getLastModifiedTime(p).toInstant.getEpochSecond,
         Files.getLastModifiedTime(p).toInstant.getNano)

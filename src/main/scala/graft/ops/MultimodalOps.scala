@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
+  /** Minimum age before an orphaned `.tmp` export file is considered
+    * residue rather than another session's in-flight write — see the
+    * sweep in [[writeBinaryFiles]]. The spec exercises both arms by
+    * back-dating a file's mtime, so the constant stays fixed.
+    */
+  private[graft] val tmpSweepAge: java.time.Duration =
+    java.time.Duration.ofMinutes(10)
+
   /** Typed record entering the decode stage: id + opaque media bytes. */
   final case class MediaRecord(media_id: Long, payload: Array[Byte])
 
@@ -155,17 +163,24 @@ object MultimodalOps {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     // reclaim orphaned tmp files from PRIOR exports (r14 review): a
     // task killed between write and move leaves its uuid-named tmp
-    // forever — retries never reuse the name. Swept here on the
-    // driver BEFORE any task starts, the only moment no live attempt
-    // can own a tmp (an in-job sweep could delete a speculative
-    // twin's file mid-write). Residue from THIS job, if it crashes,
-    // is bounded by one file per dead attempt and reclaimed by the
-    // next export to the same dir.
+    // forever — retries never reuse the name. Swept on the driver
+    // BEFORE any task starts, so no tmp of THIS job's live attempts
+    // can be hit — but the export dir is deliberately shared ACROSS
+    // sessions (q72 runs concurrently under Verify and the sweep),
+    // and a pre-job sweep in one JVM says nothing about another JVM's
+    // in-flight attempts (r15, ADVICE). So the sweep is AGE-GATED:
+    // only tmps older than `tmpSweepAge` are residue — a live attempt
+    // holds its tmp for the milliseconds between one Files.write and
+    // the atomic move, never minutes. Fresh tmps are left for the
+    // next export to reclaim once aged.
+    val cutoff = java.time.Instant.now().minus(tmpSweepAge)
     scala.util.Using.resource(
       java.nio.file.Files.list(java.nio.file.Paths.get(dir))) { s =>
       s.forEach { q =>
         val nm = q.getFileName.toString
-        if (nm.startsWith(".") && nm.endsWith(".tmp"))
+        if (nm.startsWith(".") && nm.endsWith(".tmp") &&
+            java.nio.file.Files.getLastModifiedTime(q).toInstant
+              .isBefore(cutoff))
           java.nio.file.Files.deleteIfExists(q): Unit
       }
     }

@@ -180,12 +180,21 @@ object RelationalOps {
     val payloadFields = schema("data").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType]
       .elementType.asInstanceOf[StructType].fieldNames.toSeq
-    // case-INSENSITIVE collision filter (r14 review): Spark resolves
-    // names case-insensitively by default, so a payload field
-    // "STORE_ID" next to keep("store_id") would re-open the exact
-    // AMBIGUOUS_REFERENCE this filter exists to close
+    // collision filter matching the SESSION's resolution rule (r14
+    // review, tightened r15 ADVICE): under the default
+    // spark.sql.caseSensitive=false a payload field "STORE_ID" next to
+    // keep("store_id") would re-open the exact AMBIGUOUS_REFERENCE this
+    // filter exists to close — so compare case-insensitively. But under
+    // caseSensitive=true those are DISTINCT columns the analyzer
+    // resolves fine, and an unconditional ignore-case filter would
+    // silently drop a genuine payload field — so compare exactly.
+    val caseSensitive = raw.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    val collides: String => Boolean =
+      if (caseSensitive) f => keep.contains(f)
+      else f => keep.exists(_.equalsIgnoreCase(f))
     val recCols = payloadFields
-      .filterNot(f => keep.exists(_.equalsIgnoreCase(f)))
+      .filterNot(collides)
       .map(f => col(s"_rec.$f"))
     raw.withColumn("_env", from_json(col(jsonCol), schema))
       .filter(col("_env.ret_code") === "0000")

@@ -154,12 +154,18 @@ object TextOps {
     // either blow the self-join up quadratically or (capped) silently
     // contribute nothing. A LONGER signature is fine by design: the
     // tail minhashes beyond bands*rows are deliberately unused.
+    // A NULL signature is a doc with no minhashes (empty/null text) —
+    // it can share no bucket, so it is DROPPED here rather than routed
+    // into the guard (r15 ADVICE: size(NULL) is NULL, so the guard's
+    // condition went NULL→otherwise and raised with a NULL-concat
+    // message; pre-r14 such docs emitted null band keys that never
+    // equi-joined — dropping them is candidate-equivalent and cheaper).
     val need = bands * rows
     val sig = when(size(col(sigCol)) >= need, col(sigCol))
       .otherwise(raise_error(concat(
         lit(s"lshBands: signature shorter than bands*rows=$need: "),
         size(col(sigCol)).cast("string"))))
-    docs.select(col(idCol), explode(
+    docs.where(col(sigCol).isNotNull).select(col(idCol), explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_idx"),
             aggregate(slice(sig, b * rows + 1, lit(rows)), lit(0L),

@@ -117,6 +117,33 @@ class BenchLineSpec extends AnyFunSuite {
     assert(msSix.n === 5 && msSix.verdict === "calm")
   }
 
+  test("floor_band: record across ANY boot, ×1.2 width; gated on same " +
+       "fixtures, exact query set, and no failed queries") {
+    // r15 VERDICT item 4: the band anchors a line to the code's
+    // demonstrated floor even when the same-boot machine_state
+    // comparison says nothing. Three committed lines: boot 50 at
+    // min-sum S, boot 999 at 0.8×S (the record — other boot, still
+    // counts), and a line with a failed query (excluded).
+    val keys = calmQs.keySet
+    val minSum = calmQs.values.map(_._2).sum
+    val fast = calmQs.map { case (k, (med, mn)) => k -> (med, mn * 0.8) }
+    val failedLine = mkLine(300, 50, "abc",
+      calmQs.map { case (k, (med, mn)) => k -> (med, mn * 0.1) })
+      .replace(""","sf":"x"""", ""","failed":{"q1":3},"sf":"x"""")
+    val hist = BenchLine.parseBaselines(Seq(
+      mkLine(100, 50, "abc", calmQs),
+      mkLine(200, 999, "abc", fast),
+      failedLine,
+      mkLine(400, 50, "other_fixtures", fast)))
+    val Some((lo, hi)) = BenchLine.floorBand(hist, "abc", keys)
+    assert(math.abs(lo - minSum * 0.8) < 1e-9, s"record is the ANY-boot min: $lo")
+    assert(math.abs(hi - lo * BenchLine.MinShift) < 1e-9)
+    // different query set (surface changed) ⇒ sums not comparable
+    assert(BenchLine.floorBand(hist, "abc", keys + "q_new").isEmpty)
+    // no comparable fixtures ⇒ absent, never a wrong band
+    assert(BenchLine.floorBand(hist, "zzz", keys).isEmpty)
+  }
+
   test("machine-state json fragment omits absent sub-fields") {
     assert(BenchLine.MachineState("no-baseline", None, 0, None).json ===
       """{"verdict":"no-baseline","n":0}""")

@@ -87,19 +87,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq === expect, s"got ${out.toSeq}")
   }
 
-  test("writeBinaryFiles sweeps orphaned tmp residue from prior exports") {
+  test("writeBinaryFiles sweeps AGED tmp residue but spares fresh tmps " +
+       "(another session's in-flight write, r15 ADVICE)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_export_tmp_").toString
     try {
-      // a "dead attempt" from a previous job: uuid-named, never moved
+      // a "dead attempt" from a previous job: uuid-named, never moved,
+      // back-dated past the sweep age
+      val old = java.nio.file.Paths.get(dir, ".old.bin.deadbeef.tmp")
+      java.nio.file.Files.write(old, Array[Byte](1))
+      java.nio.file.Files.setLastModifiedTime(old,
+        java.nio.file.attribute.FileTime.from(java.time.Instant.now()
+          .minus(MultimodalOps.tmpSweepAge.plusMinutes(1))))
+      // a FRESH tmp: indistinguishable from a concurrent session's
+      // in-flight write — the sweep must leave it alone (deleting it
+      // would fail that session's rename mid-job)
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(dir, ".old.bin.deadbeef.tmp"), Array[Byte](1))
+        java.nio.file.Paths.get(dir, ".live.bin.cafebabe.tmp"), Array[Byte](2))
       MultimodalOps.writeBinaryFiles(
         Seq(("new.bin", Array[Byte](5))).toDF("name", "payload"),
         "name", "payload", dir)
       val names = new java.io.File(dir).listFiles.map(_.getName).toSet
-      assert(names === Set("new.bin"),
-        s"prior-job tmp residue must be reclaimed: $names")
+      assert(names === Set("new.bin", ".live.bin.cafebabe.tmp"),
+        s"aged residue reclaimed, fresh tmp spared: $names")
     } finally {
       graft.ops.FsOps.rmTree(new java.io.File(dir))
     }

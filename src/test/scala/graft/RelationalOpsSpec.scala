@@ -182,6 +182,30 @@ class RelationalOpsSpec extends SparkSpec {
       Seq(("s1", 7L)), "the work unit's coordinate wins, resolvable by name")
   }
 
+  test("decodeEnvelope: under caseSensitive=true a distinct-case payload field SURVIVES") {
+    // r15 ADVICE: the r14 ignore-case collision filter ran
+    // unconditionally, so a caseSensitive=true session — where
+    // STORE_ID and store_id are genuinely distinct, analyzable
+    // columns — silently lost the payload field. The filter must
+    // follow the session's resolution rule.
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructType}
+    val schema = new StructType()
+      .add("ret_code", StringType)
+      .add("data", ArrayType(new StructType()
+        .add("id", LongType).add("STORE_ID", StringType)))
+    val raw = Seq(("s1", """{"ret_code":"0000","data":[{"id":7,"STORE_ID":"api"}]}"""))
+      .toDF("store_id", "payload")
+    val prev = spark.conf.get("spark.sql.caseSensitive", "false")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      val out = decodeEnvelope(raw, "payload", schema, keep = Seq("store_id"))
+      assert(out.columns.toSeq === Seq("store_id", "id", "STORE_ID"),
+        s"distinct-case payload field must survive: ${out.columns.toSeq}")
+      assert(out.select("store_id", "id", "STORE_ID")
+        .as[(String, Long, String)].collect().toSeq === Seq(("s1", 7L, "api")))
+    } finally spark.conf.set("spark.sql.caseSensitive", prev)
+  }
+
   test("decodeEnvelope: ret_code gate drops bad batches, payload fields nullable (S1)") {
     val schema = StructType(Seq(
       StructField("ret_code", StringType),

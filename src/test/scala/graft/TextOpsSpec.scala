@@ -143,6 +143,18 @@ class TextOpsSpec extends SparkSpec {
     assert(ok.length === 2, "k >= bands*rows stays legal")
   }
 
+  test("lshBands: a NULL signature is dropped, not raised with a null message") {
+    // r15 ADVICE: size(NULL) is NULL, so the short-sig guard's when()
+    // went NULL→otherwise and raised with a NULL-concat (null-message)
+    // error. A null-sig doc (empty/null text) can share no bucket;
+    // drop it. The non-null doc still bands normally alongside it.
+    val sigs = Seq((1L, Option.empty[Seq[Long]]), (2L, Some(Seq(1L, 2L, 3L, 4L))))
+      .toDF("doc_id", "sig")
+    val out = TextOps.lshBands(sigs, "doc_id", "sig", bands = 2, rows = 2)
+      .select("doc_id").as[Long].collect()
+    assert(out.toSet === Set(2L), s"null-sig doc dropped, got ${out.toSeq}")
+  }
+
   test("simhash64: identical text ⇒ equal; near-dup ⇒ small Hamming; unrelated ⇒ large") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near = base + " extra"

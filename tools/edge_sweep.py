@@ -48,6 +48,17 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORK = sys.argv[1] if len(sys.argv) > 1 else "/tmp/edge_sweep"
 VARIANTS = ["mixed", "skew", "empty", "onerow", "nulls", "extremes", "unicode"]
+# The sweep's EXIT CONTRACT (r15, VERDICT item 6): the standing green
+# claim is "7 variants × 113 queries", so the variant set itself is
+# part of the contract — a future edit that drops a variant from
+# VARIANTS, or a fixture-generator change that silently stops writing
+# one, must fail the sweep loudly instead of shrinking the claim.
+# Deliberately a SECOND copy of the list: changing the sweep's scope
+# requires touching both, i.e. it cannot happen by accident.
+CONTRACT_VARIANTS = frozenset(
+    ["mixed", "skew", "empty", "onerow", "nulls", "extremes", "unicode"])
+CONTRACT_TABLES = ["region", "nation", "customer", "supplier", "part",
+                   "orders", "lineitem", "events", "documents", "embeddings"]
 Q72_DIR = "/tmp/graft_q72_files"
 # rows-only queries allowed to return 0 rows on the EMPTY variant, by
 # name: q30's banded self-join legitimately finds no pairs in no docs
@@ -67,6 +78,22 @@ def main():
     r = run([sys.executable, "tools/edge_fixtures.py", fixdir])
     if r.returncode != 0:
         print(r.stdout, r.stderr)
+        return 1
+    # exit-contract check BEFORE any variant runs: the sweep must
+    # cover exactly CONTRACT_VARIANTS, and every variant dir must hold
+    # all ten tables — a missing dir/table means the generator and the
+    # claim have drifted apart.
+    if set(VARIANTS) != CONTRACT_VARIANTS:
+        print("EDGE SWEEP CONTRACT VIOLATION: VARIANTS=%s != contract=%s"
+              % (sorted(VARIANTS), sorted(CONTRACT_VARIANTS)))
+        return 1
+    missing = [
+        os.path.join(v, t + ".parquet")
+        for v in VARIANTS for t in CONTRACT_TABLES
+        if not os.path.exists(os.path.join(fixdir, v, t + ".parquet"))]
+    if missing:
+        print("EDGE SWEEP CONTRACT VIOLATION: generator did not produce: %s"
+              % ", ".join(missing))
         return 1
     failures = {}
     for v in VARIANTS:
