@@ -178,11 +178,20 @@ object Bench {
     // vs_floor = this line's min-sum over the record. Absent on
     // subset runs (their sums measure a different suite context) and
     // when no comparable full line exists.
+    // cross_floor (r15): the quiesce experiment showed aged-boot lines
+    // inflate via stall SAMPLING (different rows each run), so the
+    // per-query floor summed across lines is the truthful code floor —
+    // three 44-49s lines combined to 38.1, in band. vs_cross anchors
+    // this line against that, the strictest demonstrated reference.
+    val keySet = results.map(_._1).toSet
     val floorField = (if (only.isEmpty)
-      BenchLine.floorBand(baselines, fixtures, results.map(_._1).toSet)
+      BenchLine.floorBand(baselines, fixtures, keySet)
     else None) match {
       case Some((lo, hi)) =>
-        s""","floor_band":[${r4(lo)},${r4(hi)}],"vs_floor":${r4(totalMin / lo)}"""
+        val cross = BenchLine.crossFloor(baselines, fixtures, keySet)
+          .map(cf => s""","cross_floor":${r4(cf)},"vs_cross":${r4(totalMin / cf)}""")
+          .getOrElse("")
+        s""","floor_band":[${r4(lo)},${r4(hi)}],"vs_floor":${r4(totalMin / lo)}$cross"""
       case None => ""
     }
     // query names are [A-Za-z0-9_]+ (same argument as onlyField), so

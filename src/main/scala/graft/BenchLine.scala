@@ -192,6 +192,33 @@ object BenchLine {
     else { val lo = sums.min; Some((lo, lo * MinShift)) }
   }
 
+  /** Cross-line per-query floor (r15 quiesce experiment): on an aged
+    * boot, a single line's min-sum is inflated by STALL SAMPLING —
+    * each run catches a different subset of queries mid-stall — so
+    * even the best single-line min-sum (floorBand's `lo`) overstates
+    * the code's demonstrated cost. The truthful reference is the sum
+    * over queries of the minimum per-query min across ALL comparable
+    * committed lines: r15 measured three late-boot lines at 44.3/45.6/
+    * 49.0 min-sum whose cross-line combination lands at 38.1, inside
+    * the committed band. Comparability mirrors floorBand (same
+    * fixture bytes, full-suite lines only — parseBaselines already
+    * drops subset lines) but deliberately does NOT require an exact
+    * key-set match per line: each query's floor is its own evidence.
+    * Per-query failed exclusions apply (a time-to-fail min is not a
+    * floor). None unless EVERY current key has at least one committed
+    * floor — a partial sum would silently compare different suites. */
+  def crossFloor(history: Seq[Baseline], fixtures: String,
+                 keys: Set[String]): Option[Double] = {
+    val floors = keys.toSeq.flatMap { q =>
+      val ms = history.collect {
+        case b if b.fixtures == fixtures && !b.failed.contains(q) &&
+          b.mins.contains(q) => b.mins(q)
+      }
+      if (ms.isEmpty) None else Some(ms.min)
+    }
+    if (floors.size == keys.size && keys.nonEmpty) Some(floors.sum) else None
+  }
+
   /** Count of queries whose (canary, io) probes read elevated against
     * this line's own probe medians — the adjudicator's per-query
     * elevation rule applied intra-line. */

@@ -178,10 +178,19 @@ object MultimodalOps {
       java.nio.file.Files.list(java.nio.file.Paths.get(dir))) { s =>
       s.forEach { q =>
         val nm = q.getFileName.toString
-        if (nm.startsWith(".") && nm.endsWith(".tmp") &&
+        if (nm.startsWith(".") && nm.endsWith(".tmp")) {
+          // the tmp can vanish between list and stat — its owner
+          // completes the atomic move, or a concurrent sweep reclaims
+          // it first (r15 review: an unguarded stat here threw
+          // NoSuchFileException and failed the WHOLE export, the very
+          // cross-JVM interleaving the age gate exists to survive). A
+          // vanished tmp needs nothing from us either way.
+          val aged = try {
             java.nio.file.Files.getLastModifiedTime(q).toInstant
-              .isBefore(cutoff))
-          java.nio.file.Files.deleteIfExists(q): Unit
+              .isBefore(cutoff)
+          } catch { case _: java.io.IOException => false }
+          if (aged) java.nio.file.Files.deleteIfExists(q): Unit
+        }
       }
     }
     df.select(col(nameCol).cast("string"), col(payloadCol).cast("binary"))

@@ -144,6 +144,43 @@ class BenchLineSpec extends AnyFunSuite {
     assert(BenchLine.floorBand(hist, "zzz", keys).isEmpty)
   }
 
+  test("cross_floor: per-query minima combine ACROSS lines; failed and " +
+       "uncovered queries gate it") {
+    // r15 quiesce experiment: aged-boot lines inflate via stall
+    // SAMPLING — each run stalls a different subset — so the honest
+    // code floor is the per-query min across lines, not any single
+    // line's min-sum. Two lines, each with one query 2× slower than
+    // the other line's reading: the cross floor takes the better half
+    // of each and beats both single-line sums.
+    val keys = calmQs.keySet
+    val slowQ1 = calmQs.map { case (k, (md, mn)) =>
+      k -> (md, if (k == "q1") mn * 2 else mn) }
+    val slowQ2 = calmQs.map { case (k, (md, mn)) =>
+      k -> (md, if (k == "q2") mn * 2 else mn) }
+    val hist = BenchLine.parseBaselines(Seq(
+      mkLine(100, 50, "abc", slowQ1), mkLine(200, 999, "abc", slowQ2)))
+    val trueFloor = calmQs.values.map(_._2).sum
+    val Some(cf) = BenchLine.crossFloor(hist, "abc", keys)
+    assert(math.abs(cf - trueFloor) < 1e-9,
+      s"cross floor combines the best per-query mins: $cf vs $trueFloor")
+    assert(hist.map(_.mins.values.sum).forall(_ > cf + 1e-9),
+      "every single line's min-sum sits above the cross floor")
+    // a query failed in a line: that line contributes no floor for it,
+    // but its OTHER queries still count
+    val failedLine = mkLine(300, 50, "abc",
+      calmQs.map { case (k, (md, mn)) => k -> (md, mn * 0.01) })
+      .replace(""","sf":"x"""", ""","failed":{"q1":3},"sf":"x"""")
+    val hist2 = BenchLine.parseBaselines(Seq(mkLine(100, 50, "abc", calmQs), failedLine))
+    val Some(cf2) = BenchLine.crossFloor(hist2, "abc", keys)
+    // q1's 0.01× time-to-fail min is ignored; the others take 0.01×
+    val expected = calmQs("q1")._2 + (trueFloor - calmQs("q1")._2) * 0.01
+    assert(math.abs(cf2 - expected) < 1e-9)
+    // any current key with NO committed floor ⇒ absent, never partial
+    assert(BenchLine.crossFloor(hist, "abc", keys + "q_new").isEmpty)
+    assert(BenchLine.crossFloor(hist, "zzz", keys).isEmpty)
+    assert(BenchLine.crossFloor(hist, "abc", Set.empty).isEmpty)
+  }
+
   test("machine-state json fragment omits absent sub-fields") {
     assert(BenchLine.MachineState("no-baseline", None, 0, None).json ===
       """{"verdict":"no-baseline","n":0}""")

@@ -104,12 +104,21 @@ class MultimodalSpec extends SparkSpec {
       // would fail that session's rename mid-job)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, ".live.bin.cafebabe.tmp"), Array[Byte](2))
+      // a tmp that VANISHES between list and stat (r15 review): its
+      // owner's atomic move, or a concurrent sweep, can remove it
+      // mid-iteration. A dangling symlink makes the stat throw
+      // NoSuchFileException deterministically — the sweep must treat
+      // "gone" as done, not fail the whole export.
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(dir, ".gone.bin.0ddba11.tmp"),
+        java.nio.file.Paths.get(dir, "never-existed"))
       MultimodalOps.writeBinaryFiles(
         Seq(("new.bin", Array[Byte](5))).toDF("name", "payload"),
         "name", "payload", dir)
       val names = new java.io.File(dir).listFiles.map(_.getName).toSet
-      assert(names === Set("new.bin", ".live.bin.cafebabe.tmp"),
-        s"aged residue reclaimed, fresh tmp spared: $names")
+      assert(names === Set("new.bin", ".live.bin.cafebabe.tmp",
+          ".gone.bin.0ddba11.tmp"),
+        s"aged residue reclaimed, fresh tmp spared, vanished tmp skipped: $names")
     } finally {
       graft.ops.FsOps.rmTree(new java.io.File(dir))
     }
