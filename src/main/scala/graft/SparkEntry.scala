@@ -69,8 +69,7 @@ object SparkEntry {
       "responsible", "chain_no", Seq(1L, 2L, 3L), "직영")
 
     // 6. atomic date-partitioned refresh, then serve the re-read.
-    val sink = s"${System.getProperty("java.io.tmpdir")}/graft_entry_mart_" +
-      spark.sparkContext.applicationId
+    val sink = graft.ops.AppScratch.path(spark, "entry_mart")
     val mart = filled.withColumn("sale_month",
       date_format(col("sale_dy"), "yyyy-MM"))
     mart.write.partitionBy("sale_month").mode("overwrite").parquet(sink)

@@ -127,8 +127,7 @@ object ExtQueries {
     // is what makes q03's BETWEEN cheap at 100 TB. Unique sink path
     // per application — no cross-session overwrite race.
     "q41_partitioned_write" -> ((s, d) => {
-      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q41_part_" +
-        s.sparkContext.applicationId
+      val sink = graft.ops.AppScratch.path(s, "q41_part")
       val mart = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"),
           date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
@@ -164,8 +163,7 @@ object ExtQueries {
     // inference, mirroring the reference's fixed DB schema as the only
     // typed boundary). Unique path per application.
     "q43_csv_roundtrip" -> ((s, d) => {
-      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q43_csv_" +
-        s.sparkContext.applicationId
+      val sink = graft.ops.AppScratch.path(s, "q43_csv")
       Tables.nation(s, d).write.mode("overwrite")
         .option("header", "true").csv(sink)
       // multiLine: the writer QUOTES fields carrying the delimiter or a

@@ -78,8 +78,7 @@ object PipelineQueries {
     // a 100-TB table. The graded surface is the round trip: bounded
     // read-back over the sorted layout, aggregated per month.
     "q67_sorted_layout" -> ((s, d) => {
-      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q67_" +
-        s.sparkContext.applicationId
+      val sink = graft.ops.AppScratch.path(s, "q67")
       Tables.lineitem(s, d)
         .select(col("l_shipdate"), col("l_quantity"), col("l_extendedprice"),
           col("l_discount"))
@@ -105,8 +104,7 @@ object PipelineQueries {
     // is OPTIMIZE ZORDER done with a plain repartitionByRange+sort
     // write — no table format required.
     "q92_zorder_layout" -> ((s, d) => {
-      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q92_" +
-        s.sparkContext.applicationId
+      val sink = graft.ops.AppScratch.path(s, "q92")
       val base = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderdate").cast("date").as("day"), col("o_totalprice"))
@@ -166,8 +164,7 @@ object PipelineQueries {
     // mergeSchema read is the declarative alternative; partition
     // discovery (gen=N directories) doubles as the generation tag.
     "q70_schema_evolution" -> ((s, d) => {
-      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q70_" +
-        s.sparkContext.applicationId
+      val sink = graft.ops.AppScratch.path(s, "q70")
       val sup = Tables.supplier(s, d)
       sup.select(col("s_suppkey"), col("s_name"))
         .write.mode("overwrite").parquet(s"$sink/gen=1")

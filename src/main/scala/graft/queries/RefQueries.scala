@@ -176,8 +176,7 @@ object RefQueries {
     "q19_overwrite_refresh" -> ((s, d) => {
       val snapshot = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
         col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
-      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q19_refresh_" +
-        s.sparkContext.applicationId
+      val sink = graft.ops.AppScratch.path(s, "q19_refresh")
       snapshot.write.mode("overwrite").parquet(sink)
       s.read.parquet(sink)
     }),

@@ -166,8 +166,7 @@ object WidenQueries {
     // Same predicate-pushdown/column-pruning story as parquet at
     // 100 TB; the engine treats the format as a storage detail.
     "q60_orc_roundtrip" -> ((s, d) => {
-      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q60_orc_" +
-        s.sparkContext.applicationId
+      val sink = graft.ops.AppScratch.path(s, "q60_orc")
       Tables.supplier(s, d).write.mode("overwrite").orc(sink)
       s.read.orc(sink)
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
