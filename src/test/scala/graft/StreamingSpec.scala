@@ -292,6 +292,9 @@ class StreamingSpec extends SparkSpec {
       .createTempDirectory("graft_upsert_ckpt_").toString
     val q = StreamingOps.upsertEachBatch(decoded, table, Seq("id"), ckpt)
     try {
+      // the checkpoint is dead once this test's drains complete —
+      // reclaim with the state (r15: three leaked ckpt dirs per suite
+      // run were the last graft_* leak class left in /tmp)
       mem.addData(
         """{"ret_code":"0000","data":[{"id":1,"k":10},{"id":2,"k":20}]}""",
         """{"ret_code":"9999","data":[{"id":9,"k":90}]}""") // gated out
@@ -305,7 +308,10 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet
       assert(state === Set((1L, 11L), (2L, 20L), (3L, 30L)),
         s"keyed stream upsert must gate bad envelopes and merge redelivery: $state")
-    } finally q.stop()
+    } finally {
+      q.stop()
+      graft.ops.FsOps.rmTree(new java.io.File(ckpt))
+    }
   }
 
   test("windowedSums: per-key per-window totals on a stream") {
