@@ -158,6 +158,20 @@ def main(argv):
         print(f"new line self-reports: machine_state={ms.get('verdict')}{detail} "
               f"probe_flagged={new.get('probe_flagged')} "
               f"total_min={new.get('total_min')}")
+    # floor anchors (r15, BenchLine.scala): floor_band/vs_floor anchor
+    # the line to the best committed single-line min-sum; cross_floor/
+    # vs_cross to the per-query minima COMBINED across committed lines
+    # (the truthful code floor on stall-sampling boots — r15 quiesce
+    # experiment: three 44-49s lines combine to 38.1, in band)
+    fb = new.get("floor_band")
+    if fb is not None:
+        cross = ""
+        if new.get("cross_floor") is not None:
+            cross = (f" cross_floor={new['cross_floor']} "
+                     f"vs_cross={new.get('vs_cross')}")
+        above = "" if new.get("vs_floor", 0) <= 1.2 else " — ABOVE BAND"
+        print(f"floor anchors: floor_band={fb} vs_floor={new.get('vs_floor')}"
+              f"{cross}{above}")
     # a query named here recorded time-to-fail, not a measurement —
     # its per-query numbers (in either line) must be disregarded
     for side, d in (("base", base), ("new", new)):
