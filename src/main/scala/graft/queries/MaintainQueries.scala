@@ -183,6 +183,13 @@ object MaintainQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // NOT EXISTS, not NOT IN (r15 review): a single NULL delta key
+    // turns `k NOT IN (...)` NULL for EVERY target row — the oracle's
+    // target half vanishes — while the engine's left-anti join (the
+    // correct MERGE-key semantic: NULL matches nothing) keeps every
+    // unmatched row. Masked on today's fixtures only because the
+    // nulls variant also nulls the date filter; the correlated NOT
+    // EXISTS expresses anti-join semantics exactly.
     "q111_merge_delete" ->
       """WITH target AS (
         |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders
@@ -191,7 +198,8 @@ object MaintainQueries {
         |  SELECT o_orderkey AS k, o_totalprice * 2 AS v,
         |         o_orderstatus = 'F' AS is_delete
         |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
-        |SELECT k, v FROM target WHERE k NOT IN (SELECT k FROM delta)
+        |SELECT k, v FROM target t
+        |WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.k = t.k)
         |UNION ALL
         |SELECT k, v FROM delta WHERE NOT is_delete""".stripMargin,
     "q112_trailing_distinct" ->
