@@ -30,11 +30,16 @@ object MultimodalOps {
   private[graft] val tmpSweepAge: java.time.Duration =
     java.time.Duration.ofMinutes(10)
 
-  /** Typed record entering the decode stage: id + opaque media bytes. */
-  final case class MediaRecord(media_id: Long, payload: Array[Byte])
+  /** Typed record entering the decode stage: id + opaque media bytes.
+    * The id is boxed (`java.lang.Long`, nullable in the encoder), NOT
+    * primitive: it is pass-through PROVENANCE, never arithmetic, and a
+    * corpus at scale contains NULL-id rows whose bytes still decode —
+    * with a primitive field the encoder NOT_NULL-asserts and one such
+    * row kills the whole job (r15 NULL-key probe, q36/q49). */
+  final case class MediaRecord(media_id: java.lang.Long, payload: Array[Byte])
 
   /** Typed "decoded" features leaving the decode stage. */
-  final case class MediaFeatures(media_id: Long, n_bytes: Long,
+  final case class MediaFeatures(media_id: java.lang.Long, n_bytes: Long,
                                  width: Long, height: Long, checksum: Long)
 
   /** STUB decoder — deterministic fake standing in for a codec call.
@@ -92,8 +97,10 @@ object MultimodalOps {
     decodeFeatures(typed).toDF()
   }
 
-  /** One sampled "frame" of a media payload (stub decode). */
-  final case class Frame(media_id: Long, frame_idx: Long, frame_checksum: Long)
+  /** One sampled "frame" of a media payload (stub decode). Boxed id:
+    * same pass-through-provenance contract as [[MediaRecord]]. */
+  final case class Frame(media_id: java.lang.Long, frame_idx: Long,
+                         frame_checksum: Long)
 
   /** Frame sampling — the ONE-TO-MANY decode shape (a video payload
     * yields N sampled frames; the Scala analog of a UDTF / exploding

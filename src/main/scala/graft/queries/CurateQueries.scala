@@ -398,8 +398,14 @@ object CurateQueries {
         |    AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
         |  GROUP BY 1)
         |SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
-        |  CASE WHEN a.o_custkey IS NULL THEN 'added'
-        |       WHEN b.o_custkey IS NULL THEN 'deleted'
+        |  -- side presence via n_a/n_b (a COUNT is never NULL when the
+        |  -- side exists), NOT via a.o_custkey IS NULL: an unmatched
+        |  -- NULL-KEY group from the a-side has a.o_custkey NULL while
+        |  -- genuinely present, and the key-based test mislabeled it
+        |  -- 'added' where the engine (keyed on n_a/n_b) says
+        |  -- 'deleted' (r15 NULL-key probe)
+        |  CASE WHEN a.n_a IS NULL THEN 'added'
+        |       WHEN b.n_b IS NULL THEN 'deleted'
         |       WHEN a.n_a <> b.n_b OR a.amt_a <> b.amt_b THEN 'changed'
         |       ELSE 'unchanged' END AS status,
         |  a.n_a, CAST(a.amt_a AS DOUBLE) AS amt_a,

@@ -244,7 +244,14 @@ object HardenQueries {
       val (url, props) = derbyUrlAndProps(s)
       props.setProperty("batchsize", "10000")
       val table = ("mart_jdbc_" + d).replaceAll("[^A-Za-z0-9_]", "_")
+      // non-null merge keys only: the target's PK (the reference's DDL)
+      // cannot hold a NULL key, and mergeInto now fails loudly on one
+      // (r15 NULL-key probe — MERGE never matches NULLs, so a re-send
+      // re-INSERTs the row: Derby aborts, MySQL silently duplicates).
+      // A NULL-custkey order is quarantine-tier input, not mart data;
+      // the oracle models the PK'd target with the same predicate.
       val daily = Tables.orders(s, d)
+        .filter(col("o_custkey").isNotNull)
         .groupBy(col("o_custkey"))
         .agg(sumMoney(col("o_totalprice")).as("amt"), count(lit(1)).as("n"))
       graft.sources.JdbcUpsert.mergeInto(
@@ -313,7 +320,7 @@ object HardenQueries {
       """SELECT o_custkey,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
         | count(*) AS n
-        |FROM orders GROUP BY 1""".stripMargin,
+        |FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1""".stripMargin,
     "q56_neardup_components" ->
       s"""WITH RECURSIVE corpus AS (
          |  SELECT doc_id, text FROM documents

@@ -202,15 +202,31 @@ object PipelineQueries {
       // which is exactly the oracle's NULLS-LAST window order — and
       // restores NULL on the output column.
       val NullRev = Double.NegativeInfinity
-      val rev = Tables.lineitem(s, d)
+      // NULL-key carriage through the primitive typed pipeline (r15
+      // NULL-key probe — a primitive tuple NOT_NULL-asserts and one
+      // NULL-keyed row kills the job):
+      //   - a NULL l_partkey is a TIEBREAK, carried as Long.MaxValue —
+      //     under value-DESC-then-tiebreak-ASC it sorts after every
+      //     real part id, which is the oracle's NULLS LAST, and it is
+      //     restored to NULL on output (a real partkey of 2^63−1 is
+      //     outside any practical id space; same contract class as
+      //     NullRev above);
+      //   - a NULL l_suppkey is the GROUP key itself: its partition is
+      //     ranked relationally below (one window over just the
+      //     NULL-key partition — a vanishing slice at any scale) and
+      //     unioned in, exactly the oracle's NULL partition.
+      val NullPart = Long.MaxValue
+      val rev0 = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(sum((price * (lit(1).cast(DecimalType(18, 2)) - disc))
           .cast(DecimalType(18, 4))).as("_rev"))
-        .select(col("l_suppkey").as("_1"), col("l_partkey").as("_2"),
+      val rev = rev0.filter(col("l_suppkey").isNotNull)
+        .select(col("l_suppkey").as("_1"),
+          coalesce(col("l_partkey"), lit(NullPart)).as("_2"),
           coalesce(col("_rev").cast("double"), lit(NullRev)).as("_3"))
         .as[(Long, Long, Double)]
       val top3 = new graft.ops.TopKAggregator.TopK(3)
-      rev.groupByKey(_._1)
+      val typedTop = rev.groupByKey(_._1)
         .mapValues(r => (r._3, r._2))
         .agg(top3.toColumn)
         .flatMap { case (supp, entries) =>
@@ -219,8 +235,20 @@ object PipelineQueries {
           }
         }
         .toDF("l_suppkey", "l_partkey", "revenue", "rk")
+        .withColumn("l_partkey",
+          when(col("l_partkey") === NullPart, lit(null)).otherwise(col("l_partkey")))
         .withColumn("revenue",
           when(col("revenue") === NullRev, lit(null)).otherwise(col("revenue")))
+      val wNull = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(coalesce(col("_rev").cast("double"), lit(NullRev)).desc,
+          col("l_partkey").asc_nulls_last)
+      val nullTop = rev0.filter(col("l_suppkey").isNull)
+        .withColumn("rk", row_number().over(wNull).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("l_suppkey"), col("l_partkey"),
+          col("_rev").cast("double").as("revenue"), col("rk"))
+      typedTop.unionByName(nullTop)
     }),
 
     // Raw binary FILES round trip — the ingest shape a real multimodal
@@ -235,8 +263,13 @@ object PipelineQueries {
     // repeated runs converge on identical bytes.
     "q72_binary_files" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q72_files"
+      // a NULL nation key renders a NULL file name, which the export
+      // rejects LOUDLY by contract (unsafe-name require) — and a file
+      // must have a name, so a NULL-keyed row is quarantine-tier
+      // input, filtered before the export (r15 NULL-key probe). The
+      // oracle reads the exported files themselves, so it follows.
       graft.ops.MultimodalOps.writeBinaryFiles(
-        Tables.nation(s, d).select(
+        Tables.nation(s, d).filter(col("n_nationkey").isNotNull).select(
           concat(lit("nation_"), col("n_nationkey"), lit(".bin")).as("fname"),
           encode(col("n_name"), "UTF-8").as("payload")),
         "fname", "payload", dir)
@@ -343,8 +376,13 @@ object PipelineQueries {
     // length with doc_id tiebreak) within each language. Windows
     // partition by language, so the sort parallelizes per stratum.
     "q76_quality_deciles" -> ((s, d) => {
+      // explicit NULLS LAST: Spark's bare ASC sorts NULLs FIRST where
+      // DuckDB's default is NULLS LAST — invisible until a NULL lands
+      // in an ORDER column (the fixtures never null n_chars/doc_id;
+      // the r15 NULL-key probe does, and ntile assigns the row a
+      // different decile on each side)
       val w = Window.partitionBy(col("lang"))
-        .orderBy(col("n_chars"), col("doc_id"))
+        .orderBy(col("n_chars").asc_nulls_last, col("doc_id").asc_nulls_last)
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .withColumn("decile", ntile(10).over(w).cast("long"))

@@ -88,10 +88,27 @@ object ServeQueries {
         // micros DuckDB's epoch_us computes on the naive value.
         .select(col("user_id"),
           unix_micros(col("ts").cast("timestamp_ltz")).as("tsm"), col("event_type"))
-      def side(t: String) = ev.filter(col("event_type") === t)
+      // non-null keys only through the typed cogroup: the primitive
+      // (Long, Long) fast path NOT_NULL-asserts on a NULL user_id and
+      // one such row kills the whole job (r15 NULL-key probe). A NULL
+      // key can't attribute anyway — the oracle's equality join
+      // matches it to nothing — so the op's contract is non-null keys
+      // and the NULL-click GROUP is appended relationally below.
+      def side(t: String) = ev.filter(col("event_type") === t &&
+          col("user_id").isNotNull)
         .select(col("user_id"), col("tsm")).as[(Long, Long)]
-      graft.ops.TemporalOps.trailingAttribution(
+      val attributed = graft.ops.TemporalOps.trailingAttribution(
         side("view"), side("click"), windowMicros = 30L * 60 * 1000000)
+      // NULL-user clicks are still clicks: the oracle's final GROUP BY
+      // user_id emits their group with zero attribution (NULL matches
+      // no view). One tiny aggregate, present only when such rows exist.
+      val nullClicks = ev
+        .filter(col("event_type") === "click" && col("user_id").isNull)
+        .agg(count(lit(1)).as("n_clicks"))
+        .filter(col("n_clicks") > 0)
+        .select(lit(null).cast("long").as("user_id"), col("n_clicks"),
+          lit(0L).as("n_attributed"))
+      attributed.unionByName(nullClicks)
     }),
 
     // Mergeable-sketch rollup: per-day HLL sketches union into per-week

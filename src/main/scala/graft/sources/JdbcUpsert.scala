@@ -138,6 +138,14 @@ object JdbcUpsert {
 
     /** UNIQUE index on the merge keys (see mergeInto for why). */
     def createKeyIndexDdl(table: String, keys: Seq[String]): String
+
+    /** Column-identifier quoting for ad-hoc statements built OUTSIDE
+      * the canned DDL/merge strings (the r15 null-key stage probe). */
+    def quoteIdent(c: String): String
+
+    /** Table reference for the same ad-hoc statements — matches how
+      * this dialect's canned statements spell table names. */
+    def tableRef(t: String): String = t
   }
 
   /** ANSI `MERGE INTO` (Derby, Postgres 15+, SQL Server, Oracle).
@@ -172,6 +180,8 @@ object JdbcUpsert {
     override def createKeyIndexDdl(table: String, keys: Seq[String]): String =
       s"CREATE UNIQUE INDEX ${table}_pk ON $table " +
         keys.map(k => "\"" + k + "\"").mkString("(", ", ", ")")
+
+    override def quoteIdent(c: String): String = "\"" + c + "\""
   }
 
   /** MySQL `INSERT … ON DUPLICATE KEY UPDATE` — the REFERENCE'S exact
@@ -203,6 +213,9 @@ object JdbcUpsert {
 
     // MySQL on case-sensitive filesystems stores the name verbatim
     override def catalogName(table: String): String = table
+
+    override def quoteIdent(c: String): String = "`" + c + "`"
+    override def tableRef(t: String): String = "`" + t + "`"
 
     override def createTableDdl(table: String, stage: String): String =
       s"CREATE TABLE `$table` LIKE `$stage`"
@@ -303,6 +316,28 @@ object JdbcUpsert {
           val rs = md.getTables(null, null, pattern, null)
           try rs.next() finally rs.close()
         }
+        // NULL merge keys make keyed upsert ILL-DEFINED in SQL, not
+        // merely lossy: MERGE's ON d.k = t.k never matches a NULL, so
+        // every re-send re-fires the INSERT arm for the same row —
+        // Derby then aborts on its unique index (which treats NULLs as
+        // duplicates) while MySQL's (which treats them as distinct)
+        // silently DUPLICATES the row on every retry, breaking the
+        // idempotence this sink exists to provide (r15 NULL-key
+        // probe). Checked DB-side on the just-loaded stage — one
+        // indexed count, no extra Spark pass — and failed loudly
+        // BEFORE the merge so no partial state lands.
+        val nullKeys = {
+          val pred = keys.map(k => s"${dialect.quoteIdent(k)} IS NULL")
+            .mkString(" OR ")
+          val rs = st.executeQuery(
+            s"SELECT COUNT(*) FROM ${dialect.tableRef(stage)} WHERE $pred")
+          try { rs.next(); rs.getLong(1) } finally rs.close()
+        }
+        require(nullKeys == 0L,
+          s"mergeInto($table): $nullKeys staged row(s) carry a NULL merge " +
+            s"key ${keys.mkString("(", ",", ")")} — keyed upsert is " +
+            "ill-defined on NULL keys (MERGE never matches them; re-sends " +
+            "duplicate). Quarantine or filter null-keyed rows upstream.")
         if (!exists) {
           st.executeUpdate(dialect.createTableDdl(table, stage))
           // UNIQUE index on the merge keys — the reference's tables

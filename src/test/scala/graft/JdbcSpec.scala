@@ -98,6 +98,27 @@ class JdbcSpec extends SparkSpec {
       (3L, "2024-01-02", 30.0)))
   }
 
+  test("mergeInto fails LOUDLY on a NULL merge key: ill-defined, not lossy (r15 NULL-key probe)") {
+    import graft.sources.JdbcUpsert
+    // MERGE's ON clause never matches a NULL key, so every re-send
+    // re-fires the INSERT arm: Derby aborts on its unique index,
+    // MySQL silently duplicates — both break the idempotence contract.
+    // The guard fires BEFORE the merge, names the count and the keys,
+    // and leaves no partial target state.
+    val bad = Seq((Some(1L), "2024-01-01", 10.0), (None, "2024-01-01", 20.0))
+      .toDF("chain", "dy", "amt")
+    val e = intercept[IllegalArgumentException] {
+      JdbcUpsert.mergeInto(bad, url, "upsert_nullkey_t", Seq("chain", "dy"),
+        props, Some("dy VARCHAR(32)"))
+    }
+    assert(e.getMessage.contains("NULL merge key") &&
+      e.getMessage.contains("1 staged row"), e.getMessage)
+    // nothing landed: the target was never created past the guard
+    val created = scala.util.Try(
+      spark.read.jdbc(url, "upsert_nullkey_t", props).count()).isSuccess
+    assert(!created, "guard must fire before any target DDL/merge")
+  }
+
   test("GraftDerbyDialect claims ONLY jdbc:derby URLs; other backends keep their own dialect") {
     import graft.sources.JdbcUpsert
     import org.apache.spark.sql.jdbc.JdbcDialects

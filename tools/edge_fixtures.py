@@ -23,9 +23,15 @@ Variants (each a full 10-table dir):
             props/value/event_type, measures, embedding), one with
             empty-but-non-null containers ('' text, [] embedding) —
             the three null-shapes SQL treats differently
+  nullkeys — 2 rows per table: one fully populated, one with every
+            join/group KEY (`*key`/`*_id`) NULL while payloads stay
+            real (round 15): the shape `nulls` never makes, and the
+            one that exposed the NOT IN oracle class, the primitive
+            typed-boundary NOT_NULL job kills, and the NULL-merge-key
+            ill-definedness (SCALING.md "Round-15 NULL-key probe")
 
 Usage: python3 tools/edge_fixtures.py <out_root>
-Writes <out_root>/{empty,onerow,nulls}/<table>.parquet
+Writes <out_root>/{empty,onerow,nulls,nullkeys,...}/<table>.parquet
 """
 import sys
 import pyarrow as pa
@@ -173,6 +179,17 @@ def write(outdir, name, rows):
     pq.write_table(tbl, f"{outdir}/{name}.parquet")
 
 
+def nullkey_row(full):
+    """Every `*key`/`*_id` column NULL, payloads untouched — the
+    promoted r15 probe row (tools/nullkeys_probe.py is the standalone
+    runner; this is the sweep's copy, kept trivially identical)."""
+    out = dict(full)
+    for k in out:
+        if k.endswith(("key", "_id")) or k == "event_id":
+            out[k] = None
+    return out
+
+
 def degenerate_rows(name):
     """The union of every adversarial row shape, id-rebased to +20000
     so neither the real sf ids (≤ ~6000) nor their planted-dup images
@@ -313,7 +330,8 @@ def main(root, base_sf="/root/testdata/sf0.001"):
     import os
     write_mixed(os.path.join(root, "mixed"), base_sf)
     write_skew(os.path.join(root, "skew"), base_sf)
-    for variant in ("empty", "onerow", "nulls", "extremes", "unicode"):
+    for variant in ("empty", "onerow", "nulls", "nullkeys", "extremes",
+                    "unicode"):
         d = os.path.join(root, variant)
         os.makedirs(d, exist_ok=True)
         for name in SCHEMAS:
@@ -330,6 +348,8 @@ def main(root, base_sf="/root/testdata/sf0.001"):
                 for c, v in EMPTYISH.get(name, {}).items():
                     emptyish[c] = v
                 rows = [full, nulled, emptyish]
+            elif variant == "nullkeys":
+                rows = [full, nullkey_row(full)]
             elif variant == "extremes":
                 hostile = bump_keys(full, 3000)
                 hostile.update(EXTREME.get(name, {}))
