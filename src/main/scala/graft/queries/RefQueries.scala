@@ -225,8 +225,14 @@ object RefQueries {
       "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
     "q14_semi_join_existing" ->
       "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    // the dim is DEDUPED (min per key) like the engine's
+    // enrichJoinOverwrite: a duplicated dim key must update each fact
+    // row ONCE with a deterministic pick — the reference's UPDATE…JOIN
+    // touches each row once (arbitrary pick); min() is that semantic
+    // made deterministic. A raw join here fanned the fact out instead
+    // (r15 dup-dim probe; q16's oracle already dedups the same way).
     "q15_enrich_join_update" ->
-      "SELECT c_custkey, c_nationkey, COALESCE(n.n_name, 'unknown') AS responsible FROM customer c LEFT JOIN (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 15) n ON c.c_nationkey = n.n_nationkey",
+      "SELECT c_custkey, c_nationkey, COALESCE(n.n_name, 'unknown') AS responsible FROM customer c LEFT JOIN (SELECT n_nationkey, min(n_name) AS n_name FROM nation WHERE n_nationkey < 15 GROUP BY 1) n ON c.c_nationkey = n.n_nationkey",
     "q16_enrich_dim_fill" ->
       """SELECT f.p_partkey, CASE WHEN (f.m IS NULL OR f.m = '') AND d.fill IS NOT NULL THEN d.fill ELSE f.m END AS medium_scale_nm
         |FROM (SELECT p_partkey, CASE WHEN p_size % 3 = 0 THEN NULL WHEN p_size % 3 = 1 THEN '' ELSE p_brand END AS m FROM part) f

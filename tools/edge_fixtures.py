@@ -29,6 +29,11 @@ Variants (each a full 10-table dir):
             one that exposed the NOT IN oracle class, the primitive
             typed-boundary NOT_NULL job kills, and the NULL-merge-key
             ill-definedness (SCALING.md "Round-15 NULL-key probe")
+  dupdims — dimension tables carry their key TWICE with different
+            payloads (the late-arriving dim update every warehouse
+            eventually ingests, round 15): enrichment joins must
+            update each fact row ONCE with a deterministic pick, not
+            fan out — caught q15's raw-join oracle the day it ran
 
 Usage: python3 tools/edge_fixtures.py <out_root>
 Writes <out_root>/{empty,onerow,nulls,nullkeys,...}/<table>.parquet
@@ -177,6 +182,24 @@ def write(outdir, name, rows):
     tbl = pa.table({n: pa.array(v, type=sch.field(n).type) for n, v in cols.items()},
                    schema=sch)
     pq.write_table(tbl, f"{outdir}/{name}.parquet")
+
+
+DIM_TABLES = frozenset(["region", "nation", "customer", "supplier", "part"])
+
+
+def dup_dim_row(full):
+    """Same keys, every payload changed — the late-arriving dim update
+    (r15 dupdims variant)."""
+    out = dict(full)
+    for k, v in out.items():
+        if not (k.endswith("key") or k.endswith("_id")):
+            if isinstance(v, str):
+                out[k] = v + "_v2"
+            elif isinstance(v, float):
+                out[k] = v + 1.0
+            elif isinstance(v, int):
+                out[k] = v + 1
+    return out
 
 
 def nullkey_row(full):
@@ -330,8 +353,8 @@ def main(root, base_sf="/root/testdata/sf0.001"):
     import os
     write_mixed(os.path.join(root, "mixed"), base_sf)
     write_skew(os.path.join(root, "skew"), base_sf)
-    for variant in ("empty", "onerow", "nulls", "nullkeys", "extremes",
-                    "unicode"):
+    for variant in ("empty", "onerow", "nulls", "nullkeys", "dupdims",
+                    "extremes", "unicode"):
         d = os.path.join(root, variant)
         os.makedirs(d, exist_ok=True)
         for name in SCHEMAS:
@@ -350,6 +373,9 @@ def main(root, base_sf="/root/testdata/sf0.001"):
                 rows = [full, nulled, emptyish]
             elif variant == "nullkeys":
                 rows = [full, nullkey_row(full)]
+            elif variant == "dupdims":
+                rows = [full] + ([dup_dim_row(full)]
+                                 if name in DIM_TABLES else [])
             elif variant == "extremes":
                 hostile = bump_keys(full, 3000)
                 hostile.update(EXTREME.get(name, {}))
