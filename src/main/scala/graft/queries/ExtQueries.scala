@@ -328,8 +328,10 @@ object ExtQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4""".stripMargin,
+    // json_valid guard: ->> errors on non-JSON props (see q21)
     "q38_envelope_decode" ->
-      """SELECT event_id AS id, TRY_CAST(props->>'$.k' AS BIGINT) AS k
+      """SELECT event_id AS id,
+        | CASE WHEN json_valid(props) THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k
         |FROM events WHERE user_id % 50 <> 0""".stripMargin,
     // HAVING count(*) > 0 pins the ENGINE's (Spark's) empty-input
     // semantics: Spark plans rollup as Expand+groupBy, so an empty

@@ -332,8 +332,13 @@ object NorthQueries {
        | UNION ALL SELECT doc_id + $DupOffset AS doc_id, text || ' graftdup' AS text FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // json_valid guard (r15 empty-string probe): DuckDB's ->> HARD
+    // ERRORS on non-JSON input ('' included) where the engine's
+    // get_json_object contract is NULL-on-malformed — the guard makes
+    // the oracle state the same contract instead of relying on the
+    // fixtures never carrying a malformed props.
     "q21_json_extract" ->
-      "SELECT event_id, event_type, TRY_CAST(props->>'$.k' AS BIGINT) AS k FROM events",
+      "SELECT event_id, event_type, CASE WHEN json_valid(props) THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k FROM events",
     "q22_running_total" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

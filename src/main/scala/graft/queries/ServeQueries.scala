@@ -503,9 +503,13 @@ object ServeQueries {
         |FROM g GROUP BY user_id, sid""".stripMargin,
     "q106_variant_extract" ->
       """SELECT event_type, count(*) AS n,
-        |       CAST(sum(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
-        |FROM events
-        |WHERE TRY_CAST(props->>'$.k' AS BIGINT) >= 50
+        |       CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (SELECT event_type,
+        |        -- json_valid guard: ->> errors on non-JSON props (q21)
+        |        CASE WHEN json_valid(props)
+        |             THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k
+        |      FROM events)
+        |WHERE k >= 50
         |GROUP BY 1""".stripMargin,
     "q105_recursive_cte" ->
       """WITH RECURSIVE anc(custkey, anc_key, d) AS (
