@@ -215,14 +215,20 @@ object MultimodalOps {
           // exporting nothing is the only faithful file-system image of
           // it (an empty file would conflate NULL with zero bytes), and
           // Files.write(null) NPE'd the whole export job before (r13
-          // edge sweep)
+          // edge sweep). An EMPTY payload is skipped for the round
+          // trip's own sake (r15 empty-string probe): Spark's
+          // binaryFile source produces no split for a zero-length
+          // file, so a 0-byte export is invisible to the reader this
+          // export pairs with — written, it becomes standing
+          // contamination every other reader (DuckDB read_blob) DOES
+          // see. Export and read-back stay exact inverses.
           // write-to-temp + atomic move: a speculative/zombie attempt
           // re-running Files.write directly would TRUNCATE then rewrite
           // the winner's file and could die mid-write — job success
           // with a torn artifact. The move either installs a complete
           // file or leaves the previous one.
           val payload = r.getAs[Array[Byte]](1)
-          if (payload != null) {
+          if (payload != null && payload.length > 0) {
             val target = java.nio.file.Paths.get(dir, name)
             val tmp = java.nio.file.Paths.get(dir,
               s".$name.${java.util.UUID.randomUUID()}.tmp")

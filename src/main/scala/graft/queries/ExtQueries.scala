@@ -164,8 +164,15 @@ object ExtQueries {
     // typed boundary). Unique path per application.
     "q43_csv_roundtrip" -> ((s, d) => {
       val sink = graft.ops.AppScratch.path(s, "q43_csv")
+      // nullValue sentinel on BOTH sides (r15 empty-string probe): CSV
+      // has one on-disk shape for "nothing here", so Spark's defaults
+      // write NULL and '' identically and read both back as NULL — the
+      // round trip silently rewrote every empty string. With NULLs
+      // spelled as an explicit marker (the checksum tier's '\N'
+      // discipline, ReconcileOps), '' keeps its quoted-empty shape and
+      // both survive the trip distinct.
       Tables.nation(s, d).write.mode("overwrite")
-        .option("header", "true").csv(sink)
+        .option("header", "true").option("nullValue", "\\N").csv(sink)
       // multiLine: the writer QUOTES fields carrying the delimiter or a
       // newline (correct CSV), but the default line-splitting reader
       // cuts records at every raw newline — a quoted embedded newline
@@ -175,7 +182,8 @@ object ExtQueries {
       // writer already emits one task-sized file per partition, so
       // parallelism = #files either way.
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
-        .option("header", "true").option("multiLine", "true").csv(sink)
+        .option("header", "true").option("multiLine", "true")
+        .option("nullValue", "\\N").csv(sink)
     }),
 
     // Co-location — BUCKETED join: both sides written bucketed+sorted

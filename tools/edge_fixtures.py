@@ -34,6 +34,11 @@ Variants (each a full 10-table dir):
             eventually ingests, round 15): enrichment joins must
             update each fact row ONCE with a deterministic pick, not
             fan out — caught q15's raw-join oracle the day it ran
+  emptystr — every STRING column '' with keys intact (round 15): the
+            all-empty text/props/name shape; caught DuckDB's ->> 
+            hard-error on non-JSON input, the CSV ''-vs-NULL lossy
+            round trip, and the zero-byte export invisible to
+            Spark's binaryFile reader
 
 Usage: python3 tools/edge_fixtures.py <out_root>
 Writes <out_root>/{empty,onerow,nulls,nullkeys,...}/<table>.parquet
@@ -202,6 +207,18 @@ def dup_dim_row(full):
     return out
 
 
+def emptystr_row(full):
+    """Every string column '' (keys/ids intact), ids bumped clear of
+    the real and planted ranges — the r15 empty-string probe row."""
+    out = dict(full)
+    changed = False
+    for k, v in out.items():
+        if isinstance(v, str):
+            out[k] = ""
+            changed = True
+    return bump_keys(out, 50000) if changed else None
+
+
 def nullkey_row(full):
     """Every `*key`/`*_id` column NULL, payloads untouched — the
     promoted r15 probe row (tools/nullkeys_probe.py is the standalone
@@ -354,7 +371,7 @@ def main(root, base_sf="/root/testdata/sf0.001"):
     write_mixed(os.path.join(root, "mixed"), base_sf)
     write_skew(os.path.join(root, "skew"), base_sf)
     for variant in ("empty", "onerow", "nulls", "nullkeys", "dupdims",
-                    "extremes", "unicode"):
+                    "emptystr", "extremes", "unicode"):
         d = os.path.join(root, variant)
         os.makedirs(d, exist_ok=True)
         for name in SCHEMAS:
@@ -376,6 +393,9 @@ def main(root, base_sf="/root/testdata/sf0.001"):
             elif variant == "dupdims":
                 rows = [full] + ([dup_dim_row(full)]
                                  if name in DIM_TABLES else [])
+            elif variant == "emptystr":
+                e = emptystr_row(full)
+                rows = [full] + ([e] if e is not None else [])
             elif variant == "extremes":
                 hostile = bump_keys(full, 3000)
                 hostile.update(EXTREME.get(name, {}))
