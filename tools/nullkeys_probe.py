@@ -8,12 +8,11 @@ review found exactly that class (q111's NOT IN oracle, masked because
 the nulls variant also nulls the date filter), and this probe — two
 rows per table: one fully populated, one with every `*key`/`*_id`
 column NULL and everything else real — surfaced eight more in one run
-(triage table: SCALING.md "Round-15 NULL-key probe"). NOT part of the
-sweep contract yet: the failures are CONTRACT decisions (typed
-boundaries that NOT_NULL-assert mid-job, a MERGE key that SQL leaves
-ill-defined on NULL), each needing a documented fix before the
-variant can be held green. Promote it into edge_fixtures/edge_sweep's
-CONTRACT_VARIANTS once those land.
+(triage table: SCALING.md "Round-15 NULL-key probe"). All eight were
+closed the same round and the shape is now the sweep's `nullkeys`
+CONTRACT variant (edge_fixtures.nullkey_row is the promoted copy);
+this standalone runner remains for quick dev-loop iteration on
+NULL-key contracts without a full sweep.
 
 Usage:
     python3 tools/nullkeys_probe.py [out_dir]     # default /tmp/nullkeys_probe
