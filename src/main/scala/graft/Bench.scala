@@ -184,15 +184,33 @@ object Bench {
     // three 44-49s lines combined to 38.1, in band. vs_cross anchors
     // this line against that, the strictest demonstrated reference.
     val keySet = results.map(_._1).toSet
-    val floorField = (if (only.isEmpty)
-      BenchLine.floorBand(baselines, fixtures, keySet)
+    // floor fields are suppressed when this run recorded failures (r15
+    // ADVICE): totalMin would include time-to-fail minima, so vs_floor
+    // would compare a contaminated sum against a clean-line record —
+    // history lines with failures are excluded from the band, and the
+    // current line is held to the same rule. (machine_state survives:
+    // it excludes failed queries per-query.)
+    // SPARK_GRAFT_FLOOR_SINCE (epoch secs, optional) is the documented
+    // rebaseline path (r15 ADVICE): after a deliberate, accepted
+    // code-level slowdown the record floor is obsolete — setting the
+    // cutoff excludes pre-shift lines from floor/cross computation,
+    // and the line records both the cutoff and the ts of the line that
+    // set the record (floor_ts) so the anchor is auditable.
+    val floorSince = sys.env.get("SPARK_GRAFT_FLOOR_SINCE").map(_.trim.toLong)
+    val floorBaselines = floorSince match {
+      case Some(cut) => baselines.filter(_.ts >= cut)
+      case None      => baselines
+    }
+    val sinceField = floorSince.map(c => s""","floor_since":$c""").getOrElse("")
+    val floorField = (if (only.isEmpty && failCounts.isEmpty)
+      BenchLine.floorBand(floorBaselines, fixtures, keySet)
     else None) match {
-      case Some((lo, hi)) =>
-        val cross = BenchLine.crossFloor(baselines, fixtures, keySet)
+      case Some((lo, hi, floorTs)) =>
+        val cross = BenchLine.crossFloor(floorBaselines, fixtures, keySet)
           .map(cf => s""","cross_floor":${r4(cf)},"vs_cross":${r4(totalMin / cf)}""")
           .getOrElse("")
-        s""","floor_band":[${r4(lo)},${r4(hi)}],"vs_floor":${r4(totalMin / lo)}$cross"""
-      case None => ""
+        s""","floor_band":[${r4(lo)},${r4(hi)}],"floor_ts":$floorTs,"vs_floor":${r4(totalMin / lo)}$cross$sinceField"""
+      case None => sinceField
     }
     // query names are [A-Za-z0-9_]+ (same argument as onlyField), so
     // the failed map needs no JSON escaping; absent when all reps ran.
@@ -227,6 +245,17 @@ object Bench {
     } catch { // bench results must never be lost to a write failure
       case e: Throwable => System.err.println(s"[bench] out-file write failed: ${e.getMessage}")
     }
+    // Compact summary as the VERY LAST stdout line (r15 VERDICT item
+    // 1): the driver keeps only a stdout tail and the full line's
+    // 113-entry per-query maps push the total out of it — three
+    // straight BENCH_rN.json artifacts read "parsed": null. This line
+    // has no per-query map, so the graded artifact always carries the
+    // total, floor anchors, and machine state whole. BenchLineSpec
+    // pins the shape; bench_full.jsonl keeps only full lines (the
+    // compact one has no spread and parseBaselines would drop it).
+    println(BenchLine.compactLine(total, totalMin, pf, ms.json, floorField,
+      failedField, results.size, fixtures, reps,
+      BenchStamp.fragment(nowSec, bootOpt), sfJson, onlyField))
     spark.stop()
   }
 }

@@ -181,15 +181,23 @@ object BenchLine {
     * failed queries (a time-to-fail min poisons the sum). The boot is
     * deliberately NOT required to match: a floor demonstrated on any
     * boot is a demonstrated floor of the code+data, which is exactly
-    * what "above band" should be judged against. */
+    * what "above band" should be judged against.
+    * The third element is the TS of the line that set the record
+    * (r15 ADVICE): without provenance, an accepted code-level slowdown
+    * leaves every future line permanently "above band" against an
+    * obsolete floor with no way to see which line anchors it. The
+    * documented rebaseline path is `SPARK_GRAFT_FLOOR_SINCE` (Bench
+    * .scala): a cutoff epoch-ts that excludes pre-shift lines from the
+    * floor computation — the emitted `floor_since` field records that
+    * the band was deliberately re-anchored. */
   def floorBand(history: Seq[Baseline], fixtures: String,
-                keys: Set[String]): Option[(Double, Double)] = {
+                keys: Set[String]): Option[(Double, Double, Long)] = {
     val sums = history.collect {
       case b if b.fixtures == fixtures && b.mins.keySet == keys &&
-        b.failed.isEmpty => b.mins.values.sum
+        b.failed.isEmpty => (b.mins.values.sum, b.ts)
     }
     if (sums.isEmpty) None
-    else { val lo = sums.min; Some((lo, lo * MinShift)) }
+    else { val (lo, ts) = sums.minBy(_._1); Some((lo, lo * MinShift, ts)) }
   }
 
   /** Cross-line per-query floor (r15 quiesce experiment): on an aged
@@ -229,4 +237,28 @@ object BenchLine {
       val ioMed = math.max(median(probes.map(_._2)), 1e-9)
       probes.count { case (cn, io) => cn > CanaryUp * cnMed || io > IoUp * ioMed }
     }
+
+  /** Compact self-contained summary line (r15 VERDICT item 1): the
+    * driver keeps only a short stdout TAIL, and the full line's
+    * per-query queries/spread/ambient maps (113 entries each) push the
+    * total out of it — BENCH_r13/r14/r15.json all read `"parsed":
+    * null`. This line carries everything a grader needs (total,
+    * min-sum, probe count, machine state, floor anchors, failures)
+    * and NO per-query map, so Bench prints it as the VERY LAST stdout
+    * line and the driver's tail always contains it whole. It is
+    * stdout-only by design: bench_full.jsonl keeps full lines so
+    * parseBaselines history stays per-query-rich (a compact line has
+    * no spread and would be dropped by the parser anyway).
+    *
+    * `floorField`/`failedField` are the exact fragments the full line
+    * embeds (empty when absent) so the two lines can never disagree.
+    */
+  def compactLine(value: Double, totalMin: Double, probeFlagged: Int,
+                  msJson: String, floorField: String, failedField: String,
+                  nQueries: Int, fixtures: String, reps: Int,
+                  stampFragment: String, sfJson: String,
+                  onlyField: String = ""): String = {
+    def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+    s"""{"metric":"total","value":${r4(value)},"unit":"sec","total_min":${r4(totalMin)},"probe_flagged":$probeFlagged,"machine_state":$msJson,"n_queries":$nQueries$floorField$failedField,"fixtures":"$fixtures","reps":$reps$stampFragment,"sf":$sfJson$onlyField,"compact":true}"""
+  }
 }

@@ -33,7 +33,36 @@ import scala.jdk.CollectionConverters._
   */
 object Fixtures {
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Int, Long), String]()
+
+  /** CRC32C of the file's first and last 4 KiB — the cheap content
+    * sample the memo key carries ALONGSIDE (size, mtime). Closes the
+    * r15 coarse-mtime residual: on a filesystem storing 1 ms/2 s
+    * mtimes, a same-size rewrite inside the granularity window used
+    * to serve the stale cached CRC; parquet head/tail blocks carry
+    * the magic + footer metadata (row-group stats, offsets), which
+    * change with any content change, so the probe re-keys the cache
+    * for exactly the rewrites mtime can't see. Two 4 KiB reads of a
+    * page-cached file per call — negligible against what the memo
+    * saves (the full-file hash).
+    */
+  private def contentProbe(p: java.nio.file.Path, size: Long): Long = {
+    val crc = new CRC32C()
+    val ch = Files.newByteChannel(p)
+    try {
+      def readAt(pos: Long): Unit = {
+        ch.position(pos): Unit
+        val bb = java.nio.ByteBuffer.allocate(4096)
+        var n = ch.read(bb)
+        while (n > 0 && bb.hasRemaining) n = ch.read(bb)
+        bb.flip()
+        crc.update(bb)
+      }
+      readAt(0L)
+      if (size > 4096) readAt(math.max(4096L, size - 4096))
+    } finally ch.close()
+    crc.getValue
+  }
 
   /** 8-hex-digit CRC32C of one fixture table's bytes; "absent" if it
     * does not exist (a legal state for probe dirs in specs). The
@@ -62,16 +91,18 @@ object Fixtures {
       // file mutated mid-hash would cache a torn CRC under the
       // pre-mutation key. If the attrs moved while hashing, return
       // the fresh hash uncached — the next call re-keys.
-      // RESIDUAL (r15 ADVICE): getNano only reflects what the FS
-      // stores — on a coarse-mtime filesystem (FAT: 2 s; some ext4
-      // mounts: 1 ms) a same-size rewrite inside the granularity
-      // window after hashing still caches a stale CRC. The hazard is
-      // NARROWED to that window, not closed; acceptable here because
-      // fixtures are parquet dirs rewritten wholesale (new file names
-      // per job) and the sandbox FS stores nanoseconds.
-      def attrs() = (p.toString, Files.size(p),
-        Files.getLastModifiedTime(p).toInstant.getEpochSecond,
-        Files.getLastModifiedTime(p).toInstant.getNano)
+      // The r15 coarse-mtime residual (FAT: 2 s; some ext4 mounts:
+      // 1 ms — a same-size rewrite inside the granularity window
+      // served the stale CRC) is closed by adding [[contentProbe]] to
+      // the key (r16): a rewrite mtime can't see still re-keys on the
+      // head/tail content sample.
+      def attrs() = {
+        val size = Files.size(p)
+        (p.toString, size,
+          Files.getLastModifiedTime(p).toInstant.getEpochSecond,
+          Files.getLastModifiedTime(p).toInstant.getNano,
+          contentProbe(p, size))
+      }
       val key = attrs()
       val cached = cache.get(key)
       if (cached != null) cached

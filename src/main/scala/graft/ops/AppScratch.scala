@@ -35,23 +35,46 @@ object AppScratch {
   private val byApp =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
 
+  /** Apps whose cleanup listener is installed — tracked SEPARATELY
+    * from the path map (r15 ADVICE): registration used to piggyback on
+    * byApp's computeIfAbsent, so a register() call under the live
+    * application id BEFORE the first path() call would populate the
+    * map and silently suppress the listener — that app's sinks leaked
+    * again. Listener installation now has its own flag, keyed only by
+    * "did path() see this app yet".
+    */
+  private val listenerApps =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Scratch dir path `tmpdir/graft_<name>_<applicationId>`, recorded
     * for end-of-app reclamation. Callers create/write it themselves —
     * this only names and tracks it. Idempotent per (app, name).
     */
   def path(spark: SparkSession, name: String): String = {
-    val sc = spark.sparkContext
-    val appId = sc.applicationId
-    // computeIfAbsent runs the mapping at most once per absent key:
-    // the listener is registered exactly once per application
-    byApp.computeIfAbsent(appId, id => {
+    installFor(spark.sparkContext, spark.sparkContext.applicationId): Unit
+    register(spark.sparkContext.applicationId, name)
+  }
+
+  /** Install the end-of-app sweep listener for `appId` if not yet
+    * installed; returns whether THIS call installed it. Set.add is
+    * atomic, so exactly one caller per app installs — and the decision
+    * reads only [[listenerApps]], never byApp, by construction. Split
+    * out of [[path]] so the spec can pin the decoupling under a fake
+    * app id (a fake-id listener at app end sweeps an empty
+    * registration — a no-op).
+    */
+  private[graft] def installFor(sc: org.apache.spark.SparkContext,
+                                appId: String): Boolean = {
+    val installed = listenerApps.add(appId)
+    if (installed) {
       sc.addSparkListener(new SparkListener {
-        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
-          sweep(id)
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+          listenerApps.remove(appId): Unit
+          sweep(appId)
+        }
       })
-      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    }): Unit
-    register(appId, name)
+    }
+    installed
   }
 
   /** Naming + bookkeeping half of [[path]], keyed by an explicit app

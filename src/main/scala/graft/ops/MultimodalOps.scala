@@ -236,6 +236,16 @@ object MultimodalOps {
             java.nio.file.Files.move(tmp, target,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          } else {
+            // skip-on-NULL/empty must also UNDO (r15 ADVICE): on
+            // re-export over a shared/accreting dir, a previous
+            // non-empty file for this name would keep serving stale
+            // bytes for a record whose payload has since become NULL
+            // or empty — the "export and read-back are exact inverses"
+            // claim held only on a clean dir. Deleting the target
+            // makes the filesystem image track the CURRENT dataset.
+            java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(dir, name)): Unit
           }
         }
       }

@@ -60,4 +60,19 @@ class AppScratchSpec extends SparkSpec {
       graft.ops.FsOps.rmTree(keyed.toFile)
     }
   }
+
+  test("listener install is decided by its own flag, never by the path " +
+       "map (r15 ADVICE): register() first cannot suppress it") {
+    // the old coupling: install piggybacked on byApp.computeIfAbsent,
+    // so a register() under an app id BEFORE the first path() call
+    // populated the map and the listener silently never installed —
+    // that app's recorded sinks leaked again.
+    val fake = "spec-fake-listener-app"
+    AppScratch.register(fake, "spec_pre_install")   // byApp populated first
+    assert(AppScratch.installFor(spark.sparkContext, fake),
+      "install proceeds even though byApp already has the app")
+    assert(!AppScratch.installFor(spark.sparkContext, fake),
+      "second call is a no-op: exactly one listener per app")
+    AppScratch.sweep(fake) // forget the registration; listener no-ops at end
+  }
 }

@@ -135,13 +135,51 @@ class BenchLineSpec extends AnyFunSuite {
       mkLine(200, 999, "abc", fast),
       failedLine,
       mkLine(400, 50, "other_fixtures", fast)))
-    val Some((lo, hi)) = BenchLine.floorBand(hist, "abc", keys)
+    val Some((lo, hi, floorTs)) = BenchLine.floorBand(hist, "abc", keys)
     assert(math.abs(lo - minSum * 0.8) < 1e-9, s"record is the ANY-boot min: $lo")
     assert(math.abs(hi - lo * BenchLine.MinShift) < 1e-9)
+    // provenance (r15 ADVICE): the emitted band names the line that
+    // set the record, so an obsolete anchor is auditable
+    assert(floorTs === 200L, "floor_ts is the ts of the record line")
     // different query set (surface changed) ⇒ sums not comparable
     assert(BenchLine.floorBand(hist, "abc", keys + "q_new").isEmpty)
     // no comparable fixtures ⇒ absent, never a wrong band
     assert(BenchLine.floorBand(hist, "zzz", keys).isEmpty)
+    // rebaseline path (r15 ADVICE): Bench filters history by a cutoff
+    // ts before calling floorBand, so excluding the record line's era
+    // re-anchors the band to the post-shift record
+    val Some((lo2, _, ts2)) = BenchLine.floorBand(hist.filter(_.ts >= 50L)
+      .filterNot(_.ts == 200L), "abc", keys)
+    assert(math.abs(lo2 - minSum) < 1e-9 && ts2 === 100L)
+  }
+
+  test("compact line: no per-query map, embeds the full line's floor/" +
+       "failed fragments verbatim, bounded length") {
+    // r15 VERDICT item 1: the driver stores a short stdout tail; the
+    // full line's 113-entry maps push the total out of it. The compact
+    // line is the LAST stdout line and must carry the grading fields
+    // whole while staying far under any plausible tail window.
+    val floorField = ""","floor_band":[32.11,38.53],"floor_ts":1786,"vs_floor":1.21,"cross_floor":38.19,"vs_cross":1.02"""
+    val ln = BenchLine.compactLine(52.17, 38.9, 6,
+      """{"verdict":"calm","min_ratio":0.88,"n":112,"vs_ts":77}""",
+      floorField, "", 113, "3fccd702", 3, ""","ts":100,"boot":50""",
+      "\"/root/testdata/sf0.1\"")
+    val j = org.json4s.jackson.JsonMethods.parse(ln) // must be valid JSON
+    val fields = j.asInstanceOf[org.json4s.JObject].obj.map(_._1).toSet
+    assert(!fields.contains("queries") && !fields.contains("spread") &&
+      !fields.contains("ambient"), "compact line has no per-query maps")
+    assert(fields.contains("total_min") && fields.contains("machine_state") &&
+      fields.contains("floor_band") && fields.contains("vs_floor") &&
+      fields.contains("n_queries") && fields.contains("compact"))
+    assert(ln.length < 600, s"compact line must fit any stdout tail: ${ln.length}")
+    // failed runs carry the failed map but (per Bench's gating) an
+    // empty floor fragment — the compact builder passes both through
+    val lnF = BenchLine.compactLine(10.0, 8.0, 0,
+      """{"verdict":"no-baseline","n":0}""", "", ""","failed":{"q92":3}""",
+      113, "abc", 3, ""","ts":1""", "\"x\"", ""","only":"q92"""")
+    val jf = org.json4s.jackson.JsonMethods.parse(lnF)
+    val ff = jf.asInstanceOf[org.json4s.JObject].obj.toMap
+    assert(ff.contains("failed") && ff.contains("only") && !ff.contains("floor_band"))
   }
 
   test("cross_floor: per-query minima combine ACROSS lines; failed and " +

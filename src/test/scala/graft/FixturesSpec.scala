@@ -47,6 +47,36 @@ class FixturesSpec extends AnyFunSuite {
     }
   }
 
+  test("same-size SAME-mtime rewrite still flips the fingerprint " +
+       "(r15 ADVICE residual closed by the head/tail content probe)") {
+    // the coarse-mtime hazard: (size, mtime) identical across a
+    // rewrite → the memo served the stale CRC. Force the worst case —
+    // equal length, mtime pinned back to the original stamp — and
+    // require the fingerprint to track the bytes anyway. Content
+    // differs in the first block (fixtures are parquet: head/tail
+    // carry magic + footer stats, so any real rewrite moves them).
+    withDir { d =>
+      val p = Paths.get(d, "documents.parquet")
+      Files.write(p, Array[Byte](1, 2, 3, 4, 5))
+      val t0 = Files.getLastModifiedTime(p)
+      val fp1 = Fixtures.tableFingerprint(d, "documents")
+      Files.write(p, Array[Byte](1, 2, 3, 4, 6))
+      Files.setLastModifiedTime(p, t0) // same size, same mtime
+      assert(Fixtures.tableFingerprint(d, "documents") !== fp1,
+        "stale-CRC window: the content probe must re-key the memo")
+      // and a file larger than one probe block: a tail-only change
+      // (footer rewrite) must also re-key
+      val big0 = Array.fill[Byte](10000)(7)
+      Files.write(p, big0)
+      Files.setLastModifiedTime(p, t0)
+      val fpBig = Fixtures.tableFingerprint(d, "documents")
+      val big1 = big0.clone(); big1(9999) = 8
+      Files.write(p, big1)
+      Files.setLastModifiedTime(p, t0)
+      assert(Fixtures.tableFingerprint(d, "documents") !== fpBig)
+    }
+  }
+
   test("absent table is 'absent', not an exception (probe dirs in specs)") {
     withDir { d =>
       assert(Fixtures.tableFingerprint(d, "documents") === "absent")

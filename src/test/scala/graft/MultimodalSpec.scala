@@ -124,6 +124,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("re-export deletes the target of a record whose payload became " +
+       "NULL or empty (r15 ADVICE): no stale bytes on an accreting dir)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_export_re_").toString
+    try {
+      // first export: two live payloads
+      MultimodalOps.writeBinaryFiles(
+        Seq(("a.bin", Array[Byte](1, 2)), ("b.bin", Array[Byte](3)))
+          .toDF("name", "payload"), "name", "payload", dir)
+      // re-export over the SAME dir: a's payload became NULL, b's empty.
+      // Skip-only semantics would leave both old files serving stale
+      // bytes; the export must make the dir track the current dataset.
+      MultimodalOps.writeBinaryFiles(
+        Seq(("a.bin", null: Array[Byte]), ("b.bin", Array.empty[Byte]),
+            ("c.bin", Array[Byte](9)))
+          .toDF("name", "payload"), "name", "payload", dir)
+      val names = new java.io.File(dir).listFiles.map(_.getName).toSet
+      assert(names === Set("c.bin"),
+        s"NULL/empty payloads delete their previous export: $names")
+    } finally {
+      graft.ops.FsOps.rmTree(new java.io.File(dir))
+    }
+  }
+
   test("writeBinaryFiles rejects data-controlled unsafe names; sampleFrames rejects chunk=0") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_export_").toString

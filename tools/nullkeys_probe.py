@@ -26,19 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import edge_fixtures as ef
 
 
-def nullkey_row(full):
-    out = dict(full)
-    for k in out:
-        if k.endswith(("key", "_id")) or k == "event_id":
-            out[k] = None
-    return out
-
-
 def main(root="/tmp/nullkeys_probe"):
     os.makedirs(root, exist_ok=True)
     for name in ef.SCHEMAS:
         full = ef.ONEROW[name]
-        ef.write(root, name, [full, nullkey_row(full)])
+        # the promoted sweep implementation IS the row source (r15
+        # ADVICE): a local verbatim copy held identical only by a
+        # comment could drift silently
+        ef.write(root, name, [full, ef.nullkey_row(full)])
     print(f"wrote {root}")
 
 
