@@ -164,8 +164,15 @@ object TemporalOps {
     */
   def changeHistory(df: DataFrame, keyCol: String, tsCol: String,
                     valueCol: String, tieCol: String): DataFrame = {
+    // valueCol is the LAST tiebreak (r16 dupfacts probe): a
+    // redelivered batch can carry two revisions of one record —
+    // identical (ts, tie), different value — and with the order
+    // underdetermined there, which revision opens the run flapped
+    // between engines/executions. Ordering by the value itself closes
+    // the last gap in the total order: rows equal on all three keys
+    // are equal in value too, and merge into one run regardless.
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col(tieCol))
+      .orderBy(col(tsCol), col(tieCol), col(valueCol))
     val prev = lag(col(valueCol), 1).over(w)
     // null-safe change detection: `prev.isNull || v =!= prev` conflated
     // "first row" with "previous value was null" AND never flagged a

@@ -310,10 +310,15 @@ object CurateQueries {
         |SELECT doc_id, count(*) AS n_shared
         |FROM tr JOIN ev USING (g) GROUP BY 1""".stripMargin,
     "q89_group_split" ->
+      // the component derivation's corpus collapses dup doc_ids
+      // (max(text), r16 dupfacts probe — must match the engine's pair
+      // artifact); `ids` below deliberately does NOT collapse: the
+      // engine assigns a split PER CORPUS RECORD, and both copies of
+      // a dup id get the same (id-keyed) split either way
       s"""WITH RECURSIVE corpus AS (
-         |  SELECT doc_id, text FROM documents
+         |  SELECT doc_id, max(text) AS text FROM documents GROUP BY doc_id
          |  UNION ALL SELECT doc_id + ${100000L} AS doc_id,
-         |    text || ' graftdup' AS text FROM documents),
+         |    max(text) || ' graftdup' AS text FROM documents GROUP BY doc_id),
          | sh AS (SELECT doc_id,
          |   list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
          |     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
@@ -331,7 +336,8 @@ object CurateQueries {
          |   SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
          | comp AS (SELECT id AS doc_id, min(r) AS component
          |          FROM reach GROUP BY id),
-         | ids AS (SELECT doc_id FROM corpus),
+         | ids AS (SELECT doc_id FROM documents
+         |         UNION ALL SELECT doc_id + ${100000L} FROM documents),
          | keyed AS (SELECT ids.doc_id,
          |   coalesce(comp.component, ids.doc_id) AS k
          |   FROM ids LEFT JOIN comp USING (doc_id))

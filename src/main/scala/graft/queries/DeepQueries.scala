@@ -323,16 +323,18 @@ object DeepQueries {
         |  array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
         |    AS postings
         |FROM t GROUP BY 1""".stripMargin,
-    // the relational (explode → group → window) derivation the in-row
-    // HOF rewrite is certified against
+    // the relational derivation the in-row HOF rewrite is certified
+    // against — PER-RECORD via LATERAL (r16 dupfacts probe): the old
+    // explode → GROUP BY doc_id → window form merged two same-id
+    // revisions' term counts into a top-term of neither record; the
+    // lateral subquery groups within ONE row's token list, so a dup
+    // id contributes one output row per input record, like the engine
     "q104_hof_topterm" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |           FROM documents),
-        | c AS (SELECT doc_id, term, count(*) AS n FROM t GROUP BY 1, 2),
-        | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-        |                                    ORDER BY n DESC, term) AS rn
-        |       FROM c)
-        |SELECT doc_id, term AS top_term, CAST(n AS BIGINT) AS n_top
-        |FROM r WHERE rn = 1""".stripMargin
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL)
+        |SELECT d.doc_id, t.top_term, t.n_top
+        |FROM d, LATERAL (
+        |  SELECT term AS top_term, CAST(count(*) AS BIGINT) AS n_top
+        |  FROM unnest(string_split(d.text, ' ')) AS u(term)
+        |  GROUP BY term ORDER BY count(*) DESC, term LIMIT 1) t""".stripMargin
   )
 }

@@ -51,7 +51,9 @@ object HardenQueries {
   }
 
   private def artifactKey(d: String): String =
-    "v2_" + graft.Fixtures.tableFingerprint(d, "documents")
+    // v3: r16 dupfacts probe — pair semantics now collapse duplicate
+    // doc_ids (latest-revision-wins) before shingling
+    "v3_" + graft.Fixtures.tableFingerprint(d, "documents")
 
   /** The q56/q89 shared near-dup PAIR artifact (J≥0.8 on 3-gram
     * shingles over the planted-dup corpus): pair DETECTION is its own
@@ -69,7 +71,11 @@ object HardenQueries {
     // across sessions by content key — two JVMs building concurrently
     // must not interleave overwrite phases under one _SUCCESS
     graft.ops.StagedArtifact.writeOnce(ppath) { stage =>
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // one revision per doc_id before shingling (r16 dupfacts probe,
+      // same contract as NorthQueries.docsWithNearDups): dup-id rows
+      // blend into one corrupted per-doc prefix window otherwise
+      val docs = Tables.documents(s, d)
+        .groupBy(col("doc_id")).agg(max(col("text")).as("text"))
       val corpus = docs.unionByName(
         docs.select((col("doc_id") + DupOffset).as("doc_id"),
           concat(col("text"), lit(" graftdup")).as("text")))
@@ -322,9 +328,11 @@ object HardenQueries {
         | count(*) AS n
         |FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1""".stripMargin,
     "q56_neardup_components" ->
+      // corpus collapses dup doc_ids (max(text), r16 dupfacts probe)
+      // exactly as the engine's pair builder does
       s"""WITH RECURSIVE corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + $DupOffset AS doc_id, text || ' graftdup' AS text FROM documents),
+         |  SELECT doc_id, max(text) AS text FROM documents GROUP BY doc_id
+         |  UNION ALL SELECT doc_id + $DupOffset AS doc_id, max(text) || ' graftdup' AS text FROM documents GROUP BY doc_id),
          | sh AS (SELECT doc_id,
          |   list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
          |     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh

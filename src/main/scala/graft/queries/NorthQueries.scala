@@ -37,9 +37,22 @@ object NorthQueries {
 
   /** documents ∪ near-duplicate copies (one token appended): the
     * planted near-dup corpus for MinHash/SimHash.
+    *
+    * ONE revision per doc_id first (r16 dupfacts probe): similarity
+    * pipelines key documents by id — PPJoin's per-doc rank window and
+    * the verify join's id-keyed re-join silently blend two same-id
+    * rows into one corrupted "document" (the probe measured q37
+    * finding 0 of 2 true pairs), and the oracle's `a.doc_id <
+    * b.doc_id` pair identity cannot express dup-id pairs at all. A
+    * corpus carrying the same doc_id twice is a REVISED delivery;
+    * the contract is latest-revision-wins, spelled deterministically
+    * as max(text) (mirrored in the oracles' corpus CTEs). On a
+    * healthy unique-id corpus the aggregation is one map-side-
+    * combined pass that changes nothing.
     */
   private[queries] def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val docs = Tables.documents(s, d)
+      .groupBy(col("doc_id")).agg(max(col("text")).as("text"))
     docs.unionByName(
       docs.select((col("doc_id") + DupOffset).as("doc_id"),
         concat(col("text"), lit(" graftdup")).as("text")))
@@ -327,9 +340,13 @@ object NorthQueries {
     s"""SELECT doc_id, text FROM documents
        | UNION ALL SELECT doc_id + $DupOffset AS doc_id, text FROM documents""".stripMargin
 
+  // one revision per doc_id (max(text)) before planting — the same
+  // latest-revision-wins collapse docsWithNearDups applies (r16
+  // dupfacts probe): both engines must agree on WHICH text a dup id
+  // contributes before pair identity means anything
   private[queries] val nearDupUnionDocs =
-    s"""SELECT doc_id, text FROM documents
-       | UNION ALL SELECT doc_id + $DupOffset AS doc_id, text || ' graftdup' AS text FROM documents""".stripMargin
+    s"""SELECT doc_id, max(text) AS text FROM documents GROUP BY doc_id
+       | UNION ALL SELECT doc_id + $DupOffset AS doc_id, max(text) || ' graftdup' AS text FROM documents GROUP BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // json_valid guard (r15 empty-string probe): DuckDB's ->> HARD
@@ -437,12 +454,17 @@ object NorthQueries {
         |   COALESCE(list_sum(list_transform(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'),
         |      t -> (length(t) + 3) // 4)), 0) END AS BIGINT) AS n_subwords_est
         |FROM documents""".stripMargin,
+    // PER-RECORD, not GROUP BY doc_id (r16 dupfacts probe): the
+    // fingerprint derives from one record's text; grouping by id
+    // silently merged two same-id revisions' token streams into a
+    // fingerprint of NEITHER. The index lambda keeps the identical
+    // 1-based ord arithmetic; WHERE keeps the engine's isNotNull
+    // row set (unnest used to drop NULL-text docs implicitly).
     "q33_doc_fingerprint" ->
-      """SELECT doc_id, CAST(sum(ord * (ascii(tok) * 131 + length(tok))) % 2147483647 AS BIGINT) AS fingerprint
-        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-        |             generate_subscripts(string_split(text, ' '), 1) AS ord
-        |      FROM documents)
-        |GROUP BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        | CAST(list_sum(list_transform(string_split(text, ' '),
+        |   (tok, ord) -> ord * (ascii(tok) * 131 + length(tok)))) % 2147483647 AS BIGINT) AS fingerprint
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "q34_embed_neardup" ->
       s"""WITH e AS (
          |  -- degenerate embeddings carry no direction: NULL, empty,

@@ -459,25 +459,30 @@ object PipelineQueries {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1""".stripMargin,
     "q69_scd2_history" ->
+      // event_type as the last window tiebreak + grp in wo: mirrors
+      // changeHistory's total order (r16 dupfacts probe — two
+      // revisions of one event share (ts, event_id), and two runs can
+      // share a valid_from, so both windows need the full tiebreak)
       """WITH m AS (
         |  SELECT user_id, ts, event_id, event_type,
         |    CASE WHEN row_number() OVER w = 1
         |           OR event_type IS DISTINCT FROM lag(event_type) OVER w
         |         THEN 1 ELSE 0 END AS chg
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, event_type)),
         | g AS (
-        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id, event_type
         |                           ROWS UNBOUNDED PRECEDING) AS grp
         |  FROM m),
         | runs AS (
-        |  SELECT user_id, min(event_type) AS status, min(ts) AS valid_from
+        |  SELECT user_id, grp, min(event_type) AS status, min(ts) AS valid_from
         |  FROM g GROUP BY user_id, grp)
         |SELECT user_id, status, valid_from,
         |  lead(valid_from) OVER wo AS valid_to,
         |  lead(valid_from) OVER wo IS NULL AS is_current
         |FROM runs
-        |WINDOW wo AS (PARTITION BY user_id ORDER BY valid_from)""".stripMargin,
+        |WINDOW wo AS (PARTITION BY user_id ORDER BY valid_from, grp)""".stripMargin,
     "q70_schema_evolution" ->
       """SELECT s_suppkey, s_name, CAST(NULL AS BIGINT) AS s_nationkey, 1 AS gen
         |FROM supplier

@@ -34,7 +34,7 @@ class ArtifactGateSpec extends SparkSpec {
         "directory-shaped spec fixtures must fingerprint by content, " +
           s"not collapse to '$fp' (colliding artifact cache keys)")
       val cpath = Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_comps_v2_$fp")
+        s"graft_comps_v3_$fp") // v3: r16 dup-id collapse in pair semantics
       // simulate the crash: artifact dir exists with junk, no _SUCCESS
       rm(cpath.toFile)
       Files.createDirectories(cpath)
@@ -54,7 +54,7 @@ class ArtifactGateSpec extends SparkSpec {
         "a committed artifact must be served by read, not rebuilt")
       rm(cpath.toFile) // leave no content-keyed residue for other runs
       rm(Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_pairs_v2_$fp").toFile)
+        s"graft_pairs_v3_$fp").toFile)
     } finally rm(new java.io.File(dir))
   }
 

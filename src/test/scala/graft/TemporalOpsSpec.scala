@@ -248,6 +248,26 @@ class TemporalOpsSpec extends SparkSpec {
       "the tie-later run is current — deterministically, on every run")
   }
 
+  test("changeHistory: a FULL (ts, tie) collision — two revisions of one " +
+       "record — orders by the value itself (r16 dupfacts probe)") {
+    // the redelivered-batch shape: same key, same ts, same tie column
+    // (the revision re-uses the record id), different value. With the
+    // order underdetermined there, which revision opened the run
+    // flapped between engines; valueCol is now the last tiebreak, so
+    // 'A' always precedes 'B' and the intervals are pinned.
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "B", 7L), // input order reversed
+      (1L, ts("2024-01-01 10:00:00"), "A", 7L)  // on purpose
+    ).toDF("id", "ts", "status", "seq")
+    val out = TemporalOps.changeHistory(df, "id", "ts", "status", "seq")
+      .select("status", "valid_to", "is_current")
+      .as[(String, Option[java.sql.Timestamp], Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("A") === ((Some(ts("2024-01-01 10:00:00")), false)))
+    assert(out("B") === ((None, true)),
+      "value-order decides: the lexicographically later revision is current")
+  }
+
   test("trailingAttribution: a negative window fails fast instead of attributing zero") {
     val src = Seq((1L, 10L)).toDS()
     val tgt = Seq((1L, 20L)).toDS()

@@ -34,6 +34,13 @@ Variants (each a full 10-table dir):
             eventually ingests, round 15): enrichment joins must
             update each fact row ONCE with a deterministic pick, not
             fan out — caught q15's raw-join oracle the day it ran
+  dupfacts — fact tables carry their PRIMARY key twice with identical
+            key/FK/timestamp columns and different payloads (round
+            16): the redelivered/revised-batch shape no ordering
+            column can rank — caught six pick-one ambiguities the day
+            it ran (per-record vs GROUP BY doc_id oracles, PPJoin's
+            per-doc window blending same-id rows, SCD2's unresolved
+            full-tie)
   emptystr — every STRING column '' with keys intact (round 15): the
             all-empty text/props/name shape; caught DuckDB's ->> 
             hard-error on non-JSON input, the CSV ''-vs-NULL lossy
@@ -191,6 +198,11 @@ def write(outdir, name, rows):
 
 DIM_TABLES = frozenset(["region", "nation", "customer", "supplier", "part"])
 
+# fact tables for the dupfacts variant: the redelivered/revised-batch
+# shape duplicates PRIMARY keys here (dupdims owns the dim side)
+FACT_TABLES = frozenset(["orders", "lineitem", "events", "documents",
+                         "embeddings"])
+
 
 def dup_dim_row(full):
     """Same keys, every payload changed — the late-arriving dim update
@@ -204,6 +216,29 @@ def dup_dim_row(full):
                 out[k] = v + 1.0
             elif isinstance(v, int):
                 out[k] = v + 1
+    return out
+
+
+def dup_fact_row(full):
+    """Identical key/FK/timestamp columns, every other payload mutated
+    — the intra-batch duplicate-key fact (r16 dupfacts probe): a
+    redelivered/revised record whose copies no ordering column can
+    rank. Key rule matches nullkey_row's (`*key`/`*_id`), which also
+    preserves FKs, so join consistency survives; l_linenumber is part
+    of lineitem's composite PK, so it is preserved too (mutating it
+    would turn the dup into a second legitimate line); datetimes are
+    left untouched by construction (only str/float/int mutate)."""
+    out = dict(full)
+    for k, v in out.items():
+        if not (k.endswith(("key", "_id")) or k in ("event_id", "l_linenumber")):
+            if isinstance(v, str):
+                out[k] = v + "_v2"
+            elif isinstance(v, float):
+                out[k] = v + 1.0
+            elif isinstance(v, int):
+                out[k] = v + 1
+            elif isinstance(v, list):
+                out[k] = [x + 1.0 for x in v]
     return out
 
 
@@ -371,7 +406,7 @@ def main(root, base_sf="/root/testdata/sf0.001"):
     write_mixed(os.path.join(root, "mixed"), base_sf)
     write_skew(os.path.join(root, "skew"), base_sf)
     for variant in ("empty", "onerow", "nulls", "nullkeys", "dupdims",
-                    "emptystr", "extremes", "unicode"):
+                    "dupfacts", "emptystr", "extremes", "unicode"):
         d = os.path.join(root, variant)
         os.makedirs(d, exist_ok=True)
         for name in SCHEMAS:
@@ -393,6 +428,9 @@ def main(root, base_sf="/root/testdata/sf0.001"):
             elif variant == "dupdims":
                 rows = [full] + ([dup_dim_row(full)]
                                  if name in DIM_TABLES else [])
+            elif variant == "dupfacts":
+                rows = [full] + ([dup_fact_row(full)]
+                                 if name in FACT_TABLES else [])
             elif variant == "emptystr":
                 e = emptystr_row(full)
                 rows = [full] + ([e] if e is not None else [])
