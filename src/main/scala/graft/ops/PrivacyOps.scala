@@ -75,7 +75,13 @@ object PrivacyOps {
     // width 0 would divide-by-zero into NULL bands — one giant NULL
     // equivalence class that trivially passes every k check
     require(width > 0, s"band width must be positive, got $width")
-    floor(v.cast("double") / lit(width))
+    // non-finite → NULL band, i.e. the same "unknown" equivalence
+    // class as a NULL balance (r16 naninf probe): Spark's floor()
+    // returns LONG, so floor(NaN) silently became band 0 — a
+    // NaN-balance row joined the genuine band-0 class and the
+    // k-anonymity audit counted it as a real member. The between test
+    // is false for NaN (Spark orders NaN above MaxValue) and ±Inf.
+    floor(graft.ops.RelationalOps.finiteOrNull(v.cast("double")) / lit(width))
   }
 
   /** k-anonymity audit + suppression: given the quasi-identifier

@@ -21,6 +21,19 @@ object RelationalOps {
     */
   def sumMoney(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /** NULL unless finite — the quarantine boundary for RAW-double
+    * measures (r16 naninf probe). Money aggregates get this for free
+    * (Spark's decimal cast nulls NaN/±Inf), but percentile/band paths
+    * operate on raw doubles, where Spark's SQL NaN semantics order
+    * NaN GREATER than every value — so NaN sails through `> 0` guards
+    * and sorts into the top of every percentile. The between test is
+    * false for NaN (greater than MaxValue under those semantics) and
+    * for ±Inf; aggregates then skip the NULL like any other absent
+    * measure. Oracles state the same contract with isfinite().
+    */
+  def finiteOrNull(c: Column): Column =
+    when(c.between(-Double.MaxValue, Double.MaxValue), c)
+
   /** Exclusion filter (P1): drop a known bad key during a master load
     * (reference: sp_code == '000002', load_store_data.py:69-72).
     * NULL keys are KEPT: the contract is "drop the one bad key", and a

@@ -110,8 +110,16 @@ object VectorOps {
       // zero-norm guard: for |a| = 0 the rewrite degenerates to
       // 0 >= 0 = true — a single zero vector would pair with its
       // whole block, where the cosine form the doc promises
-      // equivalence to yields NaN >= t = false
-      .filter(col("_n_a") > 0 && col("_n_b") > 0)
+      // equivalence to yields NaN >= t = false.
+      // FINITE-norm guard (r16 naninf probe): Spark's SQL NaN
+      // semantics order NaN GREATER than every value (and NaN = NaN),
+      // so a NaN norm passed `> 0` and the NaN-vs-NaN threshold
+      // comparison passed too — one NaN embedding paired with its
+      // whole block. `<= MaxValue` is false for both NaN and +Inf
+      // under those same semantics, so non-finite-norm vectors carry
+      // no direction and join nothing (the oracle's isfinite guard).
+      .filter(col("_n_a") > 0 && col("_n_a") <= lit(Double.MaxValue) &&
+        col("_n_b") > 0 && col("_n_b") <= lit(Double.MaxValue))
       .filter(nativeDot(col("_v_a"), col("_v_b")) >=
         lit(threshold) * col("_n_a") * col("_n_b"))
       .select(col("id_a"), col("id_b"))

@@ -272,7 +272,8 @@ object CurateQueries {
         |                length(c_name) - least(greatest(length(c_name) - 9, 0), 3) + 1,
         |                least(greatest(length(c_name) - 9, 0), 3)) AS name_masked,
         |    c_nationkey,
-        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        |    CASE WHEN isfinite(c_acctbal)
+        |         THEN CAST(floor(c_acctbal / 1000.0) AS BIGINT) END AS bal_band
         |  FROM customer),
         | k AS (SELECT *, count(*) OVER (PARTITION BY c_nationkey, bal_band)
         |         AS k_class FROM m)
@@ -392,13 +393,13 @@ object CurateQueries {
         |     (len(d.sh) + len(s.sh) - len(list_intersect(d.sh, s.sh))) * 4""".stripMargin,
     "q91_snapshot_cdc" ->
       """WITH a AS (SELECT o_custkey, count(*) AS n_a,
-        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS amt_a
+        |    sum(TRY_CAST(nullif(o_totalprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS amt_a
         |  FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1992-01-01 00:00:00'
         |    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
         |  GROUP BY 1),
         | b AS (SELECT o_custkey, count(*) AS n_b,
-        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS amt_b
+        |    sum(TRY_CAST(nullif(o_totalprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS amt_b
         |  FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1993-01-01 00:00:00'
         |    AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'

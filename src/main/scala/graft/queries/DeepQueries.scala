@@ -279,7 +279,7 @@ object DeepQueries {
     "q80_trailing_window" ->
       """WITH daily AS (
         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
-        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS amt
+        |         sum(TRY_CAST(nullif(o_totalprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS amt
         |  FROM orders GROUP BY 1, 2)
         |SELECT o_custkey, day, CAST(amt AS DOUBLE) AS day_amt,
         |  CAST(sum(amt) OVER (PARTITION BY o_custkey ORDER BY day
@@ -295,7 +295,7 @@ object DeepQueries {
         |FROM c""".stripMargin,
     "q82_incremental_agg" ->
       """SELECT o_custkey, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt
+        |  CAST(sum(TRY_CAST(nullif(o_totalprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS amt
         |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-08 00:00:00'
         |GROUP BY 1""".stripMargin,
     "q83_heavy_hitters" ->

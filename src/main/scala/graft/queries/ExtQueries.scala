@@ -151,12 +151,19 @@ object ExtQueries {
     // `percentile` agg (sort-based within group) vs DuckDB
     // quantile_cont — identical linear interpolation. Surfaced rounded
     // well clear of representation noise.
-    "q42_percentile" -> ((s, d) =>
+    "q42_percentile" -> ((s, d) => {
+      // finiteOrNull per MEASURE (r16 naninf probe): Spark sorts NaN
+      // above +Inf above MaxValue, so one NaN quantity becomes p90 of
+      // its whole group; a percentile certificate is defined over
+      // finite measures, and NULL (like any absent measure) is skipped
+      val qty = graft.ops.RelationalOps.finiteOrNull(col("l_quantity"))
+      val price = graft.ops.RelationalOps.finiteOrNull(col("l_extendedprice"))
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
-          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med_price"))),
+          round(percentile(qty, lit(0.5)), 6).as("med_qty"),
+          round(percentile(qty, lit(0.9)), 6).as("p90_qty"),
+          round(percentile(price, lit(0.5)), 6).as("med_price"))
+    }),
 
     // S-family breadth — CSV source/sink round trip with an EXPLICIT
     // read schema (schema-on-read discipline: the engine never trusts
@@ -279,7 +286,7 @@ object ExtQueries {
           |FROM (
           |  SELECT c.c_mktsegment,
           |         year(o.o_orderdate) AS order_year,
-          |         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          |         CAST(sum(TRY_CAST(nullif(o.o_totalprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS total,
           |         count(*) AS n_orders
           |  FROM g_orders o JOIN g_customer c ON o.o_custkey = c.c_custkey
           |  GROUP BY 1, 2
@@ -348,7 +355,7 @@ object ExtQueries {
     // any real group the predicate is vacuous (count ≥ 1).
     "q39_rollup_sales" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amt,
+        | CAST(sum(TRY_CAST(nullif(l_extendedprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS total_amt,
         | count(*) AS n,
         | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -356,7 +363,7 @@ object ExtQueries {
     "q40_dod_delta" ->
       """WITH daily AS (
         |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS amt
+        |         CAST(sum(TRY_CAST(nullif(l_extendedprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS amt
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT l_suppkey, day, amt,
         |       amt - COALESCE(lag(amt) OVER (PARTITION BY l_suppkey ORDER BY day), 0.0) AS dod_delta
@@ -364,22 +371,24 @@ object ExtQueries {
     "q41_partitioned_write" ->
       """SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m') AS order_month
         |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'""".stripMargin,
+    // isfinite CASE per measure — the engine's finiteOrNull contract
+    // (quantile_cont skips NULLs exactly as Spark's percentile does)
     "q42_percentile" ->
       """SELECT l_returnflag,
-        | round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
-        | round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
-        | round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price
+        | round(quantile_cont(CASE WHEN isfinite(l_quantity) THEN l_quantity END, 0.5), 6) AS med_qty,
+        | round(quantile_cont(CASE WHEN isfinite(l_quantity) THEN l_quantity END, 0.9), 6) AS p90_qty,
+        | round(quantile_cont(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END, 0.5), 6) AS med_price
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q43_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q45_bucketed_join" ->
       """SELECT c_mktsegment,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | CAST(sum(TRY_CAST(nullif(o_totalprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS total,
         | count(*) AS n
         |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
     "q44_salted_agg" ->
       """SELECT event_type,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        | CAST(sum(TRY_CAST(nullif(value, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
     "q46_stream_batch_parity" ->
@@ -394,7 +403,7 @@ object ExtQueries {
         |FROM (
         |  SELECT c.c_mktsegment,
         |         CAST(year(o.o_orderdate) AS INT) AS order_year,
-        |         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |         CAST(sum(TRY_CAST(nullif(o.o_totalprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |         count(*) AS n_orders
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |  GROUP BY 1, 2

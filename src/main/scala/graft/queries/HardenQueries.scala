@@ -309,7 +309,7 @@ object HardenQueries {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.bag = b.bag""".stripMargin,
     "q51_nightly_window" ->
       """SELECT o_custkey, CAST(o_orderdate AS DATE) AS sale_dy,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+        | CAST(sum(TRY_CAST(nullif(o_totalprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS amt,
         | count(*) AS n
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-03-09 00:00:00'
@@ -317,14 +317,14 @@ object HardenQueries {
         |GROUP BY 1, 2""".stripMargin,
     "q52_dsv2_sink_upsert" ->
       """SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+        | CAST(sum(TRY_CAST(nullif(o_totalprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS amt,
         | count(*) AS n
         |FROM orders GROUP BY 1, 2""".stripMargin,
     "q53_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q54_jdbc_upsert" ->
       """SELECT o_custkey,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+        | CAST(sum(TRY_CAST(nullif(o_totalprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS amt,
         | count(*) AS n
         |FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1""".stripMargin,
     "q56_neardup_components" ->

@@ -138,7 +138,13 @@ object MaintainQueries {
     fact.join(dim, "k")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        // try_cast, not cast (r16 naninf probe): one NaN quantity in
+        // 100 TB killed the whole job under ANSI ([CAST_OVERFLOW] —
+        // the only graded query that cast a raw measure straight to
+        // BIGINT). Non-finite measures are quarantine-tier input;
+        // NULL-and-skip is the same posture every money agg already
+        // has via the decimal cast.
+        sum(col("l_quantity").try_cast("long")).as("sum_qty"),
         sum(length(col("payload")).cast("long")).as("payload_bytes"))
   }
 
@@ -219,7 +225,7 @@ object MaintainQueries {
         |         sha256(CAST(l_orderkey AS VARCHAR) || CAST(l_linenumber AS VARCHAR)) AS payload
         |  FROM lineitem)
         |SELECT o_orderpriority, count(*) AS n,
-        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(TRY_CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |       CAST(sum(length(payload)) AS BIGINT) AS payload_bytes
         |FROM fact JOIN orders ON k = o_orderkey
         |GROUP BY 1""".stripMargin

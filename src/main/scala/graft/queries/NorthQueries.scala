@@ -359,7 +359,7 @@ object NorthQueries {
     "q22_running_total" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,
-        |         sum(CAST(value AS DECIMAL(18,2))) AS d
+        |         sum(TRY_CAST(nullif(value, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS d
         |  FROM events GROUP BY 1, 2)
         |SELECT user_id, day, CAST(d AS DOUBLE) AS daily_amt,
         |       CAST(sum(d) OVER (PARTITION BY user_id ORDER BY day) AS DOUBLE) AS running_amt
@@ -367,8 +367,8 @@ object NorthQueries {
     "q23_topk" ->
       """WITH rev AS (
         |  SELECT l_suppkey, l_partkey,
-        |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        |         sum(TRY_CAST(nullif(l_extendedprice, 'nan'::DOUBLE) AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(18,2)) - TRY_CAST(nullif(l_discount, 'nan'::DOUBLE) AS DECIMAL(18,2)))) AS r
         |  FROM lineitem GROUP BY 1, 2),
         | rk AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey ORDER BY r DESC, l_partkey) AS rk FROM rev)
         |SELECT l_suppkey, l_partkey, CAST(r AS DOUBLE) AS revenue, CAST(rk AS BIGINT) AS rk
@@ -474,9 +474,12 @@ object NorthQueries {
          |  -- instead, so the oracle excludes the same set up front —
          |  -- including the all-zero case, which IS NOT NULL/len>0
          |  -- alone would let through (r13 edge sweep + review)
+         |  -- isfinite mirrors the engine's finite-norm guard (r16
+         |  -- naninf probe): a NaN/Inf component means no direction
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |  WHERE embedding IS NOT NULL AND len(embedding) > 0
          |    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+         |    AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
          |  UNION ALL
          |  -- the dup arm's guard tests the TRANSFORMED vector: an
          |  -- all-zero base becomes [0.02, …] here — non-degenerate,
@@ -488,7 +491,10 @@ object NorthQueries {
          |  WHERE embedding IS NOT NULL AND len(embedding) > 0
          |    AND list_sum(list_transform(
          |          list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.05 + 0.02),
-         |          y -> y * y)) > 0)
+         |          y -> y * y)) > 0
+         |    AND isfinite(list_sum(list_transform(
+         |          list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.05 + 0.02),
+         |          y -> y * y))))
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |-- ragged pairs (unequal dimension) are NULL-sim for the

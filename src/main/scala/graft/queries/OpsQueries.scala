@@ -204,7 +204,7 @@ object OpsQueries {
   val oracle: Map[String, String] = Map(
     "q100_stream_mart" ->
       """SELECT user_id, CAST(ts AS DATE) AS day,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+        | CAST(sum(TRY_CAST(nullif(value, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS amt,
         | count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
     // Hex→int is spelled digit-by-digit (strpos over '0..f' with exact
@@ -220,7 +220,7 @@ object OpsQueries {
         |    coalesce(CAST(o_orderkey AS VARCHAR), '\N'),
         |    coalesce(CAST(o_custkey AS VARCHAR), '\N'),
         |    coalesce(replace(replace(o_orderstatus, '\', '\\'), '|', '\|'), '\N'),
-        |    coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '\N'),
+        |    coalesce(CAST(TRY_CAST(nullif(o_totalprice, 'nan'::DOUBLE) AS DECIMAL(18,2)) AS VARCHAR), '\N'),
         |    coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '\N'),
         |    coalesce(replace(replace(o_orderpriority, '\', '\\'), '|', '\|'), '\N'))) AS h
         |  FROM orders)
@@ -241,7 +241,7 @@ object OpsQueries {
         |FROM a JOIN b USING (k)""".stripMargin,
     "q108_observe_metrics" ->
       """SELECT count(*) AS n_rows,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+        |       CAST(sum(TRY_CAST(nullif(o_totalprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS amt,
         |       max(o_totalprice) AS max_price
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01'

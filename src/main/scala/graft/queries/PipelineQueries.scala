@@ -442,7 +442,7 @@ object PipelineQueries {
     "q67_sorted_layout" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
         | count(*) AS n,
-        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        | CAST(sum(TRY_CAST(nullif(l_extendedprice * (1 - l_discount), 'nan'::DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
         |GROUP BY 1""".stripMargin,
@@ -455,7 +455,7 @@ object PipelineQueries {
         |  AND CAST(o_orderdate AS DATE) <  DATE '1995-07-01'""".stripMargin,
     "q68_salted_join" ->
       """SELECT s_nationkey, count(*) AS n,
-        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        | CAST(sum(TRY_CAST(nullif(l_extendedprice * (1 - l_discount), 'nan'::DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1""".stripMargin,
     "q69_scd2_history" ->
@@ -493,8 +493,8 @@ object PipelineQueries {
     "q71_topk_udaf" ->
       """WITH rev AS (
         |  SELECT l_suppkey, l_partkey,
-        |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        |         sum(TRY_CAST(nullif(l_extendedprice, 'nan'::DOUBLE) AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(18,2)) - TRY_CAST(nullif(l_discount, 'nan'::DOUBLE) AS DECIMAL(18,2)))) AS r
         |  FROM lineitem GROUP BY 1, 2),
         | rk AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey ORDER BY r DESC, l_partkey) AS rk FROM rev)
         |SELECT l_suppkey, l_partkey, CAST(r AS DOUBLE) AS revenue, CAST(rk AS BIGINT) AS rk
@@ -507,13 +507,13 @@ object PipelineQueries {
     "q73_full_outer" ->
       """WITH y95 AS (
         |  SELECT o_custkey, count(*) AS n_1995,
-        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_1995
+        |         CAST(sum(TRY_CAST(nullif(o_totalprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS amt_1995
         |  FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         |    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00' GROUP BY 1),
         | y96 AS (
         |  SELECT o_custkey, count(*) AS n_1996,
-        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_1996
+        |         CAST(sum(TRY_CAST(nullif(o_totalprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS amt_1996
         |  FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1)
@@ -531,11 +531,11 @@ object PipelineQueries {
     "q74_moment_stats" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,
-        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
-        |    sum(CAST(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sqq,
-        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS spp,
-        |    sum(CAST(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sqp
+        |    sum(TRY_CAST(nullif(l_quantity, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS sq,
+        |    sum(TRY_CAST(nullif(l_extendedprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS sp,
+        |    sum(CAST(TRY_CAST(nullif(l_quantity, 'nan'::DOUBLE) AS DECIMAL(19,2)) * TRY_CAST(nullif(l_quantity, 'nan'::DOUBLE) AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sqq,
+        |    sum(CAST(TRY_CAST(nullif(l_extendedprice, 'nan'::DOUBLE) AS DECIMAL(19,2)) * TRY_CAST(nullif(l_extendedprice, 'nan'::DOUBLE) AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS spp,
+        |    sum(CAST(TRY_CAST(nullif(l_quantity, 'nan'::DOUBLE) AS DECIMAL(19,2)) * TRY_CAST(nullif(l_extendedprice, 'nan'::DOUBLE) AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sqp
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
         |  round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_qty,

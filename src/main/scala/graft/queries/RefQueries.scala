@@ -239,16 +239,16 @@ object RefQueries {
         |LEFT JOIN (SELECT p_partkey, min(p_type) AS fill FROM part GROUP BY p_partkey) d USING (p_partkey)""".stripMargin,
     "q17_store_day_agg" ->
       """SELECT l_suppkey, CAST(l_shipdate AS DATE) AS sale_dy, count(*) AS bill_qty,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS chong_maechool,
-        | CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS return_amt
+        | CAST(sum(TRY_CAST(nullif(l_quantity, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        | CAST(sum(TRY_CAST(nullif(l_extendedprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS chong_maechool,
+        | CAST(sum(TRY_CAST(nullif(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS return_amt
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q18_item_day_agg" ->
       """SELECT l_partkey, CAST(l_shipdate AS DATE) AS sale_dy,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sale_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amt,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS net_amt,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount
+        | CAST(sum(TRY_CAST(nullif(l_quantity, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS sale_qty,
+        | CAST(sum(TRY_CAST(nullif(l_extendedprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS total_amt,
+        | CAST(sum(TRY_CAST(nullif(l_extendedprice, 'nan'::DOUBLE) AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - TRY_CAST(nullif(l_discount, 'nan'::DOUBLE) AS DECIMAL(18,2)))) AS DOUBLE) AS net_amt,
+        | CAST(sum(TRY_CAST(nullif(l_extendedprice, 'nan'::DOUBLE) AS DECIMAL(18,2)) * TRY_CAST(nullif(l_discount, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS discount
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q19_overwrite_refresh" ->
       "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part",

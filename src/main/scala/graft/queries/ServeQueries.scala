@@ -176,7 +176,7 @@ object ServeQueries {
         """SELECT o_orderpriority, om,
           |       CAST(grouping(o_orderpriority) AS INT) AS g_pri,
           |       CAST(grouping(om) AS INT) AS g_om,
-          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+          |       CAST(sum(TRY_CAST(nullif(o_totalprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS amt,
           |       count(*) AS n
           |FROM (SELECT o_orderpriority,
           |             date_format(o_orderdate, 'yyyy-MM') AS om,
@@ -225,7 +225,7 @@ object ServeQueries {
           |)
           |SELECT a.custkey,
           |       CAST(max(a.d) AS INT) AS depth,
-          |       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS chain_bal
+          |       CAST(sum(TRY_CAST(nullif(c.c_acctbal, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS chain_bal
           |FROM anc a JOIN g_cust_r c ON a.anc_key = c.c_custkey
           |GROUP BY a.custkey""".stripMargin)
     }),
@@ -417,8 +417,8 @@ object ServeQueries {
   val oracle: Map[String, String] = Map(
     "q94_star_join" ->
       """SELECT n_name,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        | CAST(sum(TRY_CAST(nullif(l_extendedprice, 'nan'::DOUBLE) AS DECIMAL(18,2)) *
+        |          (CAST(1 AS DECIMAL(18,2)) - TRY_CAST(nullif(l_discount, 'nan'::DOUBLE) AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem, orders, customer, supplier, nation, region
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -449,7 +449,7 @@ object ServeQueries {
     "q97_unpivot" ->
       """WITH w AS (SELECT l_returnflag,
         |   CAST(count(*) AS DOUBLE) AS n_rows,
-        |   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |   CAST(sum(TRY_CAST(nullif(l_quantity, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |   CAST(max(l_extendedprice) AS DOUBLE) AS max_price
         | FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM w
@@ -463,7 +463,7 @@ object ServeQueries {
       """SELECT o_orderpriority, om,
         |       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
         |       CAST(GROUPING(om) AS INT) AS g_om,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+        |       CAST(sum(TRY_CAST(nullif(o_totalprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS amt,
         |       count(*) AS n
         |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS om, o_totalprice
         |      FROM orders)
@@ -519,13 +519,13 @@ object ServeQueries {
         |)
         |SELECT a.custkey,
         |       CAST(max(a.d) AS INT) AS depth,
-        |       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS chain_bal
+        |       CAST(sum(TRY_CAST(nullif(c.c_acctbal, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS chain_bal
         |FROM anc a JOIN customer c ON a.anc_key = c.c_custkey
         |GROUP BY a.custkey""".stripMargin,
     "q99_dpp_prune" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
         |       count(*) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt
+        |       CAST(sum(TRY_CAST(nullif(o_totalprice, 'nan'::DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS amt
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-04', '1995-05', '1995-06')
         |GROUP BY 1""".stripMargin

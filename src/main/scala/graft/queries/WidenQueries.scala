@@ -35,7 +35,7 @@ object WidenQueries {
       |         DATE '1995-01-01' + CAST(i*90 + 180 AS INT) AS p_end
       |  FROM range(0, 28) t(i))
       |SELECT period_id, count(*) AS n,
-      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  CAST(sum(TRY_CAST(nullif(l_extendedprice * (1 - l_discount), 'nan'::DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       |FROM periods p JOIN lineitem l
       |  ON l.l_shipdate >= p.p_start AND l.l_shipdate < p.p_end
       |GROUP BY 1""".stripMargin
@@ -133,8 +133,13 @@ object WidenQueries {
     "q61_approx_percentile" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(
-          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("_approx"),
-          expr("percentile(l_quantity, 0.5)").as("_exact"))
+          // finiteOrNull on BOTH estimators (r16 naninf probe): the
+          // certificate compares them, so they must agree on the
+          // finite-measures-only input contract (q42's rationale)
+          percentile_approx(graft.ops.RelationalOps.finiteOrNull(
+            col("l_quantity")), lit(0.5), lit(10000)).as("_approx"),
+          percentile(graft.ops.RelationalOps.finiteOrNull(
+            col("l_quantity")), lit(0.5)).as("_exact"))
         .select(col("l_returnflag"),
           round(col("_exact"), 6).as("p50_qty"),
           // a group with no non-null values has NULL exact AND approx
@@ -214,7 +219,8 @@ object WidenQueries {
     "q60_orc_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
     "q61_approx_percentile" ->
-      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+      """SELECT l_returnflag,
+        | round(quantile_cont(CASE WHEN isfinite(l_quantity) THEN l_quantity END, 0.5), 6) AS p50_qty,
         | TRUE AS within_tol
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q62_pivot" ->

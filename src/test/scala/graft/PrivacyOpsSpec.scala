@@ -55,6 +55,19 @@ class PrivacyOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, -1L, 0L, 0L, 1L))
   }
 
+  test("band: non-finite values band to NULL, never to band 0 (r16 naninf probe)") {
+    // Spark's floor() returns LONG, so floor(NaN) silently became 0 —
+    // a NaN-balance row joined the genuine band-0 equivalence class
+    // and the k-anonymity audit counted it as a real member
+    import spark.implicits._
+    val out = Seq(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity, 500.0).toDF("v")
+      .select(PrivacyOps.band(col("v"), 1000.0).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out.toSeq === Seq(None, None, None, Some(0L)),
+      "non-finite → NULL band (the 'unknown' class, same as NULL input)")
+  }
+
   test("kAnonymize: small classes suppressed, audit k kept, nulls are a class") {
     import spark.implicits._
     // class (1, A) has 5 rows (kept), (2, B) has 2 (suppressed),

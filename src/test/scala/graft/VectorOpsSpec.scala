@@ -227,6 +227,26 @@ class VectorOpsSpec extends SparkSpec {
       s"zero vector must pair with nothing: $pairs")
   }
 
+  test("non-finite vectors pair with NOTHING (r16 naninf probe): " +
+       "Spark's NaN-greater-than-everything passed the > 0 norm guard") {
+    // a NaN norm satisfied `> 0` AND the NaN-vs-NaN threshold
+    // comparison (Spark orders NaN above every value and NaN = NaN),
+    // so one NaN embedding paired with its whole block; an Inf norm
+    // passed `> 0` the ordinary way. The finite-norm guard
+    // (`<= MaxValue`, false for both under the same semantics) is the
+    // contract: a vector with a non-finite component has no direction.
+    val nan = Double.NaN
+    val inf = Double.PositiveInfinity
+    val blocked = Seq(
+      (1L, Seq(1.0, 0.0), "b"), (2L, Seq(0.99, 0.14), "b"),
+      (3L, Seq(nan, inf), "b"), (4L, Seq(inf, inf), "b"))
+      .toDF("id", "v", "blk")
+    val pairs = VectorOps.cosineNearDupPairs(blocked, "id", "v", "blk", 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)),
+      s"non-finite vectors must pair with nothing: $pairs")
+  }
+
   test("portable cosine: zero-norm yields NaN under ANSI (native parity), not DIVIDE_BY_ZERO") {
     // r14 review: under Spark 4's ANSI default a raw double division
     // throws — one all-zero embedding killed any scan through the HOF

@@ -41,6 +41,14 @@ Variants (each a full 10-table dir):
             it ran (per-record vs GROUP BY doc_id oracles, PPJoin's
             per-doc window blending same-id rows, SCD2's unresolved
             full-tie)
+  naninf  — every DOUBLE column NaN on one row, alternating +-Inf on
+            another, [NaN, Inf, -Inf, 0] embeddings (round 16): the
+            non-finite measures a bad upstream division ships at
+            100 TB — caught a whole-job ANSI CAST kill (q113), the
+            NaN-greater-than-everything guard bypass (q34 paired a
+            NaN vector with its block), NaN-as-p90 percentiles, the
+            silent floor(NaN)=band-0 privacy class, and DuckDB 1.0's
+            own TRY_CAST(NaN AS DECIMAL) raise
   emptystr — every STRING column '' with keys intact (round 15): the
             all-empty text/props/name shape; caught DuckDB's ->> 
             hard-error on non-JSON input, the CSV ''-vs-NULL lossy
@@ -217,6 +225,40 @@ def dup_dim_row(full):
             elif isinstance(v, int):
                 out[k] = v + 1
     return out
+
+
+NAN = float("nan")
+INF = float("inf")
+
+
+def nan_row(full):
+    """Every double NaN (keys +88000), list-of-float columns
+    [NaN, Inf, -Inf, 0] — the r16 naninf probe row. None when the
+    table has no double columns."""
+    out = bump_keys(full, 88000)
+    changed = False
+    for k, v in list(out.items()):
+        if isinstance(v, float) and not isinstance(v, bool):
+            out[k] = NAN
+            changed = True
+        elif isinstance(v, list) and v and isinstance(v[0], float):
+            out[k] = [NAN, INF, -INF, 0.0]
+            changed = True
+    return out if changed else None
+
+
+def inf_row(full):
+    """Doubles alternating +Inf/-Inf (keys +89000) — the r16 naninf
+    probe's second row. None when the table has no double columns."""
+    out = bump_keys(full, 89000)
+    changed = False
+    flip = True
+    for k, v in list(out.items()):
+        if isinstance(v, float) and not isinstance(v, bool):
+            out[k] = INF if flip else -INF
+            flip = not flip
+            changed = True
+    return out if changed else None
 
 
 def dup_fact_row(full):
@@ -406,7 +448,8 @@ def main(root, base_sf="/root/testdata/sf0.001"):
     write_mixed(os.path.join(root, "mixed"), base_sf)
     write_skew(os.path.join(root, "skew"), base_sf)
     for variant in ("empty", "onerow", "nulls", "nullkeys", "dupdims",
-                    "dupfacts", "emptystr", "extremes", "unicode"):
+                    "dupfacts", "emptystr", "extremes", "unicode",
+                    "naninf"):
         d = os.path.join(root, variant)
         os.makedirs(d, exist_ok=True)
         for name in SCHEMAS:
@@ -431,6 +474,9 @@ def main(root, base_sf="/root/testdata/sf0.001"):
             elif variant == "dupfacts":
                 rows = [full] + ([dup_fact_row(full)]
                                  if name in FACT_TABLES else [])
+            elif variant == "naninf":
+                rows = [full] + [r for r in (nan_row(full), inf_row(full))
+                                 if r is not None]
             elif variant == "emptystr":
                 e = emptystr_row(full)
                 rows = [full] + ([e] if e is not None else [])

@@ -15,6 +15,18 @@ doubles alternating +Inf/-Inf (keys +89000). The embedding list gets
 [NaN, Inf, -Inf, 0.0] on the NaN row. Keys/FKs stay join-consistent
 within each planted row via bump_keys.
 
+First run found 34 failures: ~28 DuckDB-side "Invalid Input" raises
+(DuckDB 1.0's own TRY_CAST(NaN AS DECIMAL) bug — the oracles now
+spell Spark's non-finite-money-is-NULL contract as
+TRY_CAST(nullif(x, 'nan'::DOUBLE) AS DECIMAL)), one whole-job engine
+kill (q113's ANSI CAST of a raw measure to BIGINT), the
+NaN-greater-than-everything guard bypass (q34), NaN-as-p90
+percentiles (q42/q61), and the silent floor(NaN)=band-0 privacy
+class (q86). All closed same-session (triage: SCALING.md "Round-16
+NaN/Inf probe"); `naninf` is now the sweep's 12th CONTRACT variant
+(edge_fixtures.nan_row/inf_row are the promoted implementations).
+This standalone runner remains for dev-loop iteration.
+
 Usage:
     python3 tools/naninf_probe.py [out_dir]   # default /tmp/naninf_probe
     tools/spark_java.sh graft.Verify <out_dir> /tmp/naninf_out
@@ -26,41 +38,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import edge_fixtures as ef
 
-NAN = float("nan")
-INF = float("inf")
-
-
-def nan_row(full):
-    out = ef.bump_keys(full, 88000)
-    changed = False
-    for k, v in list(out.items()):
-        if isinstance(v, float) and not isinstance(v, bool):
-            out[k] = NAN
-            changed = True
-        elif isinstance(v, list) and v and isinstance(v[0], float):
-            out[k] = [NAN, INF, -INF, 0.0]
-            changed = True
-    return out if changed else None
-
-
-def inf_row(full):
-    out = ef.bump_keys(full, 89000)
-    changed = False
-    flip = True
-    for k, v in list(out.items()):
-        if isinstance(v, float) and not isinstance(v, bool):
-            out[k] = INF if flip else -INF
-            flip = not flip
-            changed = True
-    return out if changed else None
-
 
 def main(root="/tmp/naninf_probe"):
     os.makedirs(root, exist_ok=True)
     for name in ef.SCHEMAS:
         full = ef.ONEROW[name]
+        # promoted implementations are the single source (the
+        # nullkeys_probe lesson): no local copies that drift
         rows = [full]
-        for r in (nan_row(full), inf_row(full)):
+        for r in (ef.nan_row(full), ef.inf_row(full)):
             if r is not None:
                 rows.append(r)
         ef.write(root, name, rows)
