@@ -30,11 +30,20 @@ object StreamingOps {
     * (r14 review). State is one id per event inside the watermark
     * horizon. The streaming analog of the reference's idempotent PK
     * upsert (load_sales_data.py:129-134).
+    *
+    * NULL ids bypass the dedup (r16 review pass 10, the dedupByContent
+    * rationale): dropDuplicates treats NULL as a key value, so every
+    * id-less event in the horizon would collapse into ONE survivor —
+    * but an event without identity cannot be proven a redelivery of
+    * anything. They ride the union branch untouched, paying no state.
     */
   def dedupEvents(events: DataFrame, idCol: String, tsCol: String,
-                  delay: String): DataFrame =
-    events.withWatermark(tsCol, delay)
+                  delay: String): DataFrame = {
+    val wm = events.withWatermark(tsCol, delay)
+    wm.filter(col(idCol).isNotNull)
       .dropDuplicatesWithinWatermark(idCol)
+      .unionByName(wm.filter(col(idCol).isNull))
+  }
 
   // the one watermark → window×key → agg → flatten chain both
   // windowed twins share (r14 review: it was written twice)
@@ -58,12 +67,16 @@ object StreamingOps {
 
   /** Incremental per-key running sum of a value column — streaming
     * analog of q22_running_total; emits one row per (key, window)
-    * when the watermark closes it.
+    * when the watermark closes it. finiteOrNull carries the batch
+    * twin's money contract (r16 naninf probe): q22 sums through a
+    * DECIMAL cast that nulls NaN/±Inf, so one poisoned measure skips
+    * instead of turning a window's total — and every later cumulative
+    * emit of that group — into NaN forever.
     */
   def windowedSums(events: DataFrame, tsCol: String, keyCol: String,
                    valCol: String, windowLen: String, delay: String): DataFrame =
     windowedAgg(events, tsCol, keyCol, windowLen, delay,
-      sum(col(valCol)), "total")
+      sum(graft.ops.RelationalOps.finiteOrNull(col(valCol))), "total")
 
   /** Streaming exact-content dedup for a document stream — the
     * streaming twin of [[graft.ops.TextOps.exactDedupGroups]] (q24):
@@ -237,7 +250,14 @@ object StreamingOps {
   def sessionizeWithState(events: Dataset[UserEvent], gapMs: Long,
                           delay: String): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
-    events.withWatermark("ts", delay)
+    // an event without an event time cannot be placed in any session
+    // — and `_.ts.getTime` on it would NPE the whole task (r16 review
+    // pass 10). Dropped explicitly, the same quarantine posture as
+    // every other absent-measure contract; the filter is visible in
+    // the plan instead of relying on the watermark operator's
+    // null-row behavior.
+    events.filter((e: UserEvent) => e.ts != null)
+      .withWatermark("ts", delay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

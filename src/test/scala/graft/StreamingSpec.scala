@@ -66,6 +66,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupEvents: NULL ids bypass the dedup — id-less events are " +
+       "not redeliveries of each other (r16 review pass 10)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.lang.Long, Timestamp)]
+    val df = mem.toDF().toDF("event_id", "ts")
+    val out = StreamingOps.dedupEvents(df, "event_id", "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_null_test")
+      .outputMode("append").start()
+    try {
+      // two id-less events + one real id redelivered
+      mem.addData((null, ts("2024-01-01 00:00:01")),
+        (null, ts("2024-01-01 00:00:02")),
+        (7L, ts("2024-01-01 00:00:03")), (7L, ts("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_null_test")
+        .select("event_id").as[Option[Long]].collect().toSeq
+      assert(rows.count(_.isEmpty) === 2,
+        s"dropDuplicates treats NULL as a key value — both id-less " +
+          s"events must survive, not collapse to one: $rows")
+      assert(rows.count(_.contains(7L)) === 1, "real ids still dedup")
+    } finally q.stop()
+  }
+
   test("enrichStream: static dim broadcast-joined per micro-batch, left-outer keeps unmatched") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
@@ -336,6 +359,44 @@ class StreamingSpec extends SparkSpec {
         ("2024-01-01 09:00:00", "u1", 4.0),
         ("2024-01-01 09:30:00", "u1", 10.0),
         ("2024-01-01 09:00:00", "u2", 7.0)))
+      // one poisoned measure must SKIP, not turn the window's total —
+      // and every later cumulative emit of that group — into NaN
+      // forever (r16 naninf probe: the batch twin's decimal cast
+      // already nulls non-finite; the twin carries the same contract)
+      mem.addData((ts("2024-01-01 09:12:00"), "u1", Double.NaN),
+        (ts("2024-01-01 09:13:00"), "u1", Double.PositiveInfinity),
+        (ts("2024-01-01 09:14:00"), "u1", 0.5))
+      q.processAllAvailable()
+      val t = spark.table("ws_test")
+        .filter(col("user") === "u1" &&
+          col("window_start").cast("string") === "2024-01-01 09:00:00")
+        .select("total").as[Double].collect()
+      assert(t.toSeq === Seq(4.5),
+        s"non-finite measures skip under the money contract: ${t.toSeq}")
+    } finally q.stop()
+  }
+
+  test("sessionizeWithState: a NULL-ts event is dropped, not an NPE " +
+       "that kills the task (r16 review pass 10)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.UserEvent]
+    val out = StreamingOps.sessionizeWithState(mem.toDS(),
+      gapMs = 60000L, delay = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_null_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(StreamingOps.UserEvent(1L, ts("2024-01-01 09:00:00")),
+        StreamingOps.UserEvent(1L, null),
+        StreamingOps.UserEvent(1L, ts("2024-01-01 09:00:30")))
+      q.processAllAvailable()
+      // advance the watermark far enough to close user 1's session
+      mem.addData(StreamingOps.UserEvent(2L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_null_test")
+        .select(col("user_id"), col("n_events"))
+        .as[(Long, Long)].collect().toSet
+      assert(rows === Set((1L, 2L)),
+        s"the two timed events session together; the ts-less one is dropped: $rows")
     } finally q.stop()
   }
 
