@@ -178,8 +178,16 @@ object ExtQueries {
       // spelled as an explicit marker (the checksum tier's '\N'
       // discipline, ReconcileOps), '' keeps its quoted-empty shape and
       // both survive the trip distinct.
+      // whitespace survives BOTH directions (r16 whitespace probe):
+      // Spark's CSV WRITER trims leading/trailing whitespace by
+      // default (ignore*WhiteSpace default true on write, false on
+      // read), so '  ' round-tripped as '' — lossy exactly like the
+      // ''-vs-NULL default this query already fixes. Both options
+      // pinned false on both sides: bytes out = bytes in.
       Tables.nation(s, d).write.mode("overwrite")
-        .option("header", "true").option("nullValue", "\\N").csv(sink)
+        .option("header", "true").option("nullValue", "\\N")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false").csv(sink)
       // multiLine: the writer QUOTES fields carrying the delimiter or a
       // newline (correct CSV), but the default line-splitting reader
       // cuts records at every raw newline — a quoted embedded newline
@@ -190,7 +198,9 @@ object ExtQueries {
       // parallelism = #files either way.
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .option("header", "true").option("multiLine", "true")
-        .option("nullValue", "\\N").csv(sink)
+        .option("nullValue", "\\N")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false").csv(sink)
     }),
 
     // Co-location — BUCKETED join: both sides written bucketed+sorted

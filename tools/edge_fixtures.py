@@ -41,6 +41,12 @@ Variants (each a full 10-table dir):
             it ran (per-record vs GROUP BY doc_id oracles, PPJoin's
             per-doc window blending same-id rows, SCD2's unresolved
             full-tie)
+  whitespace — every string column '  ' on one row, '  <v>  ' padded
+            on another (round 16): whitespace-only and whitespace-
+            padded are different shapes than emptystr's '' — caught
+            Spark's CSV WRITER trimming leading/trailing whitespace
+            by default (ignore*WhiteSpace true on write, false on
+            read): '  ' round-tripped as ''
   naninf  — every DOUBLE column NaN on one row, alternating +-Inf on
             another, [NaN, Inf, -Inf, 0] embeddings (round 16): the
             non-finite measures a bad upstream division ships at
@@ -261,6 +267,34 @@ def inf_row(full):
     return out if changed else None
 
 
+def spaces_row(full):
+    """Every string column '  ' (keys +60000) — whitespace-ONLY is a
+    different shape than emptystr's '': split-on-space yields three
+    empty tokens, not zero (r16 whitespace probe). None when the table
+    has no string columns."""
+    out = bump_keys(full, 60000)
+    changed = False
+    for k, v in out.items():
+        if isinstance(v, str):
+            out[k] = "  "
+            changed = True
+    return out if changed else None
+
+
+def padded_row(full):
+    """Every string column '  <original>  ' (keys +61000) — padded
+    values are DIFFERENT keys than their trimmed forms, and the shape
+    that exposed Spark's CSV writer trimming by default (r16
+    whitespace probe). None when the table has no string columns."""
+    out = bump_keys(full, 61000)
+    changed = False
+    for k, v in out.items():
+        if isinstance(v, str):
+            out[k] = f"  {v}  "
+            changed = True
+    return out if changed else None
+
+
 def dup_fact_row(full):
     """Identical key/FK/timestamp columns, every other payload mutated
     — the intra-batch duplicate-key fact (r16 dupfacts probe): a
@@ -449,7 +483,7 @@ def main(root, base_sf="/root/testdata/sf0.001"):
     write_skew(os.path.join(root, "skew"), base_sf)
     for variant in ("empty", "onerow", "nulls", "nullkeys", "dupdims",
                     "dupfacts", "emptystr", "extremes", "unicode",
-                    "naninf"):
+                    "naninf", "whitespace"):
         d = os.path.join(root, variant)
         os.makedirs(d, exist_ok=True)
         for name in SCHEMAS:
@@ -476,6 +510,10 @@ def main(root, base_sf="/root/testdata/sf0.001"):
                                  if name in FACT_TABLES else [])
             elif variant == "naninf":
                 rows = [full] + [r for r in (nan_row(full), inf_row(full))
+                                 if r is not None]
+            elif variant == "whitespace":
+                rows = [full] + [r for r in (spaces_row(full),
+                                             padded_row(full))
                                  if r is not None]
             elif variant == "emptystr":
                 e = emptystr_row(full)
