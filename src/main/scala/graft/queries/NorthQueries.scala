@@ -502,10 +502,20 @@ object NorthQueries {
          |-- them, so the oracle skips them explicitly (r13 mixed sweep)
          |WHERE len(a.v) = len(b.v)
          |  AND list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+    // non-finite embeddings are UNASSIGNABLE in the engine (a NaN
+    // distance returns nearestCentroid's -1 sentinel: trains no cell,
+    // matches no centroid — r16 mixed augmentation): one NaN vector
+    // in the corpus otherwise turns its label's centroid dims to NaN,
+    // NaN sorts FIRST under DESC in both engines, and the poisoned
+    // label enters best-3 where its ragged members ERROR DuckDB's
+    // list_cosine. The oracle states the exclusion with isfinite on
+    // the squared norm (training AND search); the ragged-pair guard
+    // (len =) mirrors the engine's NULL-sim-on-mismatch as before.
     "q35_ann_ivf" ->
       """WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0),
         | dims AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
-        |                 generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |                 generate_subscripts(embedding, 1) AS i FROM embeddings
+        |          WHERE isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)))),
         | cent AS (SELECT label, i, avg(x) AS c FROM dims GROUP BY 1, 2),
         | pnorm AS (SELECT sqrt(list_sum(list_transform(p, y -> y * y))) AS pn FROM probe),
         | csim AS (SELECT label, sum(c * p[i]) / (sqrt(sum(c * c)) * any_value(pn)) AS cs
@@ -514,6 +524,8 @@ object NorthQueries {
         |SELECT e.vec_id,
         |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p), 6) AS sim
         |FROM embeddings e JOIN best USING (label) CROSS JOIN probe
+        |WHERE len(CAST(e.embedding AS DOUBLE[])) = len(p)
+        |  AND isfinite(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), y -> y * y)))
         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
     "q36_multimodal_features" ->
       """SELECT doc_id AS media_id,

@@ -363,6 +363,20 @@ def degenerate_rows(name):
         zerovec = bump_keys(full, 25000)
         zerovec["embedding"] = [0.0, 0.0, 0.0, 0.0]
         rows.append(zerovec)
+    # the r16 shapes, woven into the REAL data too (the whole point of
+    # `mixed`): a duplicate-PK fact beside its original inside the
+    # live corpus (dup of the +20000 row — its image lands at the same
+    # +20000 ids, deliberately), NaN/±Inf measures inside real
+    # percentile/agg distributions (+88000/89000), and whitespace-only
+    # + padded strings inside real tokenizer/join streams
+    # (+60000/61000) — all id ranges clear of real (≤ ~6000), planted
+    # (+100000), and each other
+    if name in FACT_TABLES:
+        rows.append(dup_fact_row(bump_keys(full, 20000)))
+    for r in (nan_row(full), inf_row(full),
+              spaces_row(full), padded_row(full)):
+        if r is not None:
+            rows.append(r)
     return rows
 
 
