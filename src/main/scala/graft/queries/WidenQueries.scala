@@ -131,15 +131,28 @@ object WidenQueries {
     // gate certifies sketch quality without demanding bitwise equality
     // of an approximation.
     "q61_approx_percentile" -> ((s, d) =>
-      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      Tables.lineitem(s, d)
+        // finiteOrNull on every estimator (r16 naninf probe): the
+        // certificate compares them, so they must agree on the
+        // finite-measures-only input contract (q42's rationale)
+        .withColumn("_fq",
+          graft.ops.RelationalOps.finiteOrNull(col("l_quantity")))
+        .groupBy(col("l_returnflag"))
         .agg(
-          // finiteOrNull on BOTH estimators (r16 naninf probe): the
-          // certificate compares them, so they must agree on the
-          // finite-measures-only input contract (q42's rationale)
-          percentile_approx(graft.ops.RelationalOps.finiteOrNull(
-            col("l_quantity")), lit(0.5), lit(10000)).as("_approx"),
-          percentile(graft.ops.RelationalOps.finiteOrNull(
-            col("l_quantity")), lit(0.5)).as("_exact"))
+          percentile_approx(col("_fq"), lit(0.5), lit(10000)).as("_approx"),
+          percentile(col("_fq"), lit(0.5)).as("_exact"),
+          // the certificate's reference is the DISCRETE percentile
+          // (r16 liar probe): approx_percentile's guarantee is
+          // RANK-based — it returns an actual element within
+          // n/accuracy ranks of p·n — so on a 2-element skewed group
+          // {-5, 17} it honestly returns an endpoint 11 away from the
+          // INTERPOLATED exact (6.0) and the old value-vs-interpolated
+          // certificate failed on correct behavior. Against the
+          // discrete element the 2% value tolerance states what the
+          // sketch actually promises (rank-exact at n ≤ accuracy,
+          // nearby-element value error beyond).
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _fq)")
+            .as("_disc"))
         .select(col("l_returnflag"),
           round(col("_exact"), 6).as("p50_qty"),
           // a group with no non-null values has NULL exact AND approx
@@ -147,8 +160,8 @@ object WidenQueries {
           // absent quantile can't be mis-approximated), matching the
           // oracle's constant TRUE; without the coalesce the NULL
           // comparison left within_tol NULL (r13 edge sweep)
-          coalesce(abs(col("_approx") - col("_exact")) <=
-            greatest(lit(1.0), col("_exact") * 0.02), lit(true))
+          coalesce(abs(col("_approx") - col("_disc")) <=
+            greatest(lit(1.0), abs(col("_disc")) * 0.02), lit(true))
             .as("within_tol"))),
 
     // Pivot — long-to-wide restructuring (per-user event-type counts)
