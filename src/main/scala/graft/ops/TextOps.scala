@@ -41,13 +41,28 @@ object TextOps {
 
   /** Distinct word n-gram shingles of a token array, joined by a
     * separator that cannot appear inside a token.
+    *
+    * Built as a zip_with chain over shifted slices — the same shape
+    * as [[ngramHashes64]] and for the same reason (r16 megadoc
+    * probe): the old `transform(sequence(…), i => concat_ws(slice(
+    * toks, i+1, n)))` lambda REFERENCED the token array, and the
+    * interpreted HOF eval re-evaluates a referenced expression per
+    * element — with toks = split(text), that re-split the WHOLE text
+    * once per position: O(n²), and one 200k-token document turned
+    * q90's pure projection into a 10-minute task. The chain's slices
+    * are zip_with ARGUMENTS (evaluated once); concat_ws skips the
+    * null padding on tail windows exactly as it skipped their tokens
+    * before, and the final slice drops those incomplete tails.
     */
-  def shingles(toks: Column, n: Int): Column =
+  def shingles(toks: Column, n: Int): Column = {
+    val combined = (2 to n).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), greatest(size(toks) - (j - 1), lit(0))),
+        (a, b) => concat_ws(" ", a, b))
+    }
     when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      array_distinct(slice(combined, lit(1), size(toks) - (n - 1))))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** 31-bit base hash of each shingle: xxhash64 folded into
     * [0, 2^31-1) so the affine minhash permutations below never

@@ -42,6 +42,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) === Seq.empty)
   }
 
+  test("shingles stays LINEAR on a long document (r16 megadoc probe)") {
+    // the old transform-lambda referenced the token array, and
+    // interpreted HOF eval re-evaluates a referenced expression per
+    // element — with toks = split(text) that re-split the whole text
+    // once per position: O(n²). One 200k-token doc turned q90 into a
+    // 10-minute task; this 20k-token doc would take ~minutes under
+    // that shape and milliseconds under the zip_with chain. The
+    // assertion is value-exact: a 50-word cyclic vocabulary has
+    // exactly 50 distinct consecutive trigrams.
+    val words = (0 until 20000).map(i => s"w${i % 50}")
+    val n = docs(1L -> words.mkString(" "))
+      .select(size(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("n"))
+      .as[Int].head()
+    assert(n === 50)
+  }
+
   test("ngramHashes64 ≡ string shingles as a set (sizes, intersections, order-sensitivity)") {
     val d = docs(1L -> "a b c d e", 2L -> "e d c b a", 3L -> "a b c d e",
       4L -> "a b", 5L -> "x y z a b c d e")
