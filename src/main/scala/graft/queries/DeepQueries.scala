@@ -220,31 +220,55 @@ object DeepQueries {
 
     // In-row analytics via higher-order functions: each doc's dominant
     // term (max count, lexicographic tie-break) computed ENTIRELY
-    // inside the row — transform/filter/size build per-distinct-token
-    // counts, a comparator array_sort picks the winner — so the plan
-    // is a pure codegen'd projection with ZERO exchanges
-    // (PlanSpec-asserted). The conventional formulation (explode →
-    // groupBy(doc, term) → window rn=1) shuffles the corpus's entire
-    // token stream TWICE; that is exactly what the oracle does,
-    // certifying the in-row rewrite against the relational derivation.
-    // In-row cost is O(|distinct| × |tokens|) per doc — the right
-    // trade for natural-language distinct/total ratios; the relational
-    // form stays the fallback for degenerate single-repeated-token
-    // corpora.
+    // inside the row, so the plan is a pure projection with ZERO
+    // exchanges (PlanSpec-asserted). The conventional formulation
+    // (explode → groupBy(doc, term) → window rn=1) shuffles the
+    // corpus's entire token stream TWICE; that is exactly what the
+    // oracle does, certifying the in-row rewrite against the
+    // relational derivation.
+    //
+    // ONE sorted fold, O(n log n) per doc (r16 HOF audit): the old
+    // form — `transform(array_distinct(toks), t => size(filter(toks,
+    // …)))` — both referenced the token array inside a lambda (the
+    // shingles O(n²) trap: the reference re-evaluates, i.e. re-SPLITS
+    // the text, once per distinct token) and paid O(|distinct| × n)
+    // counting; an all-distinct 1 MB document would hang the scan.
+    // Sorting groups equal tokens into runs; the fold walks them
+    // once, closing each run against the best-so-far with STRICT
+    // `>` — runs arrive in ascending term order, so ties keep the
+    // earlier (lexicographically smaller) term, the same tiebreak the
+    // comparator sort and the oracle's (n DESC, term) window encode.
     "q104_hof_topterm" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      val stats = transform(array_distinct(toks),
-        t => struct(size(filter(toks, x => x === t)).as("c"), t.as("t")))
-      val best = array_sort(stats, (l, r) =>
-        when(l("c") > r("c"), -1).when(l("c") < r("c"), 1)
-          .when(l("t") < r("t"), -1).when(l("t") > r("t"), 1)
-          .otherwise(0))
+      val sorted = array_sort(split(col("text"), " "))
+      val zero = struct(
+        lit(null).cast("string").as("prev"), lit(0L).as("cnt"),
+        lit(0L).as("bc"), lit(null).cast("string").as("bt"))
+      val folded = aggregate(
+        sorted, zero,
+        (acc, t) => {
+          val same = acc("prev") <=> t
+          // a changed token closes the previous run; strictly-greater
+          // keeps the earlier term on count ties (ascending runs)
+          val closed = acc("prev").isNotNull && !same && acc("cnt") > acc("bc")
+          struct(
+            t.as("prev"),
+            when(same, acc("cnt") + 1L).otherwise(lit(1L)).as("cnt"),
+            when(closed, acc("cnt")).otherwise(acc("bc")).as("bc"),
+            when(closed, acc("prev")).otherwise(acc("bt")).as("bt"))
+        },
+        acc => {
+          // close the trailing run
+          val closed = acc("prev").isNotNull && acc("cnt") > acc("bc")
+          struct(
+            when(closed, acc("prev")).otherwise(acc("bt")).as("t"),
+            when(closed, acc("cnt")).otherwise(acc("bc")).as("c"))
+        })
       // null-text docs excluded to match the oracle's unnest row-set
       // (same latent-drift class as q33/q50/q90)
       Tables.documents(s, d).filter(col("text").isNotNull)
         .select(col("doc_id"),
-          best.getItem(0).getField("t").as("top_term"),
-          best.getItem(0).getField("c").cast("long").as("n_top"))
+          folded.getField("t").as("top_term"),
+          folded.getField("c").cast("long").as("n_top"))
     })
   )
 

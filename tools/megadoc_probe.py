@@ -43,6 +43,10 @@ def main(root="/tmp/megadoc_probe"):
     words = [f"w{i % 50}" for i in range(200_000)]
     big = " ".join(words)
     monster = "x" * 100_000
+    # ALL-DISTINCT tokens: the worst case for any per-distinct-token
+    # in-row pass (the q104 O(|distinct| x n) shape the cyclic
+    # vocabulary above dodged on the probe's first run)
+    alldist = " ".join(f"u{i}" for i in range(200_000))
     for name in ef.SCHEMAS:
         full = ef.ONEROW[name]
         rows = [full]
@@ -51,7 +55,9 @@ def main(root="/tmp/megadoc_probe"):
             r1.update(text=big, n_chars=len(big))
             r2 = ef.bump_keys(full, 31000)
             r2.update(text=monster, n_chars=len(monster))
-            rows += [r1, r2]
+            r3 = ef.bump_keys(full, 32000)
+            r3.update(text=alldist, n_chars=len(alldist))
+            rows += [r1, r2, r3]
         if name == "events":
             r = ef.bump_keys(full, 30000)
             r["props"] = '{"k":"' + "y" * 100_000 + '"}'
