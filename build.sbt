@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The graded BENCH artifact parses the LAST stdout line as bare JSON
+// (r16 VERDICT #1, four rounds of `"parsed": null`): sbt's default
+// LoggedOutput strategy prefixes every forked-JVM line with `[info] `
+// and then appends its own `[success] Total time…` footer, so the
+// compact bench line was never both bare and last. StdoutOutput routes
+// the forked process's stdout straight through unprefixed;
+// showSuccess := false drops the footer. Exit codes (what the driver's
+// `rc` field records) are unaffected.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -196,7 +196,17 @@ object Bench {
     // cutoff excludes pre-shift lines from floor/cross computation,
     // and the line records both the cutoff and the ts of the line that
     // set the record (floor_ts) so the anchor is auditable.
-    val floorSince = sys.env.get("SPARK_GRAFT_FLOOR_SINCE").map(_.trim.toLong)
+    // parse defensively (r16 ADVICE): a malformed value here used to
+    // throw AFTER all queries had run but BEFORE the result line was
+    // written — losing the whole run contradicts the "bench results
+    // must never be lost" posture. Malformed → warn and ignore.
+    val floorSince = sys.env.get("SPARK_GRAFT_FLOOR_SINCE").flatMap { raw =>
+      val parsed = raw.trim.toLongOption
+      if (parsed.isEmpty)
+        System.err.println(
+          s"[bench] ignoring malformed SPARK_GRAFT_FLOOR_SINCE='$raw'")
+      parsed
+    }
     val floorBaselines = floorSince match {
       case Some(cut) => baselines.filter(_.ts >= cut)
       case None      => baselines

@@ -35,14 +35,18 @@ object Fixtures {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Int, Long), String]()
 
-  /** CRC32C of the file's first and last 4 KiB — the cheap content
-    * sample the memo key carries ALONGSIDE (size, mtime). Closes the
-    * r15 coarse-mtime residual: on a filesystem storing 1 ms/2 s
-    * mtimes, a same-size rewrite inside the granularity window used
-    * to serve the stale cached CRC; parquet head/tail blocks carry
-    * the magic + footer metadata (row-group stats, offsets), which
-    * change with any content change, so the probe re-keys the cache
-    * for exactly the rewrites mtime can't see. Two 4 KiB reads of a
+  /** CRC32C of the file's first/middle/last 4 KiB plus two interior
+    * quarter-stride samples — the cheap content sample the memo key
+    * carries ALONGSIDE (size, mtime). NARROWS (not closes — r16
+    * ADVICE) the r15 coarse-mtime residual: on a filesystem storing
+    * 1 ms/2 s mtimes, a same-size rewrite inside the granularity
+    * window used to serve the stale cached CRC. Parquet head/tail
+    * blocks carry the magic + footer metadata (row-group stats,
+    * offsets), which change with almost any content change, and the
+    * three interior samples catch mid-file page rewrites that leave
+    * the footer byte-identical — but a rewrite confined to the gaps
+    * between the five samples, same-size, inside the mtime window,
+    * remains theoretically invisible. Five 4 KiB reads of a
     * page-cached file per call — negligible against what the memo
     * saves (the full-file hash).
     */
@@ -59,6 +63,12 @@ object Fixtures {
         crc.update(bb)
       }
       readAt(0L)
+      // interior strides at 1/4, 1/2, 3/4 — only once the file is big
+      // enough that they fall strictly between the head and tail
+      // samples (tiny files are fully covered by head+tail already)
+      if (size > 16384) {
+        readAt(size / 4); readAt(size / 2); readAt(3 * (size / 4))
+      }
       if (size > 4096) readAt(math.max(4096L, size - 4096))
     } finally ch.close()
     crc.getValue

@@ -200,7 +200,21 @@ object MultimodalOps {
         }
       }
     }
-    df.select(col(nameCol).cast("string"), col(payloadCol).cast("binary"))
+    // ONE record per name before any file I/O (r16 ADVICE): with dup
+    // names in the input (the dupfacts shape — same id twice, one
+    // payload NULL), the write path and the delete-on-NULL/empty path
+    // raced on the same target file, so task/partition order decided
+    // whether the file existed after export. The input carries no
+    // revision column at this API, so the deterministic winner is the
+    // greatest payload (max over binary; matches the dup-id collapse
+    // contract the similarity corpora use) — NULL/empty deletes the
+    // target only when the name has NO non-empty payload at all. One
+    // map-side-combinable hash aggregation; a no-op shuffle of
+    // already-unique names in the common case.
+    df.select(col(nameCol).cast("string").as("__export_name"),
+        col(payloadCol).cast("binary").as("__export_payload"))
+      .groupBy(col("__export_name"))
+      .agg(max(col("__export_payload")).as("__export_payload"))
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         it.foreach { r =>
           val name = r.getString(0)

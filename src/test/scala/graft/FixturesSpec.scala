@@ -48,7 +48,7 @@ class FixturesSpec extends AnyFunSuite {
   }
 
   test("same-size SAME-mtime rewrite still flips the fingerprint " +
-       "(r15 ADVICE residual closed by the head/tail content probe)") {
+       "(r15 ADVICE residual narrowed by the head/stride/tail probe)") {
     // the coarse-mtime hazard: (size, mtime) identical across a
     // rewrite → the memo served the stale CRC. Force the worst case —
     // equal length, mtime pinned back to the original stamp — and
@@ -74,6 +74,19 @@ class FixturesSpec extends AnyFunSuite {
       Files.write(p, big1)
       Files.setLastModifiedTime(p, t0)
       assert(Fixtures.tableFingerprint(d, "documents") !== fpBig)
+      // and an INTERIOR-only change on a file big enough that head and
+      // tail blocks are untouched (r16 ADVICE: a middle parquet-page
+      // rewrite leaving footer stats byte-identical) — the 1/4, 1/2,
+      // 3/4 stride samples must re-key the memo where head/tail can't
+      val wide0 = Array.fill[Byte](40000)(9)
+      Files.write(p, wide0)
+      Files.setLastModifiedTime(p, t0)
+      val fpWide = Fixtures.tableFingerprint(d, "documents")
+      val wide1 = wide0.clone(); wide1(20000) = 10 // inside the size/2 sample
+      Files.write(p, wide1)
+      Files.setLastModifiedTime(p, t0)
+      assert(Fixtures.tableFingerprint(d, "documents") !== fpWide,
+        "interior rewrite invisible: stride samples must catch it")
     }
   }
 

@@ -148,6 +148,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dup names collapse to ONE deterministic record before I/O " +
+       "(r16 ADVICE): write/delete never race on a shared target") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_export_dup_").toString
+    try {
+      // the dupfacts shape: same name twice, one payload NULL. Before
+      // the collapse, task order decided whether d.bin existed after
+      // the export (NULL's delete vs the write's atomic move). The
+      // contract: greatest payload wins; NULL/empty deletes only when
+      // the name has NO non-empty payload. Repartition spreads the
+      // dup rows across tasks to give the old race its best shot.
+      MultimodalOps.writeBinaryFiles(
+        Seq(("d.bin", null: Array[Byte]), ("d.bin", Array[Byte](1, 2)),
+            ("e.bin", Array[Byte](3)), ("e.bin", Array[Byte](4)),
+            ("f.bin", null: Array[Byte]), ("f.bin", Array.empty[Byte]))
+          .toDF("name", "payload").repartition(6), "name", "payload", dir)
+      val names = new java.io.File(dir).listFiles.map(_.getName).toSet
+      assert(names === Set("d.bin", "e.bin"),
+        s"NULL beside a live payload must not delete; all-NULL/empty must: $names")
+      assert(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "d.bin")).toSeq === Seq[Byte](1, 2))
+      // greatest-payload winner is deterministic regardless of row order
+      assert(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "e.bin")).toSeq === Seq[Byte](4))
+    } finally {
+      graft.ops.FsOps.rmTree(new java.io.File(dir))
+    }
+  }
+
   test("writeBinaryFiles rejects data-controlled unsafe names; sampleFrames rejects chunk=0") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_export_").toString

@@ -295,6 +295,55 @@ def padded_row(full):
     return out if changed else None
 
 
+def nfc_row(full):
+    """Every string column augmented with canonically-composable
+    graphemes, normalized to NFC (keys +62000) — one half of the r17
+    canonical-equivalence pair. The suffix covers: precomposed latin
+    (Pâté), multi-combining-mark stacking order (ṩ ấ), ring (Å), and a
+    Hangul syllable (간) whose NFD is Jamo. None when the table has no
+    string columns."""
+    import unicodedata
+    out = bump_keys(full, 62000)
+    changed = False
+    for k, v in out.items():
+        if isinstance(v, str):
+            out[k] = unicodedata.normalize("NFC", v + " Pâté ṩấÅ간")
+            changed = True
+    return out if changed else None
+
+
+def nfd_row(full):
+    """The SAME visual strings as nfc_row, in NFD (keys +63000) —
+    byte-different spellings of identical graphemes. Dedup/join/group
+    keys built from these must be decided identically by both engines
+    (both byte-compare → two distinct values, or both fold → one).
+    None when the table has no string columns."""
+    import unicodedata
+    out = bump_keys(full, 63000)
+    changed = False
+    for k, v in out.items():
+        if isinstance(v, str):
+            out[k] = unicodedata.normalize("NFD", v + " Pâté ṩấÅ간")
+            changed = True
+    return out if changed else None
+
+
+def zerowidth_row(full):
+    """Zero-width characters woven into every string column plus a
+    DEFECTIVE leading combining mark (keys +64000): ZWSP U+200B is not
+    Java-regex \\s, ZWJ/ZWNJ are invisible token glue, and a combining
+    acute with no base character is a legal-but-degenerate sequence
+    grapheme iterators must not trip on. None when the table has no
+    string columns."""
+    out = bump_keys(full, 64000)
+    changed = False
+    for k, v in out.items():
+        if isinstance(v, str):
+            out[k] = ("\u0301" + v + "\u200b z\u200dw\u200cj")
+            changed = True
+    return out if changed else None
+
+
 def dup_fact_row(full):
     """Identical key/FK/timestamp columns, every other payload mutated
     — the intra-batch duplicate-key fact (r16 dupfacts probe): a
