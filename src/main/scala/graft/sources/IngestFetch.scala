@@ -212,9 +212,30 @@ object IngestFetch {
       .as[(Long, java.sql.Date)]
       .mapPartitions { it =>
         val (forReq, forZip) = it.duplicate
-        forZip.zip(transport.fetchPartition(
-          forReq.map { case (s, dt) => FetchRequest(s, dt.toLocalDate) }))
-          .map { case ((s, dt), payload) => (s, dt, payload) }
+        val envelopes = transport.fetchPartition(
+          forReq.map { case (s, dt) => FetchRequest(s, dt.toLocalDate) })
+        // STRICT zip (r17 review pass 11): the transport contract is
+        // one envelope per request, but a plain zip would SILENTLY
+        // truncate on a misbehaving transport — fewer envelopes drops
+        // the tail's work units (a "successful" nightly that never
+        // fetched them), extra envelopes are fetched results attributed
+        // to no unit. Both are loud task failures instead.
+        new Iterator[(Long, java.sql.Date, String)] {
+          override def hasNext: Boolean = {
+            val c = forZip.hasNext
+            val e = envelopes.hasNext
+            if (c != e) throw new IllegalStateException(
+              "EnvelopeTransport broke the one-envelope-per-request " +
+                s"contract: ${if (c) "requests left with no envelope"
+                else "envelopes left with no request"} in this partition")
+            c
+          }
+          override def next(): (Long, java.sql.Date, String) = {
+            if (!hasNext) throw new NoSuchElementException("next on empty")
+            val (s, dt) = forZip.next()
+            (s, dt, envelopes.next())
+          }
+        }
       }
       .toDF("store_id", "d", "payload")
   }

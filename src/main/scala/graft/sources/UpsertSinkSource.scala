@@ -39,6 +39,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     which is exactly what every graded producer here does before
   *     writing. ACROSS batches the order is the segment chain:
   *     newest segment wins, deterministically.
+  *   - NULL merge keys are ONE well-defined key value (the merge is a
+  *     hash map, groupBy-style), so a null-keyed aggregate group
+  *     merges idempotently across re-sends. Deliberate divergence
+  *     from [[JdbcUpsert.mergeInto]], which REJECTS null keys: SQL
+  *     MERGE's `ON t.k = s.k` never matches NULL, so there a re-send
+  *     duplicates instead of updating (see keyOf's scaladoc).
   *
   * Commit protocol (S9, per-batch commit): executors spill rows to
   * HASH-BUCKETED data files (bucket = hash(key) % buckets, the same
@@ -167,11 +173,43 @@ object UpsertSinkSource {
         "read-side merge rely on value equality of the key objects)")
     }
 
+  /** Key values for bucketing and read-side merge. Two normalizations
+    * make JVM-object equality match SPARK's key semantics (r17 review
+    * pass 11, the naninf lens at the sink boundary):
+    *   - floating keys are re-encoded as their CANONICAL BITS
+    *     (zero-normalized, then doubleToLongBits/floatToIntBits, which
+    *     canonicalize every NaN payload): Scala's `==` on boxed
+    *     doubles keeps primitive IEEE semantics (BoxesRunTime), so a
+    *     raw `Seq(NaN)` never equals ANY key — including itself — and
+    *     a NaN-keyed row could never be updated, every re-send
+    *     appending a duplicate (the exact failure the JDBC twin
+    *     rejects NULL keys to avoid). Spark's own grouping normalizes
+    *     the same way (`-0.0 == 0.0`, all NaNs one group —
+    *     NormalizeFloatingNumbers); the bits ride only inside merge/
+    *     bucket identity, never back into row data.
+    *   - NULL keys are passed through AS A VALUE: this sink's merge is
+    *     a hash map, so NULL is one well-defined key (groupBy-style —
+    *     exactly what a null-keyed aggregate producer like q52 emits)
+    *     and re-sends stay idempotent. This is a DOCUMENTED divergence
+    *     from the JDBC twin ([[JdbcUpsert.mergeInto]]), which rejects
+    *     NULL merge keys loudly because SQL MERGE's `ON k = k` never
+    *     matches NULL — there re-sends would duplicate instead.
+    */
   private[sources] def keyOf(row: InternalRow, schema: StructType,
                              keys: Seq[String]): Seq[Any] =
     keys.map { k =>
       val i = schema.fieldIndex(k)
-      row.get(i, schema(i).dataType)
+      row.get(i, schema(i).dataType) match {
+        case d: java.lang.Double =>
+          val v = d.doubleValue()
+          java.lang.Long.valueOf(
+            java.lang.Double.doubleToLongBits(if (v == 0.0) 0.0 else v))
+        case f: java.lang.Float =>
+          val v = f.floatValue()
+          java.lang.Integer.valueOf(
+            java.lang.Float.floatToIntBits(if (v == 0.0f) 0.0f else v))
+        case v => v
+      }
     }
 
   private[sources] def bucketOf(key: Seq[Any], buckets: Int): Int = {

@@ -140,6 +140,43 @@ class IngestSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("a transport breaking one-envelope-per-request fails LOUDLY in " +
+       "fetchEnvelopesWithCoords — never silent truncation (r17 pass 11)") {
+    // fewer envelopes than requests: a plain zip would drop the tail's
+    // work units and the nightly would "succeed" having never fetched
+    // them. Both starvation and surplus must fail the task.
+    val short = new graft.sources.EnvelopeTransport {
+      override def fetchPartition(rs: Iterator[graft.sources.FetchRequest]) =
+        rs.take(1).map(_ => """{"ret_code":"0000","data":[]}""")
+    }
+    val surplus = new graft.sources.EnvelopeTransport {
+      override def fetchPartition(rs: Iterator[graft.sources.FetchRequest]) =
+        rs.map(_ => """{"ret_code":"0000","data":[]}""") ++
+          Iterator("""{"ret_code":"0000","data":[]}""")
+    }
+    for (bad <- Seq(short, surplus)) {
+      val e = intercept[org.apache.spark.SparkException] {
+        IngestFetch.fetchEnvelopesWithCoords(
+          worklist(3, "2024-03-01", "2024-03-01", 1), bad).count()
+      }
+      assert(e.getMessage.contains("one-envelope-per-request") ||
+        Option(e.getCause).exists(_.getMessage.contains("one-envelope-per-request")),
+        s"expected the strict-zip contract error, got: ${e.getMessage}")
+    }
+    // and a CONFORMING drain-first transport (the documented buffering
+    // shape) still zips coordinate-correct
+    val drainFirst = new graft.sources.EnvelopeTransport {
+      override def fetchPartition(rs: Iterator[graft.sources.FetchRequest]) =
+        rs.toVector.iterator.map(r => s"""{"ret_code":"0000","data":[],"s":${r.storeId}}""")
+    }
+    val got = IngestFetch.fetchEnvelopesWithCoords(
+      worklist(3, "2024-03-01", "2024-03-01", 1), drainFirst)
+      .as[(Long, java.sql.Date, String)].collect().toSet
+    assert(got.map(_._1) === Set(0L, 1L, 2L))
+    assert(got.forall { case (s, _, p) => p.contains(s""""s":$s""") },
+      s"coordinates must pair with their own envelopes: $got")
+  }
+
   test("persistent post-connect fault trips the circuit breaker instead of quarantining everything") {
     // an endpoint that accepts connections but tears EVERY exchange
     // (TLS misconfig, broken proxy): per-unit quarantine would let the

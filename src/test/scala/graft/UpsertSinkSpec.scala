@@ -35,6 +35,49 @@ class UpsertSinkSpec extends SparkSpec {
     UpsertSinkSource.drop(t)
   }
 
+  test("floating merge keys follow SPARK key semantics: -0.0 merges " +
+       "0.0, NaN merges NaN (r17 review pass 11, naninf lens)") {
+    val t = "t_fkeys_" + System.nanoTime()
+    // boxed java.lang.Double says -0.0 != 0.0 and bit-different NaNs
+    // differ; Spark's grouping/joins say the opposite. Without keyOf
+    // normalization the 0.0-keyed update lands in a DIFFERENT bucket
+    // than the stored -0.0 row and never merges it.
+    Seq((-0.0, "neg", 1.0), (Double.NaN, "nan1", 2.0))
+      .toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save()
+    Seq((0.0, "pos", 10.0), (Double.NaN, "nan2", 20.0))
+      .toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save()
+    val rows = spark.read.format(fmt).option("table", t).load()
+      .as[(Double, String, Double)].collect()
+    assert(rows.length === 2, s"zero/NaN keys must merge, got ${rows.toSeq}")
+    assert(rows.collect { case (k, n, v) if k == 0.0 => (n, v) }.toSet ===
+      Set(("pos", 10.0)))
+    assert(rows.collect { case (k, n, v) if k.isNaN => (n, v) }.toSet ===
+      Set(("nan2", 20.0)))
+    UpsertSinkSource.drop(t)
+  }
+
+  test("NULL merge key is ONE well-defined key: idempotent re-send, " +
+       "newest batch wins (documented divergence from the JDBC twin)") {
+    val t = "t_nullkey_" + System.nanoTime()
+    val b1 = Seq((Some(1L), "a", 1.0), (None, "nullkeyed", 2.0))
+      .toDF("k", "name", "v")
+    b1.write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save()
+    b1.write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save() // re-send: the null-keyed row must NOT duplicate
+    Seq((Option.empty[Long], "nullkeyed_v2", 3.0)).toDF("k", "name", "v")
+      .write.format(fmt).option("table", t).option("keys", "k")
+      .mode("append").save() // newest segment wins for the NULL key too
+    val rows = spark.read.format(fmt).option("table", t).load()
+      .as[(Option[Long], String, Double)].collect().toSet
+    assert(rows === Set((Some(1L), "a", 1.0), (None, "nullkeyed_v2", 3.0)))
+    UpsertSinkSource.drop(t)
+  }
+
   test("overwrite: truncate-and-load replaces all previous state") {
     val t = "t_trunc_" + System.nanoTime()
     Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "name", "v")

@@ -344,6 +344,33 @@ def zerowidth_row(full):
     return out if changed else None
 
 
+def bigdoc_rows(full):
+    """BOUNDED big documents (r17, the megadoc follow-through): the
+    megadoc probe's 200k-token rows prove engine-side per-row safety
+    but exclude the 8 all-pairs similarity oracles as intractable in
+    DuckDB; at ~15k tokens (~10x the real fixtures' largest docs)
+    those oracles still finish, so the LSH/PPJoin family runs UNDER
+    the oracle at a document size the graded sweep never reaches.
+    Three planted documents (+33000..+35000):
+      - cyclic: 15k tokens over a 50-word vocabulary (worst case for
+        repetition/shingle dedup: every shingle near-duplicates)
+      - alldist: 15k all-distinct tokens (worst case for any
+        per-distinct-token pass, the q104 shape)
+      - longtok: one single 10kB token (tokenizer/shingle boundary)
+    Only the documents table changes. None for every other table."""
+    if "text" not in full:
+        return None
+    cyc = " ".join(f"w{i % 50}" for i in range(15_000))
+    dis = " ".join(f"u{i}" for i in range(15_000))
+    lt = "x" * 10_000
+    out = []
+    for delta, txt in ((33000, cyc), (34000, dis), (35000, lt)):
+        r = bump_keys(full, delta)
+        r.update(text=txt, n_chars=len(txt))
+        out.append(r)
+    return out
+
+
 def dup_fact_row(full):
     """Identical key/FK/timestamp columns, every other payload mutated
     — the intra-batch duplicate-key fact (r16 dupfacts probe): a
