@@ -17,6 +17,11 @@ one:
 Row builders live in edge_fixtures (nfc_row/nfd_row/zerowidth_row) —
 the single source, so promotion to a sweep variant cannot drift.
 
+DECISION (r17, first run): ALL GREEN, zero divergences — both engines
+byte-compare; NOT promoted (the orphan-FK precedent: nothing to keep
+watching). The agreement is pinned in UnicodeEquivalenceSpec; see
+SCALING.md "Round-17 canonical-equivalence probe".
+
 Usage:
     python3 tools/unicode_probe.py [out_dir]  # default /tmp/uni_probe
     tools/spark_java.sh graft.Verify <out_dir> /tmp/uni_out
