@@ -14,6 +14,12 @@ Promotion rule (stated up front): becomes the sweep's 14th variant
 only if one clean full run stays under ~1.5x a normal variant's sweep
 cost — measure, decide, record in SCALING.md either way.
 
+DECISION (r17, measured): ALL GREEN — all 113 queries, HEAVY all-pairs
+oracles included, match at 15k tokens — but the run cost 870 s vs
+onerow's 72 s (12.1x; DuckDB's all-pairs list_intersect is 778 s of
+it, the engine paid +22 s). NOT promoted; one-time certification on
+record in SCALING.md "Round-17 bounded big-doc probe".
+
 Usage:
     python3 tools/bigdoc_probe.py [out_dir]   # default /tmp/bigdoc_probe
     tools/spark_java.sh graft.Verify <out_dir> /tmp/bigdoc_out
