@@ -34,6 +34,20 @@ object StagedArtifact {
     sweepTrash(path)
     val stage = s"$path.stage.${java.util.UUID.randomUUID()}"
     write(stage)
+    // Enforce the documented contract BEFORE install (r17 pass 13): a
+    // builder that produced no `_SUCCESS` (any non-Spark writer, or a
+    // Spark write with the marker disabled) would otherwise install an
+    // artifact that `committed()` never admits — every future session
+    // rebuilds and evict-swaps it, silently, forever. The stage is
+    // removed here because sweepTrash deliberately never reclaims
+    // `.stage.*` dirs.
+    if (!committed(stage)) {
+      rm(new java.io.File(stage))
+      throw new IllegalStateException(
+        s"writeOnce builder for $path left no _SUCCESS in its stage; " +
+          "installing it would create a permanently-uncommitted " +
+          "artifact that every session rebuilds")
+    }
     install(stage, path)
   }
 

@@ -451,4 +451,33 @@ class ArtifactGateSpec extends SparkSpec {
       assert(leftovers.isEmpty, s"no residue siblings: ${leftovers.toSeq}")
     } finally rm(parent.toFile)
   }
+  test("StagedArtifact: a markerless STAGE is refused loudly before install (r17 pass 13)") {
+    // writeOnce's contract says the builder must produce a
+    // `_SUCCESS`-marked stage. Unenforced, a non-Spark writer (or a
+    // Spark write with the marker disabled) installed an artifact
+    // that committed() never admits — every future session rebuilds
+    // and evict-swaps it, SILENTLY, forever: the exact
+    // silent-vs-loud shape this suite exists to close. The refusal
+    // must also reclaim the dead stage (sweepTrash never touches
+    // `.stage.*`).
+    val parent = Files.createTempDirectory("graft_staged_nomark_")
+    try {
+      val path = parent.resolve("artifact").toString
+      val e = intercept[IllegalStateException] {
+        graft.ops.StagedArtifact.writeOnce(path) { stage =>
+          Files.createDirectories(Paths.get(stage))
+          Files.write(Paths.get(stage, "part-0"), Array[Byte](1))
+          // no _SUCCESS
+        }
+      }
+      assert(e.getMessage.contains("no _SUCCESS"))
+      assert(!graft.ops.StagedArtifact.committed(path))
+      assert(!Files.exists(Paths.get(path)),
+        "nothing may be installed at the target path")
+      val leftovers = Option(parent.toFile.listFiles()).getOrElse(Array.empty)
+        .map(_.getName)
+      assert(leftovers.isEmpty,
+        s"the dead stage must be reclaimed, found: ${leftovers.toSeq}")
+    } finally rm(parent.toFile)
+  }
 }
