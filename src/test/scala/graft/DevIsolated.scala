@@ -24,6 +24,14 @@ package graft
   * isolated pricings must either warm first or be read as upper
   * bounds.
   *
+  * VERDICT (r17, measured — SCALING.md "Round-17 isolated-batch
+  * inflation"): JVM maturity, clean dose-response (q90 0.347→0.123 by
+  * warmN=5, plateau at 20; q104's calm arms agree). RULE: isolated
+  * pricings run warmN=20 or are read as upper bounds only; warm with
+  * the cheap registry head, never after a shuffle-heavy query (GC
+  * debt). The canary itself needs ~warmN=20 to read calm on a cold
+  * JVM — do not read a high isolated canary as proof of ambient load.
+  *
   * Usage: tools/spark_java.sh graft.DevIsolated <sfDir> <query> [reps] [warmN]
   * Emits one JSON line: per-rep samples (JIT decay is visible rep-by-
   * rep), min/med, canary/io/gc probes, and the arm's warmN.
