@@ -103,9 +103,10 @@ object Fixtures {
       // the fresh hash uncached — the next call re-keys.
       // The r15 coarse-mtime residual (FAT: 2 s; some ext4 mounts:
       // 1 ms — a same-size rewrite inside the granularity window
-      // served the stale CRC) is closed by adding [[contentProbe]] to
-      // the key (r16): a rewrite mtime can't see still re-keys on the
-      // head/tail content sample.
+      // served the stale CRC) is NARROWED (not closed — see
+      // [[contentProbe]]'s doc) by adding the five-sample content
+      // probe to the key: a rewrite mtime can't see still re-keys
+      // unless it is confined to the gaps between the samples.
       def attrs() = {
         val size = Files.size(p)
         (p.toString, size,
