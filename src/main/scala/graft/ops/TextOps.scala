@@ -53,6 +53,21 @@ object TextOps {
     * are zip_with ARGUMENTS (evaluated once); concat_ws skips the
     * null padding on tail windows exactly as it skipped their tokens
     * before, and the final slice drops those incomplete tails.
+    *
+    * PRECONDITION (r17, found by ShinglePropertiesSpec): token arrays
+    * must be NULL-FREE — every caller satisfies this by construction
+    * (tokens = split(text), which never yields null elements; empty
+    * strings are fine). On out-of-contract interior nulls the chain
+    * is NOT concat_ws-over-array: a single null in a window is
+    * skipped, but ≥2 adjacent nulls leave a separator artifact
+    * (" xyz"), because the intermediate concat_ws collapses an
+    * all-null pair to "" which later steps cannot skip — and
+    * [[ngramHashes64]] diverges differently again on the same inputs
+    * (xxhash64 of a null leaves its accumulator at the seed, so a
+    * null token behaves as a phantom SENTINEL token with a valid
+    * hash). Fixing one path would false-advertise agreement the
+    * other path doesn't keep; the contract is the precondition,
+    * pinned with a canary test (ShinglePropertiesSpec).
     */
   def shingles(toks: Column, n: Int): Column = {
     val combined = (2 to n).foldLeft(toks) { (acc, j) =>
