@@ -1,0 +1,47 @@
+#!/bin/bash
+# Anchor-until-calm: the r17 storm-wave lesson automated. The 30-second
+# idle gate opens on a momentary dip and a storm wave can resume
+# mid-run (both r17 fresh-boot storm lines had calm gate-open
+# readings), so a single gated attempt is NOT a floor measurement.
+# This wrapper runs idle-gated Bench attempts until one self-reports
+# few probe-flagged queries, or attempts run out. EVERY line lands in
+# bench_full.jsonl — storm samples are evidence too (commit them
+# adjudicated); only the stopping rule reads the flag count.
+#
+# Usage: tools/anchor_until_calm.sh [MAX_ATTEMPTS] [MAX_PF] [SF_DIR]
+#   MAX_ATTEMPTS  gated bench runs before giving up     (default 4)
+#   MAX_PF        accept a line with probe_flagged <= N (default 10)
+#   SF_DIR        fixture dir                (default /root/testdata/sf0.1)
+# Exit 0 with the accepted compact line on stdout; exit 1 if no
+# attempt met the bar (the best line is still in the history file —
+# adjudicate it, don't discard it).
+set -u
+cd "$(dirname "$0")/.."
+MAX_ATTEMPTS=${1:-4}
+MAX_PF=${2:-10}
+SF_DIR=${3:-/root/testdata/sf0.1}
+[[ "$MAX_ATTEMPTS" =~ ^[0-9]+$ && "$MAX_PF" =~ ^[0-9]+$ ]] || {
+  echo "usage: $0 [MAX_ATTEMPTS] [MAX_PF] [SF_DIR]" >&2; exit 64; }
+for i in $(seq 1 "$MAX_ATTEMPTS"); do
+  echo "[anchor] attempt $i/$MAX_ATTEMPTS" >&2
+  line=$(tools/idle_run.sh 0.5 30 -- env SPARK_GRAFT_SF_DIR="$SF_DIR" \
+    tools/spark_java.sh graft.Bench 2>/dev/null | tail -1)
+  if [[ -z "$line" ]]; then
+    echo "[anchor] attempt $i produced no line (see stderr of the run)" >&2
+    continue
+  fi
+  pf=$(printf '%s' "$line" | python3 -c \
+    'import json,sys;print(json.load(sys.stdin).get("probe_flagged",10**9))' \
+    2>/dev/null || echo 1000000000)
+  echo "[anchor] attempt $i: probe_flagged=$pf (bar: <=$MAX_PF)" >&2
+  if (( pf <= MAX_PF )); then
+    printf '%s\n' "$line"
+    exit 0
+  fi
+  # a flagged line means a wave is live NOW — let it pass before the
+  # next gate (waves in the r17 table ran ~10-20 min)
+  sleep 300
+done
+echo "[anchor] no attempt met probe_flagged<=$MAX_PF after $MAX_ATTEMPTS runs;" \
+  "all lines are in the history — adjudicate the best one" >&2
+exit 1
