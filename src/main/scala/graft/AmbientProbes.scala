@@ -78,8 +78,34 @@ final class AmbientProbes(spark: SparkSession) {
     s
   }
 
-  /** One untimed run of each probe, so their own codegen/JIT warm-up
-    * stays out of the recorded series.
+  /** Warm-up plateau knobs (r17 VERDICT item 4). One untimed pass is
+    * not enough on a cold JVM: the canary's own codegen/JIT maturity
+    * made it read ~3× its warm value on an idle box (DevIsolated
+    * warmN=0 arm: 0.415 vs 0.133 warm — r17 dose-response), so every
+    * isolated-mode adjudication needed a "cold-JVM-biased" footnote.
+    * Plateau = [[WarmPatience]] consecutive passes that fail to beat
+    * the best reading by >5% (adjacent-pair tolerance would stop
+    * early on a gradually-descending cold curve, where neighbors are
+    * close while the floor is still falling); [[WarmMax]] bounds the
+    * cost when ambient load never lets it settle (a few seconds worst
+    * case, once per instrumented run). */
+  private val WarmMax = 25
+  private val WarmPatience = 3
+
+  /** Untimed probe passes so probe-side codegen/JIT warm-up stays out
+    * of the recorded series: the canary runs until its best reading
+    * plateaus (or WarmMax passes), the io probe keeps its single
+    * pass (syscall-dominated, not JIT-dominated).
     */
-  def warmup(): Unit = { canary(); ioProbe(): Unit }
+  def warmup(): Unit = {
+    var best = canary()
+    var noImprove = 0
+    var i = 1
+    while (noImprove < WarmPatience && i < WarmMax) {
+      val c = canary()
+      if (c < best * 0.95) { best = c; noImprove = 0 } else noImprove += 1
+      i += 1
+    }
+    ioProbe(): Unit
+  }
 }

@@ -167,7 +167,7 @@ object Bench {
       else Seq.empty[String]
     }.getOrElse(Seq.empty[String])
     val baselines = BenchLine.parseBaselines(history)
-    val ms = BenchLine.machineState(baselines,
+    val msLineOverLine = BenchLine.machineState(baselines,
       bootOpt, fixtures, results.map(r => r._1 -> r._3).toMap,
       failCounts.keySet.toSet)
     // record-band self-report (r15, VERDICT item 4): machine_state
@@ -212,9 +212,10 @@ object Bench {
       case None      => baselines
     }
     val sinceField = floorSince.map(c => s""","floor_since":$c""").getOrElse("")
-    val floorField = (if (only.isEmpty && failCounts.isEmpty)
+    val floorInfo = if (only.isEmpty && failCounts.isEmpty)
       BenchLine.floorBand(floorBaselines, fixtures, keySet)
-    else None) match {
+    else None
+    val floorField = floorInfo match {
       case Some((lo, hi, floorTs)) =>
         val cross = BenchLine.crossFloor(floorBaselines, fixtures, keySet)
           .map(cf => s""","cross_floor":${r4(cf)},"vs_cross":${r4(totalMin / cf)}""")
@@ -222,6 +223,14 @@ object Bench {
         s""","floor_band":[${r4(lo)},${r4(hi)}],"floor_ts":$floorTs,"vs_floor":${r4(totalMin / lo)}$cross$sinceField"""
       case None => sinceField
     }
+    // storm-proof the verdict against the absolute floor (r17 VERDICT
+    // item 1): line-over-line comparison reads an escalating multi-
+    // line storm as "calm" at every step — the r17 graded line said
+    // calm at vs_floor 6.26. The same vs_floor the line already
+    // carries is folded into the verdict itself (BenchLine.stormProof)
+    // so the one field a consumer trusts cannot contradict the band.
+    val ms = BenchLine.stormProof(msLineOverLine,
+      floorInfo.map { case (lo, _, _) => totalMin / lo })
     // query names are [A-Za-z0-9_]+ (same argument as onlyField), so
     // the failed map needs no JSON escaping; absent when all reps ran.
     val failedField =

@@ -63,6 +63,21 @@ object BenchLine {
   val MinSecs = 0.25
   val CanaryUp = 1.8
   val IoUp = 2.0
+  /** Absolute-floor storm bar (r17 VERDICT item 1): machine_state
+    * compares line-over-line, so a multi-line ESCALATING storm reads
+    * "calm" at every step — r17's graded line sat at vs_floor 6.26
+    * with line-over-line min_ratio 1.09 and self-labeled "calm",
+    * misleading exactly the consumer (the driver) the field exists
+    * for. A line whose min-sum exceeds this multiple of the committed
+    * record floor cannot be calm regardless of its neighbor; the
+    * anchor wrapper learned the same lesson earlier (its acceptance
+    * bar is vs_floor ≤ 1.25 after pf-only acceptance missed two
+    * broad-mild-inflation lines live). 1.5 deliberately sits above
+    * the wrapper's 1.25 accept bar: between them is "not accepted as
+    * an anchor, but not provably a storm" — the verdict only claims
+    * storm where the evidence is unambiguous. Mirrored in
+    * tools/bench_adjudicate.py (STORM_VS_FLOOR). */
+  val StormVsFloor = 1.5
   /** same-boot tolerance (seconds) — covers the stamp's ±1 s jitter */
   val BootTolSecs = 60L
   /** fewer comparable queries than this is not a floor signal */
@@ -79,15 +94,33 @@ object BenchLine {
                             failed: Set[String] = Set.empty)
 
   final case class MachineState(verdict: String, minRatio: Option[Double],
-                                n: Int, vsTs: Option[Long]) {
+                                n: Int, vsTs: Option[Long],
+                                basis: Option[String] = None) {
     /** `"machine_state":{…}` fragment (absent sub-fields omitted). */
     def json: String = {
       def r2(x: Double): Double = math.rint(x * 100) / 100
       val mr = minRatio.map(r => s""","min_ratio":${r2(r)}""").getOrElse("")
       val vs = vsTs.map(t => s""","vs_ts":$t""").getOrElse("")
-      s"""{"verdict":"$verdict"$mr,"n":$n$vs}"""
+      val bs = basis.map(b => s""","basis":"$b"""").getOrElse("")
+      s"""{"verdict":"$verdict"$mr,"n":$n$vs$bs}"""
     }
   }
+
+  /** Storm-proof the line-over-line verdict with the absolute floor
+    * (r17 VERDICT item 1). `vsFloor` is this run's min-sum over the
+    * committed record (the line's own `vs_floor` field; None on
+    * subset/failed runs where that field is suppressed). A verdict of
+    * "calm" or "faster" at vs_floor > [[StormVsFloor]] is promoted to
+    * "storm" with `basis:"vs_floor"` so a consumer can see WHY the
+    * min_ratio it carries still reads near 1. The line-over-line
+    * evidence (minRatio/n/vsTs) is deliberately preserved, not
+    * erased — it is what proves the storm was multi-line. */
+  def stormProof(ms: MachineState, vsFloor: Option[Double]): MachineState =
+    vsFloor match {
+      case Some(vf) if vf > StormVsFloor && ms.verdict != "storm" =>
+        ms.copy(verdict = "storm", basis = Some("vs_floor"))
+      case _ => ms
+    }
 
   private def num(v: JValue): Option[Double] = v match {
     case JDouble(d)  => Some(d)

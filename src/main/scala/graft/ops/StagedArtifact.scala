@@ -33,7 +33,14 @@ object StagedArtifact {
     if (committed(path)) return
     sweepTrash(path)
     val stage = s"$path.stage.${java.util.UUID.randomUUID()}"
-    write(stage)
+    // A builder that THROWS (failed Spark write, OOM in the plan, bad
+    // input) must not leak its stage: sweepTrash deliberately never
+    // reclaims `.stage.*` (a live stage is another builder's work in
+    // progress), so an unreclaimed stage from a crashed write would
+    // sit artifact-sized beside the shared path forever (r17 ADVICE).
+    // Mirrors the cleanup the no-_SUCCESS guard below already does.
+    try write(stage)
+    catch { case e: Throwable => rm(new java.io.File(stage)); throw e }
     // Enforce the documented contract BEFORE install (r17 pass 13): a
     // builder that produced no `_SUCCESS` (any non-Spark writer, or a
     // Spark write with the marker disabled) would otherwise install an

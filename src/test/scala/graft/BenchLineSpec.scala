@@ -52,6 +52,40 @@ class BenchLineSpec extends AnyFunSuite {
     assert(ms.n === 5 && ms.vsTs === Some(100L))
   }
 
+  test("stormProof: an escalating multi-line storm cannot self-label calm (r17 item 1)") {
+    // The r17 failure mode, synthesized: lines ramp 1.15× line-over-
+    // line (under MINSHIFT, so machineState reads "calm" at EVERY
+    // step) while the absolute floor ratio compounds past StormVsFloor.
+    val ramp = Seq(1.0, 1.15, 1.32, 1.52, 1.75)
+    val hist = BenchLine.parseBaselines(ramp.zipWithIndex.map { case (f, i) =>
+      mkLine(100 + i * 100, 50, "abc",
+        calmQs.map { case (k, (md, mn)) => k -> (md * f, mn * f) })
+    })
+    val floorMinSum = calmQs.values.map(_._2).sum           // the ts=100 record
+    val curFactor = 2.0                                      // next rung of the ramp
+    val mins = calmQs.map { case (k, (_, mn)) => k -> mn * curFactor }
+    val lol = BenchLine.machineState(hist, Some(50L), "abc", mins)
+    assert(lol.verdict === "calm")                           // the gap, reproduced
+    val vsFloor = mins.values.sum / floorMinSum              // = 2.0, way over band
+    val proofed = BenchLine.stormProof(lol, Some(vsFloor))
+    assert(proofed.verdict === "storm")
+    assert(proofed.basis === Some("vs_floor"))
+    // line-over-line evidence preserved — it proves the storm was multi-line
+    assert(proofed.minRatio === lol.minRatio && proofed.n === lol.n)
+    assert(proofed.json.contains(""""verdict":"storm"""") &&
+      proofed.json.contains(""""basis":"vs_floor""""))
+    // "faster" is promoted too (previous line even stormier)
+    assert(BenchLine.stormProof(lol.copy(verdict = "faster"), Some(2.0)).verdict === "storm")
+    // in-band / mildly-elevated lines keep their verdict and gain no basis
+    assert(BenchLine.stormProof(lol, Some(1.25)) === lol)
+    assert(BenchLine.stormProof(lol, Some(BenchLine.StormVsFloor)) === lol)
+    // no floor field (subset/failed run) → untouched
+    assert(BenchLine.stormProof(lol, None) === lol)
+    // an already-storm verdict is not re-labeled (its basis stays line-over-line)
+    val storm = lol.copy(verdict = "storm")
+    assert(BenchLine.stormProof(storm, Some(6.26)) === storm)
+  }
+
   test("no-baseline when boot, fixtures, or comparable-query count disqualify every line") {
     val hist = BenchLine.parseBaselines(Seq(mkLine(100, 50, "abc", calmQs)))
     val mins = calmQs.map { case (k, (_, mn)) => k -> mn }

@@ -55,8 +55,8 @@ class KeyOfPropertiesSpec extends AnyFunSuite {
     samples(Gen.zip(anyDouble, anyDouble), 400).foreach { case (a, b) =>
       val sparkEqual = (a.isNaN && b.isNaN) || a == b // primitive ==: -0.0 == 0.0
       assert((dKey(a) == dKey(b)) === sparkEqual,
-        s"a=$a(${java.lang.Double.doubleToRawLongBits(a)}%x) " +
-          s"b=$b(${java.lang.Double.doubleToRawLongBits(b)}%x)")
+        s"a=$a(0x${java.lang.Long.toHexString(java.lang.Double.doubleToRawLongBits(a))}) " +
+          s"b=$b(0x${java.lang.Long.toHexString(java.lang.Double.doubleToRawLongBits(b))})")
       // hash consistency: equal keys MUST share a bucket (the merge
       // map and bucketOf both hash the canonical Seq)
       if (sparkEqual)
@@ -68,8 +68,8 @@ class KeyOfPropertiesSpec extends AnyFunSuite {
     samples(Gen.zip(anyFloat, anyFloat), 400).foreach { case (a, b) =>
       val sparkEqual = (a.isNaN && b.isNaN) || a == b
       assert((fKey(a) == fKey(b)) === sparkEqual,
-        s"a=$a(${java.lang.Float.floatToRawIntBits(a)}%x) " +
-          s"b=$b(${java.lang.Float.floatToRawIntBits(b)}%x)")
+        s"a=$a(0x${java.lang.Integer.toHexString(java.lang.Float.floatToRawIntBits(a))}) " +
+          s"b=$b(0x${java.lang.Integer.toHexString(java.lang.Float.floatToRawIntBits(b))})")
       if (sparkEqual)
         assert(fKey(a).hashCode === fKey(b).hashCode)
     }

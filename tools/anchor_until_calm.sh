@@ -35,6 +35,8 @@ for i in $(seq 1 "$MAX_ATTEMPTS"); do
   line=$(tools/idle_run.sh 0.5 30 -- env SPARK_GRAFT_SF_DIR="$SF_DIR" \
     tools/spark_java.sh graft.Bench 2>/dev/null | tail -1)
   if [[ -z "$line" ]]; then
+    # no line = the run failed outright, not a storm observation — no
+    # wave to wait out, retry immediately
     echo "[anchor] attempt $i produced no line (see stderr of the run)" >&2
     continue
   fi
@@ -51,8 +53,9 @@ print(f'{int(ok)} pf={pf} vs_floor={vf}')" 2>/dev/null || echo "0 parse-error")
     exit 0
   fi
   # a flagged line means a wave is live NOW — let it pass before the
-  # next gate (waves in the r17 table ran ~10-20 min)
-  sleep 300
+  # next gate (waves in the r17 table ran ~10-20 min). No point
+  # sleeping after the FINAL attempt: there is no next gate.
+  [[ "$i" -lt "$MAX_ATTEMPTS" ]] && sleep 300
 done
 echo "[anchor] no attempt met the bar (pf<=$MAX_PF, vs_floor<=$VS_MAX) after $MAX_ATTEMPTS runs;" \
   "all lines are in the history — adjudicate the best one" >&2

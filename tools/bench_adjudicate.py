@@ -71,6 +71,10 @@ IO_UP = 2.0       # fsync latency is spiky, ask for 2x
 GC_SHARE = 0.4    # gc-ms must explain >=40% of the added wall time
 MIN_SECS = 0.25   # ignore sub-250ms queries: pure scheduling jitter
 MINSHIFT = 1.2    # median min-ratio above this = machine-state shift
+STORM_VS_FLOOR = 1.5  # vs_floor above this = storm regardless of the
+                      # line-over-line verdict (r17: an escalating
+                      # multi-line storm reads "calm" at every step;
+                      # mirrors BenchLine.StormVsFloor)
 
 
 def median(xs):
@@ -172,6 +176,20 @@ def main(argv):
         above = "" if new.get("vs_floor", 0) <= 1.2 else " — ABOVE BAND"
         print(f"floor anchors: floor_band={fb} vs_floor={new.get('vs_floor')}"
               f"{cross}{above}")
+        # storm-proof the self-verdict on read (r17 VERDICT item 1):
+        # lines emitted before the BenchLine.stormProof fix — and any
+        # line whose emitter missed it — can self-label "calm"/"faster"
+        # while sitting far above the committed floor, because
+        # machine_state compares line-over-line and an escalating
+        # multi-line storm reads near-1 at every step. Apply the same
+        # absolute-floor rule here so a reader of THIS tool can never
+        # be misled by the embedded verdict.
+        vf = new.get("vs_floor")
+        if (vf is not None and vf > STORM_VS_FLOOR and ms is not None
+                and ms.get("verdict") in ("calm", "faster")):
+            print(f"VERDICT OVERRIDE: vs_floor {vf} > {STORM_VS_FLOOR} — "
+                  f"self-reported machine_state '{ms.get('verdict')}' is "
+                  f"line-over-line only; absolute-floor reading is STORM")
     # a query named here recorded time-to-fail, not a measurement —
     # its per-query numbers (in either line) must be disregarded
     for side, d in (("base", base), ("new", new)):
