@@ -171,8 +171,14 @@ object TemporalOps {
     // between engines/executions. Ordering by the value itself closes
     // the last gap in the total order: rows equal on all three keys
     // are equal in value too, and merge into one run regardless.
+    // asc_nulls_last on every ordering key: Spark's bare ASC places
+    // NULLs FIRST where DuckDB (and the q69 oracle) default to NULLS
+    // LAST — a NULL-ts revision would open the history on one side
+    // and close it on the other, reshaping every run boundary (r18
+    // nulltime probe).
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col(tieCol), col(valueCol))
+      .orderBy(col(tsCol).asc_nulls_last, col(tieCol).asc_nulls_last,
+        col(valueCol).asc_nulls_last)
     val prev = lag(col(valueCol), 1).over(w)
     // null-safe change detection: `prev.isNull || v =!= prev` conflated
     // "first row" with "previous value was null" AND never flagged a
@@ -195,7 +201,7 @@ object TemporalOps {
     // valid_to/is_current to either run, flapping between executions
     // despite the determinism claim above
     val wOut = Window.partitionBy(col(keyCol))
-      .orderBy(col("valid_from"), col("_run"))
+      .orderBy(col("valid_from").asc_nulls_last, col("_run").asc_nulls_last)
     runs.select(col(keyCol), col("status"), col("valid_from"),
         lead(col("valid_from"), 1).over(wOut).as("valid_to"))
       .withColumn("is_current", col("valid_to").isNull)

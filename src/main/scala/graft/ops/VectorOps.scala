@@ -78,7 +78,11 @@ object VectorOps {
       // zero-norm corpus vector (cos = 0/0 = NaN) would sit at rank 1
       // and displace a true neighbor
       .filter(col("sim").isNotNull && !isnan(col("sim")))
-      .orderBy(col("sim").desc, col(idCol))
+      // id tiebreak asc_nulls_last (here and in the LSH/IVF variants
+      // below): a NULL id tying on sim at the top-k boundary would
+      // survive the LIMIT on Spark's bare ASC (nulls first) and be
+      // cut on DuckDB's nulls-last default (r18 review pass 14)
+      .orderBy(col("sim").desc, col(idCol).asc_nulls_last)
       .limit(k)
   }
 
@@ -288,7 +292,7 @@ object VectorOps {
       .select(col(idCol),
         round(nativeCosine(col("_v"), col("_probe_vec")), 6).as("sim"))
       .filter(col("sim").isNotNull && !isnan(col("sim"))) // zero-norm rows must not outrank sim=1.0
-      .orderBy(col("sim").desc, col(idCol))
+      .orderBy(col("sim").desc, col(idCol).asc_nulls_last)
       .limit(k)
   }
 
@@ -319,7 +323,7 @@ object VectorOps {
       .select(col(idCol),
         round(nativeCosine(col(vecCol), col("_probe_vec")), 6).as("sim"))
       .filter(col("sim").isNotNull && !isnan(col("sim")))
-      .orderBy(col("sim").desc, col(idCol))
+      .orderBy(col("sim").desc, col(idCol).asc_nulls_last)
       .limit(k)
   }
 }

@@ -80,7 +80,9 @@ object CurateQueries {
           col("_q0") + when(rk <= col("_rem"), 1L).otherwise(0L))
         .select(col("source"), col("quota"))
       val rn = row_number().over(Window.partitionBy(col("source"))
-        .orderBy(col("n_chars").desc, col("doc_id")))
+        // doc_id tiebreak asc_nulls_last like the _fr window above —
+        // same class, same fix (r18 review pass 14)
+        .orderBy(col("n_chars").desc, col("doc_id").asc_nulls_last))
       Tables.documents(s, d).join(broadcast(quotas), "source")
         .withColumn("_rn", rn)
         .filter(col("_rn") <= col("quota"))

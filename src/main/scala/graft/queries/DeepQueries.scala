@@ -172,7 +172,10 @@ object DeepQueries {
         .crossJoin(broadcast(grouped.agg(sum(col("n")).as("_total"))))
         .select(col("l_suppkey"), col("n"),
           round(col("n").cast("double") / col("_total"), 6).as("share"))
-        .orderBy(col("n").desc, col("l_suppkey"))
+        // suppkey tiebreak asc_nulls_last: on an n tie at the LIMIT
+        // boundary, bare ASC keeps the NULL-suppkey group on one
+        // engine and drops it on the other (r18 review pass 14)
+        .orderBy(col("n").desc, col("l_suppkey").asc_nulls_last)
         .limit(20)
     }),
 
@@ -297,9 +300,14 @@ object DeepQueries {
         | p AS (SELECT e.user_id, min(e.ts) AS p FROM events e
         |       JOIN c ON e.user_id = c.user_id
         |       WHERE e.event_type = 'purchase' AND e.ts >= c.c GROUP BY 1)
-        |SELECT (SELECT count(*) FROM v) AS n_viewed,
-        |       (SELECT count(*) FROM c) AS n_clicked,
-        |       (SELECT count(*) FROM p) AS n_purchased""".stripMargin,
+        |-- count(col) not count(*): a user whose every 'view' ts is
+        |-- NULL groups here with v = min(ts) = NULL — they never
+        |-- entered the funnel at any known instant, and the engine's
+        |-- window-min chain (count of non-null _v) agrees; count(*)
+        |-- counted the group anyway (r18 nulltime probe)
+        |SELECT (SELECT count(v) FROM v) AS n_viewed,
+        |       (SELECT count(c) FROM c) AS n_clicked,
+        |       (SELECT count(p) FROM p) AS n_purchased""".stripMargin,
     "q80_trailing_window" ->
       """WITH daily AS (
         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,

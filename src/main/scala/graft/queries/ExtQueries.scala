@@ -115,7 +115,13 @@ object ExtQueries {
       val daily = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
         .agg(sumMoney(col("l_extendedprice")).as("amt"))
-      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
+      // asc_nulls_last: a NULL day (null l_shipdate) at the HEAD of
+      // the lag chain (Spark's bare-ASC default) seeds the first real
+      // day's delta with the null-day amount, where DuckDB's
+      // NULLS-LAST default chains it after the last real day (r18
+      // nulltime probe)
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("day").asc_nulls_last)
       daily.select(col("l_suppkey"), col("day"), col("amt"),
         (col("amt") - lag(col("amt"), 1, 0.0).over(w)).as("dod_delta"))
     }),
@@ -292,7 +298,11 @@ object ExtQueries {
       Tables.customer(s, d).createOrReplaceTempView("g_customer")
       s.sql(
         """SELECT c_mktsegment, order_year, total, n_orders,
-          |       CAST(rank() OVER (PARTITION BY order_year ORDER BY total DESC, c_mktsegment) AS BIGINT) AS rnk
+          |       -- segment tiebreak NULLS LAST explicitly: Spark SQL's bare
+          |       -- ASC is NULLS FIRST, DuckDB's default is NULLS LAST — on a
+          |       -- total tie between a NULL segment and a named one the rank
+          |       -- pair swaps (r18 nulltime probe)
+          |       CAST(rank() OVER (PARTITION BY order_year ORDER BY total DESC, c_mktsegment ASC NULLS LAST) AS BIGINT) AS rnk
           |FROM (
           |  SELECT c.c_mktsegment,
           |         year(o.o_orderdate) AS order_year,
@@ -402,14 +412,17 @@ object ExtQueries {
         | count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
     "q46_stream_batch_parity" ->
-      "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n FROM events GROUP BY 1, 2",
+      // ts IS NOT NULL: the engine's streaming window() drops rows
+      // with no event-time (same TimeWindowing contract as q27 —
+      // pinned by the r18 nulltime probe)
+      "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1, 2",
     "q47_dsv2_worklist" ->
       """SELECT CAST(s.range AS BIGINT) AS store_id, d.d
         |FROM range(0, 100) s CROSS JOIN
         | (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-01-07', INTERVAL 1 DAY)) AS DATE) AS d) d""".stripMargin,
     "q48_sql_pipeline" ->
       """SELECT c_mktsegment, order_year, total, n_orders,
-        |       rank() OVER (PARTITION BY order_year ORDER BY total DESC, c_mktsegment) AS rnk
+        |       rank() OVER (PARTITION BY order_year ORDER BY total DESC, c_mktsegment ASC NULLS LAST) AS rnk
         |FROM (
         |  SELECT c.c_mktsegment,
         |         CAST(year(o.o_orderdate) AS INT) AS order_year,

@@ -91,7 +91,13 @@ object NorthQueries {
       val daily = Tables.events(s, d)
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg(sum(col("value").cast(DecimalType(18, 2))).as("_daily"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      // asc_nulls_last: Spark's bare ASC sorts NULLs FIRST, DuckDB's
+      // default is NULLS LAST — a NULL day (null ts) would otherwise
+      // sit at the head of the running sum on one side and the tail
+      // on the other, shifting every row's cumulative value (r18
+      // nulltime probe)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("day").asc_nulls_last)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       daily.select(col("user_id"), col("day"),
         col("_daily").cast("double").as("daily_amt"),
@@ -116,8 +122,14 @@ object NorthQueries {
         .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(sum((price * (lit(1).cast(DecimalType(18, 2)) - disc))
           .cast(DecimalType(18, 4))).as("_rev"))
+      // partkey tiebreak asc_nulls_last: on a revenue TIE between a
+      // NULL-partkey group and a named one, bare ASC hands rank 2/3
+      // to different groups per engine (r18 nulltime probe; q71's
+      // null-suppkey path learned this in r15 — the window path here
+      // had the same latent edge). DESC already agrees (both engines
+      // place NULLs last on DESC).
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("_rev").desc, col("l_partkey"))
+        .orderBy(col("_rev").desc, col("l_partkey").asc_nulls_last)
       rev.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("l_suppkey"), col("l_partkey"),
@@ -414,7 +426,11 @@ object NorthQueries {
         |  AND list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)) > 0
         |ORDER BY sim DESC, b.vec_id LIMIT 10""".stripMargin,
     "q27_sessionize" ->
-      "SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n FROM events GROUP BY 1, 2",
+      // ts IS NOT NULL pins the engine's window() contract (r18
+      // nulltime probe): Spark's TimeWindowing plants an isnotnull
+      // filter — an event with no event-time belongs to no hour
+      // bucket — where bare DuckDB would emit a NULL hour_start group
+      "SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1, 2",
     "q28_approx_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS within_tol FROM events GROUP BY 1",
     "q29_minhash_lsh_neardup" ->

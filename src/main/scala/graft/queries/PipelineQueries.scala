@@ -357,7 +357,11 @@ object PipelineQueries {
     // training-set builds.
     "q75_sequence_packing" -> ((s, d) => {
       val budget = 4096L
-      val w = Window.partitionBy(col("len_bucket")).orderBy(col("doc_id"))
+      // asc_nulls_last mirrors DuckDB's default (r18 review pass 14):
+      // a NULL doc_id at the head of the cum chain (Spark's bare-ASC
+      // default) would shift every pack boundary in its bucket
+      val w = Window.partitionBy(col("len_bucket"))
+        .orderBy(col("doc_id").asc_nulls_last)
       Tables.documents(s, d)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))

@@ -88,27 +88,37 @@ object ServeQueries {
         // micros DuckDB's epoch_us computes on the naive value.
         .select(col("user_id"),
           unix_micros(col("ts").cast("timestamp_ltz")).as("tsm"), col("event_type"))
-      // non-null keys only through the typed cogroup: the primitive
-      // (Long, Long) fast path NOT_NULL-asserts on a NULL user_id and
-      // one such row kills the whole job (r15 NULL-key probe). A NULL
-      // key can't attribute anyway — the oracle's equality join
-      // matches it to nothing — so the op's contract is non-null keys
-      // and the NULL-click GROUP is appended relationally below.
+      // non-null keys AND non-null instants only through the typed
+      // cogroup: the primitive (Long, Long) fast path NOT_NULL-asserts
+      // on a NULL in either slot and one such row kills the whole job
+      // (r15 NULL-key probe for user_id; the r18 nulltime probe for
+      // tsm — a single NULL event-time anywhere in 100 TB aborted the
+      // query). Neither can attribute anyway — the oracle's equality
+      // join matches a NULL user to nothing and its epoch arithmetic
+      // on a NULL ts to a 0-attr CASE — so the op's contract is
+      // non-null (key, instant) pairs and the residue is appended
+      // relationally below.
       def side(t: String) = ev.filter(col("event_type") === t &&
-          col("user_id").isNotNull)
+          col("user_id").isNotNull && col("tsm").isNotNull)
         .select(col("user_id"), col("tsm")).as[(Long, Long)]
       val attributed = graft.ops.TemporalOps.trailingAttribution(
         side("view"), side("click"), windowMicros = 30L * 60 * 1000000)
-      // NULL-user clicks are still clicks: the oracle's final GROUP BY
-      // user_id emits their group with zero attribution (NULL matches
-      // no view). One tiny aggregate, present only when such rows exist.
-      val nullClicks = ev
-        .filter(col("event_type") === "click" && col("user_id").isNull)
+      // NULL-user or NULL-ts clicks are still clicks: the oracle's
+      // final GROUP BY user_id counts them with zero attribution (a
+      // NULL ts satisfies no trailing-window inequality). Grouped by
+      // user_id because a NULL-TS click belongs to a REAL user whose
+      // other clicks flow through the typed path — the final
+      // re-aggregate merges the two arms into one row per user.
+      val residueClicks = ev
+        .filter(col("event_type") === "click" &&
+          (col("user_id").isNull || col("tsm").isNull))
+        .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_clicks"))
-        .filter(col("n_clicks") > 0)
-        .select(lit(null).cast("long").as("user_id"), col("n_clicks"),
-          lit(0L).as("n_attributed"))
-      attributed.unionByName(nullClicks)
+        .select(col("user_id"), col("n_clicks"), lit(0L).as("n_attributed"))
+      attributed.unionByName(residueClicks)
+        .groupBy(col("user_id"))
+        .agg(sum(col("n_clicks")).as("n_clicks"),
+          sum(col("n_attributed")).as("n_attributed"))
     }),
 
     // Mergeable-sketch rollup: per-day HLL sketches union into per-week
@@ -403,8 +413,16 @@ object ServeQueries {
       // full-relisting cost DPP saves at the fact)
       val monthDim = s.sql(s"SHOW PARTITIONS $tbl")
         .select(regexp_replace(col("partition"), "^order_month=", "").as("m"))
+        // try_cast, not cast: a NULL o_orderdate writes the
+        // __HIVE_DEFAULT_PARTITION__ sentinel, whose substring(6,2)
+        // is 'E_' — the ANSI cast ABORTED the whole query on one
+        // null-date row anywhere in the fact table (r18 nulltime
+        // probe). An unparseable month belongs to no quarter: its
+        // qtr goes NULL and the quarter filter drops it, exactly
+        // what the oracle's strftime(NULL) → NOT IN months does.
         .withColumn("qtr", concat(substring(col("m"), 1, 4), lit("-Q"),
-          ((substring(col("m"), 6, 2).cast("int") - 1) / 3 + 1).cast("int")))
+          ((expr("try_cast(substring(m, 6, 2) AS INT)") - 1) / 3 + 1)
+            .cast("int")))
       s.table(tbl)
         .join(broadcast(monthDim.filter(col("qtr") === "1995-Q2")),
           col("order_month") === col("m"))
@@ -485,8 +503,12 @@ object ServeQueries {
     // TIMESTAMP_NS fixture would be version-sensitive for any fixture
     // row that stopped being µs-aligned
     "q107_session_window" ->
+      // ts IS NOT NULL pins the engine's session_window() contract
+      // (r18 nulltime probe): Spark's TimeWindowing plants an
+      // isnotnull filter — an event with no event-time joins no
+      // session — where bare DuckDB would session the NULL-ts rows
       """WITH base AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         | e AS (SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE

@@ -24,6 +24,12 @@ object SparkSpec {
       .config("spark.sql.warehouse.dir",
         System.getProperty("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TIMESTAMP_MICROS, not the INT96 default (r18 nulltime probe):
+      // INT96 stores any instant, but pyarrow-based consumers (the
+      // driver's compare included) force-read INT96 as NANOSECONDS and
+      // a post-2262 timestamp silently WRAPS (9999-12-31 came back as
+      // 1816-03-30). Micros is also the modern, stats-pushable type.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

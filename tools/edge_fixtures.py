@@ -417,6 +417,76 @@ def nullkey_row(full):
     return out
 
 
+def nulltime_rows():
+    """table -> rows for the `nulltime` variant (promoted r18 probe —
+    tools/nulltime_probe.py is the standalone runner; this is the
+    sweep's copy). NULL and boundary TIME values with live payloads,
+    plus engineered rank ties: no other variant nulls a timestamp, so
+    Spark's bare-ASC NULLS-FIRST vs DuckDB's NULLS-LAST divergence in
+    window order keys — and the INT96→ns wrap past 2262 in pyarrow
+    readers — was unexercised until this shape found 13 of them."""
+    from datetime import datetime as _dt
+    EPOCH = _dt(1970, 1, 1, 0, 0, 0)
+    PRE70 = _dt(1969, 12, 31, 23, 59, 59)    # negative epoch micros
+    FARFUT = _dt(9999, 12, 31, 23, 59, 59)   # past pandas' ns range
+    TS2 = _dt(1995, 6, 15, 12, 10, 0)
+    out = {name: [dict(full)] for name, full in ONEROW.items()}
+    ev = ONEROW["events"]
+    out["events"] += [
+        # NULL ts interleaved with REAL ts on the SAME user: the
+        # window chain (lag / session break / SCD2 run) must place it
+        dict(ev, event_id=1002, ts=None, event_type="click", value=1.5),
+        dict(ev, event_id=1003, ts=TS2, event_type="purchase", value=9.0),
+        dict(ev, event_id=1004, ts=EPOCH, event_type="view", value=0.5),
+        dict(ev, event_id=1005, ts=PRE70, event_type="click", value=0.25),
+        dict(ev, event_id=1006, ts=FARFUT, event_type="view", value=2.0),
+        # a user whose EVERY ts is NULL: rank among null-peers falls
+        # entirely to the secondary keys
+        dict(ev, event_id=1007, user_id=8, ts=None, event_type="view",
+             value=1.0),
+        dict(ev, event_id=1008, user_id=8, ts=None, event_type="click",
+             value=2.0),
+    ]
+    od = ONEROW["orders"]
+    out["orders"] += [
+        dict(od, o_orderkey=102, o_orderdate=None, o_totalprice=100.0),
+        dict(od, o_orderkey=103, o_orderdate=EPOCH, o_totalprice=200.0),
+        dict(od, o_orderkey=104, o_orderdate=PRE70, o_totalprice=300.0),
+        dict(od, o_orderkey=105, o_orderdate=FARFUT, o_totalprice=400.0),
+        # q48 tie: 1997 holds exactly these two orders — equal totals
+        # in one order_year for segment 'BUILDING' (cust 7) and
+        # segment NULL (cust 8) force rank()'s ASC segment tiebreak
+        dict(od, o_orderkey=106, o_custkey=7, o_totalprice=5000.0,
+             o_orderdate=_dt(1997, 3, 1, 0, 0, 0)),
+        dict(od, o_orderkey=107, o_custkey=8, o_totalprice=5000.0,
+             o_orderdate=_dt(1997, 3, 2, 0, 0, 0)),
+    ]
+    li = ONEROW["lineitem"]
+    out["lineitem"] += [
+        dict(li, l_linenumber=2, l_shipdate=None, l_quantity=5.0,
+             l_extendedprice=1000.0),
+        dict(li, l_linenumber=3, l_shipdate=EPOCH, l_quantity=1.0,
+             l_extendedprice=10.0),
+        dict(li, l_linenumber=4, l_shipdate=PRE70, l_quantity=1.0,
+             l_extendedprice=20.0),
+        dict(li, l_linenumber=5, l_shipdate=FARFUT, l_quantity=1.0,
+             l_extendedprice=30.0),
+        # q23/q71 tie: two revenue groups under suppkey 3 with EQUAL
+        # revenue (2000.0, discount 0), one with NULL l_partkey — the
+        # rank-2/rank-3 assignment falls to the partkey ASC tiebreak
+        dict(li, l_linenumber=6, l_partkey=None, l_quantity=1.0,
+             l_extendedprice=2000.0, l_discount=0.0),
+        dict(li, l_linenumber=7, l_partkey=12, l_quantity=1.0,
+             l_extendedprice=2000.0, l_discount=0.0),
+    ]
+    cu = ONEROW["customer"]
+    out["customer"] += [
+        # the q48 tie's NULL-segment customer (live key, joins fire)
+        dict(cu, c_custkey=8, c_name="Customer#8", c_mktsegment=None),
+    ]
+    return out
+
+
 def degenerate_rows(name):
     """The union of every adversarial row shape, id-rebased to +20000
     so neither the real sf ids (≤ ~6000) nor their planted-dup images
@@ -571,9 +641,9 @@ def main(root, base_sf="/root/testdata/sf0.001"):
     import os
     write_mixed(os.path.join(root, "mixed"), base_sf)
     write_skew(os.path.join(root, "skew"), base_sf)
-    for variant in ("empty", "onerow", "nulls", "nullkeys", "dupdims",
-                    "dupfacts", "emptystr", "extremes", "unicode",
-                    "naninf", "whitespace"):
+    for variant in ("empty", "onerow", "nulls", "nullkeys", "nulltime",
+                    "dupdims", "dupfacts", "emptystr", "extremes",
+                    "unicode", "naninf", "whitespace"):
         d = os.path.join(root, variant)
         os.makedirs(d, exist_ok=True)
         for name in SCHEMAS:
@@ -592,6 +662,8 @@ def main(root, base_sf="/root/testdata/sf0.001"):
                 rows = [full, nulled, emptyish]
             elif variant == "nullkeys":
                 rows = [full, nullkey_row(full)]
+            elif variant == "nulltime":
+                rows = nulltime_rows()[name]
             elif variant == "dupdims":
                 rows = [full] + ([dup_dim_row(full)]
                                  if name in DIM_TABLES else [])

@@ -48,18 +48,19 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORK = sys.argv[1] if len(sys.argv) > 1 else "/tmp/edge_sweep"
 VARIANTS = ["mixed", "skew", "empty", "onerow", "nulls", "nullkeys",
-            "dupdims", "dupfacts", "emptystr", "extremes", "unicode",
-            "naninf", "whitespace"]
+            "nulltime", "dupdims", "dupfacts", "emptystr", "extremes",
+            "unicode", "naninf", "whitespace"]
 # The sweep's EXIT CONTRACT (r15, VERDICT item 6): the standing green
-# claim is "13 variants × 113 queries", so the variant set itself is
+# claim is "14 variants × 113 queries" (nulltime joined in r18), so
+# the variant set itself is
 # part of the contract — a future edit that drops a variant from
 # VARIANTS, or a fixture-generator change that silently stops writing
 # one, must fail the sweep loudly instead of shrinking the claim.
 # Deliberately a SECOND copy of the list: changing the sweep's scope
 # requires touching both, i.e. it cannot happen by accident.
 CONTRACT_VARIANTS = frozenset(
-    ["mixed", "skew", "empty", "onerow", "nulls", "nullkeys", "dupdims",
-     "dupfacts", "emptystr", "extremes", "unicode", "naninf",
+    ["mixed", "skew", "empty", "onerow", "nulls", "nullkeys", "nulltime",
+     "dupdims", "dupfacts", "emptystr", "extremes", "unicode", "naninf",
      "whitespace"])
 CONTRACT_TABLES = ["region", "nation", "customer", "supplier", "part",
                    "orders", "lineitem", "events", "documents", "embeddings"]

@@ -72,7 +72,22 @@ def decimal_cols(tbl: pa.Table):
 
 
 def to_pandas_sorted(tbl: pa.Table, cols):
-    df = tbl.select(cols).to_pandas(types_mapper=None)
+    t = tbl.select(cols)
+    # timestamps → epoch-µs int64 while still in ARROW: pandas'
+    # datetime64[ns] target silently WRAPS past 2262-04-11 (the r18
+    # nulltime probe's 9999-12-31 far-future rows compared as
+    # 1816-03-30), so timestamps never reach pandas as timestamps.
+    # Epoch integers compare and sort exactly, identically on both
+    # sides; tz-aware and naive µs agree under the pinned-UTC session
+    # (this replaces the old post-hoc tz/unit normalization for
+    # timestamp columns — DATE columns still take the object path).
+    for i, f in enumerate(t.schema):
+        if pa.types.is_timestamp(f.type):
+            t = t.set_column(
+                i, f.name,
+                t.column(i).cast(pa.timestamp("us", tz=f.type.tz))
+                           .cast(pa.int64()))
+    df = t.to_pandas(types_mapper=None)
     # tz-aware → naive, and one datetime unit, so tz/unit-normalized
     # columns compare by instant; ints to one width (norm_type already
     # gated signed-width only)
@@ -134,7 +149,11 @@ for name in sorted(os.listdir(outdir)):
         print(f"{name}: NO SPARK OUTPUT")
         fails.append(name)
         continue
-    stbl = pq.read_table(files)
+    # coerce_int96_timestamp_unit: an INT96 dump column (any run
+    # predating the TIMESTAMP_MICROS session conf) would otherwise be
+    # force-read as NANOSECONDS, wrapping post-2262 instants (r18
+    # nulltime probe: 9999-12-31 read back as 1816-03-30)
+    stbl = pq.read_table(files, coerce_int96_timestamp_unit="us")
     # the decimal hazard applies to EVERY final schema, rows-only
     # included (r14 review: the rows-only continue used to skip it
     # exactly where no oracle compare would catch it on the driver)
