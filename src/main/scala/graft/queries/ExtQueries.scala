@@ -365,8 +365,12 @@ object ExtQueries {
          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4""".stripMargin,
     // json_valid guard: ->> errors on non-JSON props (see q21)
     "q38_envelope_decode" ->
+      // integral-lexicon guard: see the q21 oracle (r18 JSON probe —
+      // DuckDB's TRY_CAST accepts '1e2'/'0x1F' where Spark's doesn't)
       """SELECT event_id AS id,
-        | CASE WHEN json_valid(props) THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k
+        | CASE WHEN json_valid(props)
+        |       AND regexp_matches(props->>'$.k', '^\s*[+-]?[0-9]+\s*$')
+        |      THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k
         |FROM events WHERE user_id % 50 <> 0""".stripMargin,
     // HAVING count(*) > 0 pins the ENGINE's (Spark's) empty-input
     // semantics: Spark plans rollup as Expand+groupBy, so an empty

@@ -367,7 +367,17 @@ object NorthQueries {
     // the oracle state the same contract instead of relying on the
     // fixtures never carrying a malformed props.
     "q21_json_extract" ->
-      "SELECT event_id, event_type, CASE WHEN json_valid(props) THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k FROM events",
+      // integral-lexicon guard on the extracted text (r18 JSON probe):
+      // DuckDB's TRY_CAST(string AS BIGINT) accepts scientific
+      // notation ('1e2' → 100) and even hex ('0x1F' → 31) where
+      // Spark's try_cast is strictly [ws][sign]digits[ws] → NULL.
+      // The engine's strictness is the contract — a telemetry field
+      // that isn't a plain integer is "not a long", not 31.
+      """SELECT event_id, event_type,
+        | CASE WHEN json_valid(props)
+        |       AND regexp_matches(props->>'$.k', '^\s*[+-]?[0-9]+\s*$')
+        |      THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k
+        |FROM events""".stripMargin,
     "q22_running_total" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -524,11 +524,21 @@ object ServeQueries {
         |       count(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
     "q106_variant_extract" ->
+      // integral-lexicon guard: see the q21 oracle (r18 JSON probe).
+      // Known pinned PRECONDITION, not modeled here: props objects
+      // have UNIQUE keys. Spark's variant spec REJECTS a duplicate-key
+      // object outright (try_parse_json → NULL → no row) where
+      // DuckDB's ->> extracts the FIRST k — divergent only when the
+      // first k clears the >= 50 filter. Every fixture generator
+      // writes single-key flat objects, and get_json_object (q21/q38)
+      // agrees with DuckDB on first-wins, so only this VARIANT-path
+      // query carries the edge; pinned by VariantEdgeSpec.
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(k) AS BIGINT) AS sum_k
         |FROM (SELECT event_type,
         |        -- json_valid guard: ->> errors on non-JSON props (q21)
         |        CASE WHEN json_valid(props)
+        |              AND regexp_matches(props->>'$.k', '^\s*[+-]?[0-9]+\s*$')
         |             THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k
         |      FROM events)
         |WHERE k >= 50

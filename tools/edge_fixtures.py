@@ -487,6 +487,38 @@ def nulltime_rows():
     return out
 
 
+def jsonhostile_rows():
+    """events rows for the `jsonhostile` variant (r18 JSON probe):
+    hostile `props` payloads through the three JSON-extraction paths
+    (q21 get_json_object, q38 envelope decode, q106 VARIANT). First
+    run found the TRY_CAST-lexicon divergence (DuckDB accepts '1e2'
+    and '0x1F' as BIGINT; Spark is strictly integral — oracles now
+    carry a regexp integral guard) and pinned the variant dup-key
+    precondition (VariantEdgeSpec). The dup-key row here keeps k
+    values BELOW q106's >=50 filter on purpose: Spark's variant
+    rejects the whole doc while ->> extracts the first binding, and
+    the contract (unique keys) is spec-pinned, not oracle-modeled."""
+    ev = ONEROW["events"]
+    return [
+        dict(ev),
+        dict(ev, event_id=2001, props='{"k":1,"k":2}'),              # dup key (sub-filter)
+        dict(ev, event_id=2002, props='{"k":9223372036854775808}'),  # 2^63 overflow
+        dict(ev, event_id=2003, props='{"k":"1e2"}'),                # sci-notation string
+        dict(ev, event_id=2004, props='{"k":" 42 "}'),               # padded integral
+        dict(ev, event_id=2005, props='{"k":null}'),                 # JSON null literal
+        dict(ev, event_id=2006, props='{"k":{"n":7}}'),              # nested object
+        dict(ev, event_id=2007, props='{"k":[1,2,3]}'),              # array value
+        dict(ev, event_id=2008, props='{"k":1e2}'),                  # JSON float number
+        dict(ev, event_id=2009, props='{"k":true}'),                 # boolean
+        dict(ev, event_id=2010, props='{"k":-0}'),                   # negative zero
+        dict(ev, event_id=2011, props='{"K":5}'),                    # case-sensitive key
+        dict(ev, event_id=2012, props='{"k":99,"other":"x"}'),       # normal + extra key
+        dict(ev, event_id=2013, props='{"k":"0x1F"}'),               # hex string
+        dict(ev, event_id=2014, props='{ "k" : 7 }'),                # whitespace-laden
+        dict(ev, event_id=2015, props='{"k":123456789012345678}'),   # big in-range int
+    ]
+
+
 def degenerate_rows(name):
     """The union of every adversarial row shape, id-rebased to +20000
     so neither the real sf ids (≤ ~6000) nor their planted-dup images
@@ -642,8 +674,8 @@ def main(root, base_sf="/root/testdata/sf0.001"):
     write_mixed(os.path.join(root, "mixed"), base_sf)
     write_skew(os.path.join(root, "skew"), base_sf)
     for variant in ("empty", "onerow", "nulls", "nullkeys", "nulltime",
-                    "dupdims", "dupfacts", "emptystr", "extremes",
-                    "unicode", "naninf", "whitespace"):
+                    "jsonhostile", "dupdims", "dupfacts", "emptystr",
+                    "extremes", "unicode", "naninf", "whitespace"):
         d = os.path.join(root, variant)
         os.makedirs(d, exist_ok=True)
         for name in SCHEMAS:
@@ -664,6 +696,8 @@ def main(root, base_sf="/root/testdata/sf0.001"):
                 rows = [full, nullkey_row(full)]
             elif variant == "nulltime":
                 rows = nulltime_rows()[name]
+            elif variant == "jsonhostile":
+                rows = jsonhostile_rows() if name == "events" else [full]
             elif variant == "dupdims":
                 rows = [full] + ([dup_dim_row(full)]
                                  if name in DIM_TABLES else [])

@@ -48,11 +48,11 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORK = sys.argv[1] if len(sys.argv) > 1 else "/tmp/edge_sweep"
 VARIANTS = ["mixed", "skew", "empty", "onerow", "nulls", "nullkeys",
-            "nulltime", "dupdims", "dupfacts", "emptystr", "extremes",
-            "unicode", "naninf", "whitespace"]
+            "nulltime", "jsonhostile", "dupdims", "dupfacts", "emptystr",
+            "extremes", "unicode", "naninf", "whitespace"]
 # The sweep's EXIT CONTRACT (r15, VERDICT item 6): the standing green
-# claim is "14 variants × 113 queries" (nulltime joined in r18), so
-# the variant set itself is
+# claim is "15 variants × 113 queries" (nulltime and jsonhostile
+# joined in r18), so the variant set itself is
 # part of the contract — a future edit that drops a variant from
 # VARIANTS, or a fixture-generator change that silently stops writing
 # one, must fail the sweep loudly instead of shrinking the claim.
@@ -60,8 +60,8 @@ VARIANTS = ["mixed", "skew", "empty", "onerow", "nulls", "nullkeys",
 # requires touching both, i.e. it cannot happen by accident.
 CONTRACT_VARIANTS = frozenset(
     ["mixed", "skew", "empty", "onerow", "nulls", "nullkeys", "nulltime",
-     "dupdims", "dupfacts", "emptystr", "extremes", "unicode", "naninf",
-     "whitespace"])
+     "jsonhostile", "dupdims", "dupfacts", "emptystr", "extremes",
+     "unicode", "naninf", "whitespace"])
 CONTRACT_TABLES = ["region", "nation", "customer", "supplier", "part",
                    "orders", "lineitem", "events", "documents", "embeddings"]
 Q72_DIR = "/tmp/graft_q72_files"
