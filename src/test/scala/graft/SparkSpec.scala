@@ -24,12 +24,17 @@ object SparkSpec {
       .config("spark.sql.warehouse.dir",
         System.getProperty("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // TIMESTAMP_MICROS, not the INT96 default (r18 nulltime probe):
-      // INT96 stores any instant, but pyarrow-based consumers (the
-      // driver's compare included) force-read INT96 as NANOSECONDS and
-      // a post-2262 timestamp silently WRAPS (9999-12-31 came back as
-      // 1816-03-30). Micros is also the modern, stats-pushable type.
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Timestamp dump encoding is Spark's INT96 default — a DRIVER
+      // CONTRACT, not a preference. r18 switched these sessions to
+      // TIMESTAMP_MICROS to fix a probe-only pyarrow INT96->ns wrap on
+      // 9999-12-31 instants, and the driver's comparator immediately
+      // failed schema+hash on the four queries whose final schemas
+      // carry raw TIMESTAMP columns (q27/q46/q69/q107) after eleven
+      // green INT96 rounds (CORRECTNESS_r7-r17 vs r18). The wrap only
+      // ever appears in builder-side probes, which read dumps with
+      // int96 coercion (tools/local_verify.py). Do not change this
+      // encoding again without a driver-gated migration to epoch-us
+      // BIGINT outputs (SURVEY S5 item 7).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
