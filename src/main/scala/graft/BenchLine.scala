@@ -109,8 +109,10 @@ object BenchLine {
   /** Storm-proof the line-over-line verdict with the absolute floor
     * (r17 VERDICT item 1). `vsFloor` is this run's min-sum over the
     * committed record (the line's own `vs_floor` field; None on
-    * subset/failed runs where that field is suppressed). A verdict of
-    * "calm" or "faster" at vs_floor > [[StormVsFloor]] is promoted to
+    * subset/failed runs where that field is suppressed). ANY non-storm
+    * verdict — "calm", "faster", and "no-baseline" alike (a first line
+    * on a boot far above floor is still a storm observation) — at
+    * vs_floor > [[StormVsFloor]] is promoted to
     * "storm" with `basis:"vs_floor"` so a consumer can see WHY the
     * min_ratio it carries still reads near 1. The line-over-line
     * evidence (minRatio/n/vsTs) is deliberately preserved, not

@@ -76,6 +76,11 @@ class BenchLineSpec extends AnyFunSuite {
       proofed.json.contains(""""basis":"vs_floor""""))
     // "faster" is promoted too (previous line even stormier)
     assert(BenchLine.stormProof(lol.copy(verdict = "faster"), Some(2.0)).verdict === "storm")
+    // "no-baseline" is promoted too — a first line on a boot far above
+    // floor is still a storm observation (r18 advice pinned this so
+    // the Scala emitter and tools/bench_adjudicate.py cannot disagree)
+    val nb = BenchLine.stormProof(lol.copy(verdict = "no-baseline"), Some(2.0))
+    assert(nb.verdict === "storm" && nb.basis === Some("vs_floor"))
     // in-band / mildly-elevated lines keep their verdict and gain no basis
     assert(BenchLine.stormProof(lol, Some(1.25)) === lol)
     assert(BenchLine.stormProof(lol, Some(BenchLine.StormVsFloor)) === lol)

@@ -49,6 +49,35 @@ class EntrySpec extends SparkSpec {
       s"every new query needs an oracleSql entry (or add it to the documented rows-only set): ${(qs -- os) -- rowsOnlyByDesign}")
   }
 
+  // The r18 regression's static half: the dump encoding of raw
+  // TIMESTAMP columns is a driver contract (INT96 — the physical type
+  // of every driver-green round, CORRECTNESS_r7–r17; enforced on
+  // actual dump bytes by tools/local_verify.py's TS_CONTRACT check
+  // and by the graded sessions taking Spark's parquet default). This
+  // pins the CARRIER set: exactly which final schemas may carry a
+  // TimestampType at all. Any new timestamp output must instead ship
+  // as epoch-µs BIGINT (SURVEY §5 item 7) or be deliberately added
+  // here AND to TS_CONTRACT in the same driver-gated change.
+  test("timestamp portability contract: raw TIMESTAMP final columns are exactly the enumerated driver-green set") {
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    val contract = Map(
+      "q27_sessionize"           -> Set("hour_start"),
+      "q46_stream_batch_parity"  -> Set("window_start"),
+      "q69_scd2_history"         -> Set("valid_from", "valid_to"),
+      "q107_session_window"      -> Set("session_start", "session_end"))
+    val actual = SparkEntry.queries.flatMap { case (name, fn) =>
+      val ts = fn(spark, "/root/testdata/sf0.001").schema.fields.collect {
+        case f if f.dataType == TimestampType || f.dataType == TimestampNTZType => f.name
+      }.toSet
+      if (ts.isEmpty) None else Some(name -> ts)
+    }
+    assert(actual === contract,
+      s"""raw-TIMESTAMP output drift vs the driver-green contract:
+         |  unexpected: ${(actual.toSet -- contract.toSet).toSeq.sortBy(_._1)}
+         |  missing:    ${(contract.toSet -- actual.toSet).toSeq.sortBy(_._1)}
+         |New timestamp outputs must be epoch-us BIGINT (SURVEY §5 item 7).""".stripMargin)
+  }
+
   test("survey closure: every graded query is cited in SURVEY.md's operator inventory") {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)

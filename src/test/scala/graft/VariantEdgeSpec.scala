@@ -34,10 +34,8 @@ class VariantEdgeSpec extends SparkSpec {
     val df = Seq(props).toDF("props")
       .select(try_variant_get(try_parse_json(col("props")), "$.k", "string")
         .try_cast("bigint").as("k"))
-    df.collect()(0).isNullAt(0) match {
-      case true  => null
-      case false => Long.box(df.collect()(0).getLong(0))
-    }
+    val row = df.collect()(0)
+    if (row.isNullAt(0)) null else Long.box(row.getLong(0))
   }
 
   private def gjo(props: String): String = {

@@ -184,9 +184,13 @@ def main(argv):
         # multi-line storm reads near-1 at every step. Apply the same
         # absolute-floor rule here so a reader of THIS tool can never
         # be misled by the embedded verdict.
+        # any non-storm verdict is promoted — "no-baseline" included
+        # (a first line on a boot far above floor is still a storm
+        # observation), mirroring BenchLine.stormProof exactly (r18
+        # advice: the two sides disagreed on no-baseline lines)
         vf = new.get("vs_floor")
         if (vf is not None and vf > STORM_VS_FLOOR and ms is not None
-                and ms.get("verdict") in ("calm", "faster")):
+                and ms.get("verdict") != "storm"):
             print(f"VERDICT OVERRIDE: vs_floor {vf} > {STORM_VS_FLOOR} — "
                   f"self-reported machine_state '{ms.get('verdict')}' is "
                   f"line-over-line only; absolute-floor reading is STORM")

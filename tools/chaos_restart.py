@@ -51,11 +51,18 @@ CLEARABLE = ("graft_pairs_v", "graft_comps_v", "graft_ivf_v",
              "graft_q93_idx_v", "graft_q99_dpp_v", "graft_compact")
 
 
+# residue scan is scoped to the repo's own artifact families — an
+# unrelated concurrent process creating /tmp/*.stage.* entries must
+# not fail the harness (r18 advice)
+RESIDUE_PREFIXES = CLEARABLE + ("graft_warehouse", "graft_")
+
+
 def residues():
     """Orphaned stage/trash dirs beside any shared artifact path."""
     out = []
     for n in os.listdir(TMP):
-        if ".stage." in n or ".trash." in n:
+        if ((".stage." in n or ".trash." in n)
+                and n.startswith(RESIDUE_PREFIXES)):
             out.append(n)
     return sorted(out)
 
@@ -138,9 +145,12 @@ def main():
               f"gate_green={green} residue_new={grew}")
         if rc_r != 0 or not ok_counts or not green or grew:
             failures.append((i, f, rc_r, ok_counts, green, grew, tail))
-        # residue may legitimately SHRINK (recovery sweeps trash);
-        # rebase so a one-time reclaim isn't double-counted
-        base_res = [r for r in base_res if r in res]
+        # rebase in BOTH directions: residue may legitimately SHRINK
+        # (recovery sweeps trash — drop reclaimed entries so a one-time
+        # reclaim isn't double-counted), and a leaked entry already
+        # counted as a failure above must count ONCE, not re-fail every
+        # later cycle (r18 advice)
+        base_res = res
 
     if failures:
         print(f"\n[chaos] {len(failures)} FAILING cycle(s):")

@@ -22,6 +22,7 @@ Usage: python3 tools/local_verify.py <outDir> <sfDir>
 """
 import json, sys, glob, os
 import duckdb
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -60,6 +61,49 @@ def norm_type(t: pa.DataType) -> pa.DataType:
     return t
 
 
+# Driver-contract dump encoding (the r18 regression's lesson): raw
+# TIMESTAMP columns in a graded final schema are an enumerated,
+# frozen set, and their parquet physical type must be INT96 — the
+# encoding of every driver-green round (CORRECTNESS_r7–r17). r18
+# switched the dump sessions to TIMESTAMP_MICROS and the driver
+# failed schema+hash on exactly these four queries while this tool's
+# int96-coercing value compare stayed green. This check closes that
+# blind spot: it reads the dump's PHYSICAL parquet metadata with no
+# coercion, so local green predicts driver green. Any NEW raw
+# timestamp output must instead ship as epoch-µs BIGINT (SURVEY §5
+# item 7) — do not grow this set without a driver-gated migration.
+TS_CONTRACT = {
+    "q27_sessionize": {"hour_start"},
+    "q46_stream_batch_parity": {"window_start"},
+    "q69_scd2_history": {"valid_from", "valid_to"},
+    "q107_session_window": {"session_start", "session_end"},
+}
+
+
+def ts_physical_drift(name, files):
+    """Timestamp-encoding drift in a dump, from raw parquet metadata
+    (NO int96 coercion — this is exactly what the value compare
+    normalizes away and the driver does not)."""
+    errs, ts_leaves = [], set()
+    sch = pq.ParquetFile(files[0]).schema
+    for i in range(len(sch)):
+        col = sch.column(i)
+        phys = str(col.physical_type)
+        logi = str(col.logical_type)
+        if phys != "INT96" and not logi.startswith("Timestamp"):
+            continue
+        base = col.path.split(".")[0]
+        ts_leaves.add(base)
+        if phys != "INT96":
+            errs.append(f"{col.path}: timestamp physical={phys} logical={logi}"
+                        " — driver contract is INT96")
+    for c in sorted(ts_leaves - TS_CONTRACT.get(name, set())):
+        errs.append(f"{c}: raw TIMESTAMP output outside the enumerated driver-"
+                    "contract set (q27/q46/q69/q107) — emit epoch-us BIGINT "
+                    "instead (SURVEY §5 item 7)")
+    return errs
+
+
 def decimal_cols(tbl: pa.Table):
     """Decimal (incl. DuckDB HUGEINT→decimal128) in a FINAL schema is a
     portability hazard even when both sides agree locally: the driver's
@@ -87,7 +131,24 @@ def to_pandas_sorted(tbl: pa.Table, cols):
                 i, f.name,
                 t.column(i).cast(pa.timestamp("us", tz=f.type.tz))
                            .cast(pa.int64()))
-    df = t.to_pandas(types_mapper=None)
+        elif (pa.types.is_integer(f.type) and f.type != pa.int64()
+              and not (pa.types.is_unsigned_integer(f.type)
+                       and f.type.bit_width == 64)):
+            # widen small ints at the ARROW level so the types_mapper
+            # below sees one uniform int64 on both sides (a post-pandas
+            # astype would leave spark-int32 as plain int64 while an
+            # oracle-int64 column became nullable Int64 — dtype-unequal
+            # frames for value-equal results)
+            t = t.set_column(i, f.name, t.column(i).cast(pa.int64()))
+    # int64 → pandas NULLABLE Int64: the default path converts
+    # int64-with-nulls to float64, which is exact only to 2^53 —
+    # epoch-µs instants past ~2255 (e.g. the 9999-12-31 nulltime rows,
+    # 2.5e17) would lose sub-~32µs precision and a genuine sub-32µs
+    # divergence at far-future magnitudes would compare EQUAL. Int64
+    # keeps every magnitude exact and NA-safe; both sides take the
+    # same mapper so dtypes agree.
+    df = t.to_pandas(
+        types_mapper=lambda typ: pd.Int64Dtype() if typ == pa.int64() else None)
     # tz-aware → naive, and one datetime unit, so tz/unit-normalized
     # columns compare by instant; ints to one width (norm_type already
     # gated signed-width only)
@@ -96,8 +157,8 @@ def to_pandas_sorted(tbl: pa.Table, cols):
             if getattr(df[c].dt, "tz", None) is not None:
                 df[c] = df[c].dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]")
-        if str(df[c].dtype) in ("int8", "int16", "int32", "uint8", "uint16", "uint32"):
-            df[c] = df[c].astype("int64")
+        # (small-int widening now happens at the arrow level above, so
+        # every signed/narrow-unsigned integer column is already Int64)
         # lists arrive as np.ndarray cells; normalize RECURSIVELY to
         # tuples (a nested ndarray breaks tuple equality with "truth
         # value of an array is ambiguous") and map NaN floats inside
@@ -149,10 +210,19 @@ for name in sorted(os.listdir(outdir)):
         print(f"{name}: NO SPARK OUTPUT")
         fails.append(name)
         continue
-    # coerce_int96_timestamp_unit: an INT96 dump column (any run
-    # predating the TIMESTAMP_MICROS session conf) would otherwise be
-    # force-read as NANOSECONDS, wrapping post-2262 instants (r18
-    # nulltime probe: 9999-12-31 read back as 1816-03-30)
+    drift = ts_physical_drift(name, files)
+    if drift:
+        print(f"{name}: TIMESTAMP ENCODING DRIFT (driver would fail "
+              "schema+hash even if values match)")
+        for d in drift:
+            print(f"  {d}")
+        fails.append(name)
+        continue
+    # coerce_int96_timestamp_unit: INT96 (the contract encoding,
+    # enforced above) would otherwise be force-read as NANOSECONDS,
+    # wrapping post-2262 instants (r18 nulltime probe: 9999-12-31 read
+    # back as 1816-03-30). Coercion is a VALUE-read normalization only;
+    # the physical-type contract was already checked uncoerced.
     stbl = pq.read_table(files, coerce_int96_timestamp_unit="us")
     # the decimal hazard applies to EVERY final schema, rows-only
     # included (r14 review: the rows-only continue used to skip it
@@ -205,7 +275,10 @@ for name in sorted(os.listdir(outdir)):
             if not ok_hash:
                 for c in scols:
                     if not s2[c].equals(o2[c]):
-                        neq = ~(s2[c].eq(o2[c]) | (s2[c].isna() & o2[c].isna()))
+                        # nullable Int64 eq yields pd.NA where exactly one
+                        # side is NA — that IS a diff, so fill True
+                        neq = (~(s2[c].eq(o2[c]) |
+                                 (s2[c].isna() & o2[c].isna()))).fillna(True)
                         idx = neq[neq].index
                         i = idx[0] if len(idx) else 0
                         print(f"  first diff col={c} row={i}: spark={s2[c][i]!r} oracle={o2[c][i]!r}")
