@@ -262,6 +262,57 @@ object BenchLine {
     if (floors.size == keys.size && keys.nonEmpty) Some(floors.sum) else None
   }
 
+  /** Per-query committed floor map: for each query, the minimum of its
+    * per-line minima across comparable committed lines (same fixture
+    * bytes; per-query failed exclusions — a time-to-fail min is not a
+    * floor). This is crossFloor's component map exposed, so the r20
+    * re-rep mechanism and the cross-floor sum can never disagree about
+    * what a query's demonstrated floor is. */
+  def perQueryFloors(history: Seq[Baseline], fixtures: String): Map[String, Double] =
+    history.filter(_.fixtures == fixtures)
+      .flatMap(b => (b.mins -- b.failed).toSeq)
+      .groupMapReduce(_._1)(_._2)(math.min)
+
+  /** Bounded storm-resistance re-rep targets (r19 VERDICT item 1, r20).
+    *
+    * Four consecutive driver bench lines landed inside ambient storms
+    * and committed face values 3–9× the floor band even though the
+    * per-query minima were real executions of un-regressed code. The
+    * honest shrink: at the END of the run (when a 10–20 min storm wave
+    * has often passed), grant a few extra reps to exactly the queries
+    * whose min-of-reps sits above [[StormVsFloor]] × their committed
+    * per-query floor — the same 1.5 bar the line's own storm verdict
+    * uses; below it the evidence is ambiguous and a re-rep would just
+    * be band-hunting. The bar alone keeps this honest in both worlds:
+    * if the excursion was weather, the extra reps measure the calm
+    * truth; if it was a real code regression, they re-measure the same
+    * slow code and change nothing.
+    *
+    * Deliberately NOT gated on the query's own probe flag (the r19
+    * VERDICT's first sketch): the probes are point samples taken
+    * BEFORE each rep loop, so a wave arriving DURING the loop never
+    * coincides with its own flag — measured live on this machine's
+    * first new-code line (vs_floor 1.44): 14 queries >1.5× floor,
+    * 11 probe-flagged, intersection EMPTY. Requiring the coincidence
+    * makes the mechanism fire exactly never in the broad-mild-storm
+    * regime it exists for.
+    *
+    * The per-query min over ALL reps (primary + extra) is still a real
+    * measured execution, so `total_min`'s definition is untouched;
+    * medians stay over the primary reps only (the median-of-N contract
+    * is unchanged). Floors below [[MinSecs]] are excluded — sub-250 ms
+    * readings are scheduling jitter by the adjudicator's own rule, and
+    * a 2.5× "inflation" of a 50 ms query is not storm evidence. Failed
+    * queries are excluded (their minima are time-to-fail; re-running a
+    * broken query cannot fix the line). Targets return in input order
+    * so the extra reps run in suite order, deterministically. */
+  def rerepTargets(mins: Seq[(String, Double)], floors: Map[String, Double],
+                   failed: Set[String]): Seq[String] =
+    mins.collect {
+      case (q, m) if !failed.contains(q) &&
+        floors.get(q).exists(f => f >= MinSecs && m > StormVsFloor * f) => q
+    }
+
   /** Count of queries whose (canary, io) probes read elevated against
     * this line's own probe medians — the adjudicator's per-query
     * elevation rule applied intra-line. */
@@ -292,8 +343,12 @@ object BenchLine {
                   msJson: String, floorField: String, failedField: String,
                   nQueries: Int, fixtures: String, reps: Int,
                   stampFragment: String, sfJson: String,
-                  onlyField: String = ""): String = {
+                  onlyField: String = "", rerepped: Int = 0): String = {
     def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
-    s"""{"metric":"total","value":${r4(value)},"unit":"sec","total_min":${r4(totalMin)},"probe_flagged":$probeFlagged,"machine_state":$msJson,"n_queries":$nQueries$floorField$failedField,"fixtures":"$fixtures","reps":$reps$stampFragment,"sf":$sfJson$onlyField,"compact":true}"""
+    // rerep is a COUNT here, not the full line's per-query map: a
+    // storm-wide re-rep names ~30 queries and the map would blow the
+    // bounded-length guarantee this line exists for.
+    val rr = if (rerepped > 0) s""","rerep":$rerepped""" else ""
+    s"""{"metric":"total","value":${r4(value)},"unit":"sec","total_min":${r4(totalMin)},"probe_flagged":$probeFlagged,"machine_state":$msJson,"n_queries":$nQueries$floorField$failedField$rr,"fixtures":"$fixtures","reps":$reps$stampFragment,"sf":$sfJson$onlyField,"compact":true}"""
   }
 }

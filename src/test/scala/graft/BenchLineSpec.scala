@@ -258,6 +258,71 @@ class BenchLineSpec extends AnyFunSuite {
     assert(BenchLine.crossFloor(hist, "abc", Set.empty).isEmpty)
   }
 
+  test("perQueryFloors: per-query min across comparable lines, failed " +
+       "and foreign-fixture readings excluded") {
+    val slowQ1 = calmQs.map { case (k, (md, mn)) =>
+      k -> (md, if (k == "q1") mn * 2 else mn) }
+    val slowQ2 = calmQs.map { case (k, (md, mn)) =>
+      k -> (md, if (k == "q2") mn * 2 else mn) }
+    // q3 "failed" in a third line with an absurdly small time-to-fail
+    // min — it must NOT become q3's floor; that line's OTHER queries
+    // (clean, 10x slow) still contribute, they just lose to the better
+    // committed readings (per-query exclusion, not per-line)
+    val failedLine = mkLine(300, 50, "abc",
+      calmQs.map { case (k, (md, mn)) =>
+        k -> (md, if (k == "q3") mn * 0.01 else mn * 10) })
+      .replace(""","sf":"x"""", ""","failed":{"q3":3},"sf":"x"""")
+    val foreign = mkLine(400, 50, "zzz",
+      calmQs.map { case (k, (md, mn)) => k -> (md, mn * 0.001) })
+    val hist = BenchLine.parseBaselines(Seq(
+      mkLine(100, 50, "abc", slowQ1), mkLine(200, 999, "abc", slowQ2),
+      failedLine, foreign))
+    val floors = BenchLine.perQueryFloors(hist, "abc")
+    // q1/q2: each line's 2x reading loses to the other line's clean
+    // min; q3: the failed 0.01x is ignored, floor is the clean 1x;
+    // the foreign-fixture 0.001x readings never appear
+    assert(floors === calmQs.map { case (k, (_, mn)) => k -> mn })
+    assert(BenchLine.perQueryFloors(hist, "nope") === Map.empty)
+  }
+
+  test("rerepTargets: min >1.5x committed floor; sub-MinSecs floors, " +
+       "failed and floorless queries excluded") {
+    // floors: 1.0s for q1..q3, 0.1s (sub-MinSecs jitter) for q5, none
+    // for q4. NOT probe-gated (the r19 sketch's AND was measured dead:
+    // probes sample BEFORE the rep loop, so a wave during the loop
+    // never coincides with its own flag — live intersection was empty
+    // at vs_floor 1.44).
+    val floors = Map("q1" -> 1.0, "q2" -> 1.0, "q3" -> 1.0, "q5" -> 0.1)
+    val mins = Seq(
+      "q1" -> 2.0,   // >1.5x floor                       => target
+      "q2" -> 1.4,   // under the bar (ambiguity zone)    => no
+      "q3" -> 1.51,  // just over                         => target
+      "q4" -> 2.0,   // no committed floor                => no
+      "q5" -> 0.9)   // 9x its floor, but floor < MinSecs => no
+    assert(BenchLine.rerepTargets(mins, floors, Set.empty) === Seq("q1", "q3"))
+    // a failed query is never re-repped
+    assert(BenchLine.rerepTargets(mins, floors, Set("q1")) === Seq("q3"))
+    // order is input order, not alphabetical: q3 before q1 stays q3-first
+    val twoUp = Seq("q3" -> 2.0, "q1" -> 2.0)
+    assert(BenchLine.rerepTargets(twoUp, floors, Set.empty) === Seq("q3", "q1"))
+    assert(BenchLine.rerepTargets(Seq.empty, floors, Set.empty) === Seq.empty)
+  }
+
+  test("compact line carries the re-rep COUNT (bounded), not the map") {
+    val ln = BenchLine.compactLine(52.17, 38.9, 6,
+      """{"verdict":"calm","n":112}""", "", "", 113, "3fccd702", 3,
+      ""","ts":100""", "\"x\"", rerepped = 17)
+    val j = org.json4s.jackson.JsonMethods.parse(ln)
+    val fields = j.asInstanceOf[org.json4s.JObject].obj.toMap
+    assert(fields.get("rerep").contains(org.json4s.JInt(17)))
+    assert(ln.length < 600)
+    // absent when nothing was re-repped — the common calm case
+    val calm = BenchLine.compactLine(52.17, 38.9, 6,
+      """{"verdict":"calm","n":112}""", "", "", 113, "3fccd702", 3,
+      ""","ts":100""", "\"x\"")
+    assert(!calm.contains("rerep"))
+  }
+
   test("machine-state json fragment omits absent sub-fields") {
     assert(BenchLine.MachineState("no-baseline", None, 0, None).json ===
       """{"verdict":"no-baseline","n":0}""")

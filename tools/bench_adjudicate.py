@@ -194,6 +194,16 @@ def main(argv):
             print(f"VERDICT OVERRIDE: vs_floor {vf} > {STORM_VS_FLOOR} — "
                   f"self-reported machine_state '{ms.get('verdict')}' is "
                   f"line-over-line only; absolute-floor reading is STORM")
+    # storm-resistance re-reps (r20, Bench.scala): a named query's min
+    # includes up-to-2 extra end-of-run reps granted because its
+    # primary min sat >1.5x its committed floor — still real
+    # executions, but a reader comparing minima should know which
+    # queries had the extra chance
+    for side, d in (("base", base), ("new", new)):
+        if d.get("rerep"):
+            print(f"{side} line re-repped {len(d['rerep'])} storm-inflated "
+                  f"queries (min kept over primary+extra reps): "
+                  f"{sorted(d['rerep'])}")
     # a query named here recorded time-to-fail, not a measurement —
     # its per-query numbers (in either line) must be disregarded
     for side, d in (("base", base), ("new", new)):

@@ -53,8 +53,13 @@ CLEARABLE = ("graft_pairs_v", "graft_comps_v", "graft_ivf_v",
 
 # residue scan is scoped to the repo's own artifact families — an
 # unrelated concurrent process creating /tmp/*.stage.* entries must
-# not fail the harness (r18 advice)
-RESIDUE_PREFIXES = CLEARABLE + ("graft_warehouse", "graft_")
+# not fail the harness (r18 advice). The scope IS the shared "graft_"
+# namespace (every repo artifact path starts with it), deliberately
+# wider than CLEARABLE so residue from a family this list doesn't know
+# yet still fails loudly; the single prefix states that plainly
+# instead of an allowlist whose last entry subsumed the rest (r19
+# ADVICE).
+RESIDUE_PREFIXES = ("graft_",)
 
 
 def residues():

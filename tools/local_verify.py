@@ -83,25 +83,99 @@ TS_CONTRACT = {
 def ts_physical_drift(name, files):
     """Timestamp-encoding drift in a dump, from raw parquet metadata
     (NO int96 coercion — this is exactly what the value compare
-    normalizes away and the driver does not)."""
+    normalizes away and the driver does not). EVERY part file is
+    checked (r19 ADVICE): a dump dir with mixed parts — stale
+    TIMESTAMP_MICROS files left beside fresh INT96 ones after a
+    partial/killed overwrite — used to pass if the first sorted file
+    happened to be clean, while the driver reads them all."""
     errs, ts_leaves = [], set()
-    sch = pq.ParquetFile(files[0]).schema
-    for i in range(len(sch)):
-        col = sch.column(i)
-        phys = str(col.physical_type)
-        logi = str(col.logical_type)
-        if phys != "INT96" and not logi.startswith("Timestamp"):
-            continue
-        base = col.path.split(".")[0]
-        ts_leaves.add(base)
-        if phys != "INT96":
-            errs.append(f"{col.path}: timestamp physical={phys} logical={logi}"
-                        " — driver contract is INT96")
+    for f in files:
+        sch = pq.ParquetFile(f).schema
+        for i in range(len(sch)):
+            col = sch.column(i)
+            phys = str(col.physical_type)
+            logi = str(col.logical_type)
+            if phys != "INT96" and not logi.startswith("Timestamp"):
+                continue
+            base = col.path.split(".")[0]
+            ts_leaves.add(base)
+            if phys != "INT96":
+                errs.append(f"{os.path.basename(f)} {col.path}: timestamp "
+                            f"physical={phys} logical={logi}"
+                            " — driver contract is INT96")
     for c in sorted(ts_leaves - TS_CONTRACT.get(name, set())):
         errs.append(f"{c}: raw TIMESTAMP output outside the enumerated driver-"
                     "contract set (q27/q46/q69/q107) — emit epoch-us BIGINT "
                     "instead (SURVEY §5 item 7)")
-    return errs
+    return sorted(set(errs))
+
+
+# Frozen per-query dump-schema fingerprint (r19 VERDICT item 2): the
+# r18 regression generalized. ts_physical_drift guards ONE physical
+# type; the same local-green/driver-red class exists for ANY encoding
+# drift the value compare normalizes away — decimal precision, int32
+# vs int64 physical, nullability, column order. The committed
+# tools/dump_schemas.txt (the schema twin of tools/plan_digests.txt)
+# freezes the full uncoerced parquet schema of every graded dump;
+# any drift fails HERE, naming the query, before the driver can see
+# it. Intentional changes: eyeball the diff, re-run with
+# GRAFT_REGEN_DUMP_SCHEMAS=1 (merges entries for the queries present
+# in this run), and note load-bearing changes in SURVEY §5.
+SCHEMA_SNAPSHOT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "dump_schemas.txt")
+
+
+def dump_schema_canonical(files):
+    """Canonical uncoerced schema text of a dump, one line per parquet
+    leaf column: path, physical type, logical type, and the max
+    definition/repetition levels (nullability + nesting), in file
+    order (column order is part of the contract). Returns (lines,
+    errs): errs non-empty iff the part files disagree — the
+    generalization of the mixed-part timestamp hole (r19 ADVICE) to
+    the whole schema."""
+    per_file, lines = {}, None
+    for f in files:
+        sch = pq.ParquetFile(f).schema
+        ls = []
+        for i in range(len(sch)):
+            col = sch.column(i)
+            ls.append(f"{col.path} physical={col.physical_type} "
+                      f"logical={col.logical_type} "
+                      f"def={col.max_definition_level} "
+                      f"rep={col.max_repetition_level}")
+        per_file.setdefault(tuple(ls), []).append(os.path.basename(f))
+        lines = ls
+    if len(per_file) > 1:
+        names = " vs ".join(",".join(v) for v in per_file.values())
+        return None, [f"part files carry DIFFERENT schemas: {names}"]
+    return lines, []
+
+
+def load_schema_snapshot():
+    """tools/dump_schemas.txt → {query: [lines]}; {} if absent."""
+    snap = {}
+    if not os.path.exists(SCHEMA_SNAPSHOT):
+        return snap
+    cur = None
+    for ln in open(SCHEMA_SNAPSHOT).read().splitlines():
+        if ln.startswith("== "):
+            cur = ln[3:].strip()
+            snap[cur] = []
+        elif cur is not None and ln.strip():
+            snap[cur].append(ln)
+    return snap
+
+
+def write_schema_snapshot(snap):
+    with open(SCHEMA_SNAPSHOT, "w") as fh:
+        fh.write("# Frozen per-query dump schemas (uncoerced parquet "
+                 "metadata) — see local_verify.py.\n"
+                 "# Regenerate deliberately: GRAFT_REGEN_DUMP_SCHEMAS=1 "
+                 "python3 tools/local_verify.py <outdir> <sfdir>\n")
+        for q in sorted(snap):
+            fh.write(f"== {q}\n")
+            for ln in snap[q]:
+                fh.write(ln + "\n")
 
 
 def decimal_cols(tbl: pa.Table):
@@ -113,6 +187,20 @@ def decimal_cols(tbl: pa.Table):
     Repo rule: final schemas carry only BIGINT/DOUBLE/VARCHAR/DATE/
     BOOLEAN — sum through DECIMAL internally, CAST on output."""
     return [f.name for f in tbl.schema if pa.types.is_decimal(f.type)]
+
+
+def uint64_cols(tbl: pa.Table):
+    """uint64 in a FINAL schema fails loudly (r19 ADVICE): the repo's
+    portability rule already forbids it (final schemas carry only
+    BIGINT/DOUBLE/VARCHAR/DATE/BOOLEAN), norm_type deliberately does
+    NOT fold it to int64 (values past 2^63-1 would wrap), and the
+    nullable-Int64 mapper below deliberately does not widen it — so a
+    uint64 column would silently take pandas' int-with-nulls→float64
+    path and reintroduce the exact >2^53 precision loss the mapper
+    exists to prevent. Failing here turns that silent degradation into
+    the same loud contract violation the decimal check gives."""
+    return [f.name for f in tbl.schema
+            if pa.types.is_unsigned_integer(f.type) and f.type.bit_width == 64]
 
 
 def to_pandas_sorted(tbl: pa.Table, cols):
@@ -179,6 +267,9 @@ def norm_cell(v):
 
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
+schema_snap = load_schema_snapshot()
+regen_schemas = os.environ.get("GRAFT_REGEN_DUMP_SCHEMAS") == "1"
+regen_acc = {}
 # a query that THREW inside Verify writes no dump dir at all — without
 # this check it would silently vanish from the report. queries.json is
 # the full attempted list (covers rows-only queries, which have no
@@ -218,6 +309,42 @@ for name in sorted(os.listdir(outdir)):
             print(f"  {d}")
         fails.append(name)
         continue
+    # full-schema fingerprint against the committed snapshot (r19
+    # VERDICT item 2) — the dump BYTES are the driver contract, so any
+    # uncoerced schema drift is a failure even when values match
+    sch_lines, sch_errs = dump_schema_canonical(files)
+    if sch_errs:
+        print(f"{name}: MIXED-PART DUMP SCHEMA")
+        for e in sch_errs:
+            print(f"  {e}")
+        fails.append(name)
+        continue
+    if regen_schemas:
+        regen_acc[name] = sch_lines
+    else:
+        committed = schema_snap.get(name)
+        if committed is None:
+            print(f"{name}: NO COMMITTED DUMP SCHEMA (tools/dump_schemas"
+                  ".txt) — new/renamed dump; regenerate deliberately with "
+                  "GRAFT_REGEN_DUMP_SCHEMAS=1")
+            fails.append(name)
+            continue
+        if committed != sch_lines:
+            print(f"{name}: DUMP SCHEMA DRIFT vs committed fingerprint "
+                  "(driver hashes the dump bytes — this ships local-green/"
+                  "driver-red unless intentional; if intentional, "
+                  "GRAFT_REGEN_DUMP_SCHEMAS=1 and note it in SURVEY §5)")
+            for ln in committed:
+                if ln not in sch_lines:
+                    print(f"  - {ln}")
+            for ln in sch_lines:
+                if ln not in committed:
+                    print(f"  + {ln}")
+            if committed != sch_lines and \
+                    sorted(committed) == sorted(sch_lines):
+                print("  (column ORDER changed)")
+            fails.append(name)
+            continue
     # coerce_int96_timestamp_unit: INT96 (the contract encoding,
     # enforced above) would otherwise be force-read as NANOSECONDS,
     # wrapping post-2262 instants (r18 nulltime probe: 9999-12-31 read
@@ -231,6 +358,13 @@ for name in sorted(os.listdir(outdir)):
     if haz_s:
         print(f"{name}: DECIMAL IN FINAL SCHEMA ({', '.join(haz_s)}) — "
               "driver-portability hazard; CAST the output to BIGINT/DOUBLE")
+        fails.append(name)
+        continue
+    haz_u = uint64_cols(stbl)
+    if haz_u:
+        print(f"{name}: UINT64 IN FINAL SCHEMA ({', '.join(haz_u)}) — "
+              "forbidden by the portability rule and silently degrades to "
+              "float64 in pandas; CAST the output to BIGINT")
         fails.append(name)
         continue
     if name not in oracles:
@@ -253,6 +387,12 @@ for name in sorted(os.listdir(outdir)):
     if haz_o:
         print(f"{name}: DECIMAL IN FINAL SCHEMA ({', '.join(haz_o)}) — "
               "driver-portability hazard; CAST the output to BIGINT/DOUBLE")
+        fails.append(name)
+        continue
+    haz_uo = [c + " (oracle)" for c in uint64_cols(otbl)]
+    if haz_uo:
+        print(f"{name}: UINT64 IN FINAL SCHEMA ({', '.join(haz_uo)}) — "
+              "fix the oracle's types (CAST AS BIGINT), not the values")
         fails.append(name)
         continue
     if ok_schema:
@@ -292,5 +432,11 @@ for name in sorted(os.listdir(outdir)):
             print(f"  spark cols={scols}\n  oracle cols={ocols}")
         fails.append(name)
     print(f"{name}: {status}")
+if regen_schemas and regen_acc:
+    merged = dict(schema_snap)
+    merged.update(regen_acc)
+    write_schema_snapshot(merged)
+    print(f"\n[regen] wrote {len(regen_acc)} dump-schema fingerprints "
+          f"({len(merged)} total) to {SCHEMA_SNAPSHOT}")
 print(f"\n{'ALL GREEN' if not fails else 'FAILURES: ' + ', '.join(fails)}")
 sys.exit(1 if fails else 0)
