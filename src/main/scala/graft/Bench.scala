@@ -198,27 +198,33 @@ object Bench {
           while (i < rerepMax && mn > BenchLine.StormVsFloor * floor) {
             i += 1
             val t0 = System.nanoTime()
-            try { fn(spark, sfDir).count() } catch {
+            // same contract as a primary rep: a failure is visible in
+            // stderr AND in the line's "failed" field (which also
+            // suppresses the floor fields). But a time-to-fail elapsed
+            // must NOT update `mn` (r20 ADVICE): the re-rep was granted
+            // because the query looked slow, and a fast crash would
+            // both replace the genuine primary min and satisfy the
+            // early-stop bar. It still joins `samples` so the spread's
+            // max reflects it, like primary failed reps.
+            val ok = try { fn(spark, sfDir).count(); true } catch {
               case e: Throwable =>
-                // same contract as a primary rep: visible in stderr AND
-                // in the line's "failed" field (which also suppresses
-                // the floor fields — a time-to-fail sample is not a
-                // measurement, and it participates in the spread below
-                // exactly as primary failed reps do)
                 System.err.println(s"[bench] $name rerep$i FAILED: ${e.getMessage}")
                 failCounts(name) = failCounts.getOrElse(name, 0) + 1
+                false
             }
             val el = (System.nanoTime() - t0) / 1e9
             samples ::= el
-            mn = math.min(mn, el)
+            if (ok) mn = math.min(mn, el)
           }
           rerepCounts(name) = i
-          name -> samples
+          // mn already folds in only the OK re-rep samples; the raw
+          // sample list (failures included) feeds the spread's max
+          name -> (samples, mn)
         }.toMap
         results.map { case r @ (name, med, mn, mx, tOff, cn, ioT, gcMs) =>
-          extras.get(name).filter(_.nonEmpty) match {
-            case Some(ss) =>
-              (name, med, math.min(mn, ss.min), math.max(mx, ss.max),
+          extras.get(name).filter(_._1.nonEmpty) match {
+            case Some((ss, okMin)) =>
+              (name, med, math.min(mn, okMin), math.max(mx, ss.max),
                 tOff, cn, ioT, gcMs)
             case None => r
           }

@@ -100,8 +100,16 @@ object CurateQueries {
     // as 64-bit hashes (never strings); the oracle re-derives the same
     // sets from the raw text.
     "q88_decontam" -> ((s, d) => {
-      val sh = Tables.documents(s, d).select(col("doc_id"),
-        TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("_sh"))
+      // rebalanceScan (r21): the shingle hashing (an INTERPRETED
+      // zip_with chain over every token of every doc, run for both the
+      // eval and train sides) otherwise executes inside the
+      // unsplittable single-row-group scan task (RelationalOps doc;
+      // measured: 1.21s → 0.86s min in DevRebalanceAB; no-op at
+      // production scale where the scan has many splits)
+      val sh = graft.ops.RelationalOps.rebalanceScan(Tables.documents(s, d),
+          col("doc_id"))
+        .select(col("doc_id"),
+          TextOps.ngramHashes64(TextOps.tokens(col("text")), 3).as("_sh"))
       val eval_ = sh.filter(col("doc_id") % 97 === 0)
         .select(explode(col("_sh")).as("_h")).distinct()
       sh.filter(col("doc_id") % 97 =!= 0)

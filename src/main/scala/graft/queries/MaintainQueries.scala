@@ -122,17 +122,28 @@ object MaintainQueries {
     // only split a skewed reduce partition on MAP-OUTPUT boundaries
     // (on a cluster the thousands of scan tasks provide this for free)
     // the sha2 payload ships ~64 incompressible bytes per row through
-    // the shuffle (production rows are wide; without it the RR stage's
-    // local sort makes the constant-key hot rows compress to nothing
-    // and the byte-level skew signal vanishes); consuming it in the
-    // aggregate keeps column pruning from dropping it
+    // the JOIN shuffle (production rows are wide; without it the
+    // constant-key hot rows compress to nothing and the byte-level
+    // skew signal vanishes); consuming it in the aggregate keeps
+    // column pruning from dropping it.
+    // r21 (guide §2.3, project before the exchange): the payload is
+    // computed AFTER the round-robin repartition, in the join's map
+    // stage — the skew-detection signal lives in the join exchange's
+    // map-output sizes, which still carry the full 64 bytes/row
+    // (AqeSkewSpec keeps asserting skew=true), while the RR exchange
+    // now ships 3 narrow columns instead of hauling the sha2 strings
+    // twice; its sort-before-repartition also sorts narrower rows.
+    // Same rows, same hash: sha2 is a pure per-row function of
+    // (l_orderkey, l_linenumber).
     val fact = Tables.lineitem(s, d).select(
-      when(col("l_orderkey") % 4 === 0, lit(1L))
-        .otherwise(col("l_orderkey")).as("k"),
-      col("l_quantity"),
-      sha2(concat(col("l_orderkey").cast("string"),
-        col("l_linenumber").cast("string")), 256).as("payload"))
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .repartition(8)
+      .select(
+        when(col("l_orderkey") % 4 === 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_quantity"),
+        sha2(concat(col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string")), 256).as("payload"))
     val dim = Tables.orders(s, d)
       .select(col("o_orderkey").as("k"), col("o_orderpriority"))
     fact.join(dim, "k")

@@ -138,6 +138,9 @@ object RefQueries {
     // A1 — store×day rollup with tender-style conditional sums
     // (load_sales_data.py:57-64; kicc_to_tb_sales.py:73-86). Partial
     // (map-side) aggregation then one shuffle on the group key.
+    // (r21: a pre-agg rebalanceScan was measured SLOWER here — the
+    // codegen'd partial agg in the scan task beats exchanging raw
+    // rows; DevRebalanceAB agg_plain 0.64s vs rebalanced 0.70-1.24s.)
     "q17_store_day_agg" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("sale_dy"))

@@ -70,8 +70,14 @@ object WidenQueries {
     // is equivalence-tested in TemporalOpsSpec.
     "q58_range_join" -> ((s, d) => {
       val periods = rangePeriods(s)
+      // rebalanceScan (r21): the broadcast nested-loop interval probe
+      // (28 comparisons per fact row) otherwise runs inside the
+      // unsplittable single-row-group scan task (RelationalOps doc;
+      // measured: 0.94s → 0.68s min in DevRebalanceAB; no-op at
+      // production scale where the scan has many splits)
       TemporalOps.rangeJoinBroadcast(
-          Tables.lineitem(s, d)
+          graft.ops.RelationalOps.rebalanceScan(Tables.lineitem(s, d),
+            col("l_orderkey"))
             .select(col("l_shipdate"),
               (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("_rev")),
           periods, "l_shipdate", "p_start", "p_end")
@@ -112,6 +118,10 @@ object WidenQueries {
     // the interval side outgrows a broadcast.
     "q77_range_join_banded" -> ((s, d) => {
       val periods = rangePeriods(s)
+      // (r21: no rebalanceScan here, unlike q58 — the banded flavor is
+      // a broadcast HASH equi-join on the bucket key, one cheap probe
+      // per row instead of q58's 28-comparison nested loop; the A/B
+      // showed the extra exchange costs more than the serial probe)
       TemporalOps.rangeJoinBanded(
           Tables.lineitem(s, d)
             .select(col("l_shipdate"),

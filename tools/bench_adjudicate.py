@@ -200,10 +200,18 @@ def main(argv):
     # executions, but a reader comparing minima should know which
     # queries had the extra chance
     for side, d in (("base", base), ("new", new)):
-        if d.get("rerep"):
-            print(f"{side} line re-repped {len(d['rerep'])} storm-inflated "
-                  f"queries (min kept over primary+extra reps): "
-                  f"{sorted(d['rerep'])}")
+        rr = d.get("rerep")
+        if rr:
+            # full lines carry a {name: count} map; COMPACT lines carry
+            # the bare count as an int (r20 ADVICE) — disclose what we
+            # have instead of raising TypeError on the int form
+            if isinstance(rr, dict):
+                print(f"{side} line re-repped {len(rr)} storm-inflated "
+                      f"queries (min kept over primary+extra reps): "
+                      f"{sorted(rr)}")
+            else:
+                print(f"{side} line re-repped {rr} storm-inflated "
+                      f"queries (compact line; names not carried)")
     # a query named here recorded time-to-fail, not a measurement —
     # its per-query numbers (in either line) must be disregarded
     for side, d in (("base", base), ("new", new)):

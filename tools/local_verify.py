@@ -433,6 +433,16 @@ for name in sorted(os.listdir(outdir)):
         fails.append(name)
     print(f"{name}: {status}")
 if regen_schemas and regen_acc:
+    # only freeze fingerprints of queries that finished the loop GREEN
+    # (r20 ADVICE): the fingerprint is accumulated before the decimal/
+    # uint64/value checks, so a query failing those would otherwise get
+    # its (possibly wrong) schema committed in the same run
+    dropped = sorted(n for n in regen_acc if n in fails)
+    for n in dropped:
+        del regen_acc[n]
+    if dropped:
+        print(f"\n[regen] NOT freezing {len(dropped)} failing queries' "
+              f"schemas (fix and re-run): {', '.join(dropped)}")
     merged = dict(schema_snap)
     merged.update(regen_acc)
     write_schema_snapshot(merged)
