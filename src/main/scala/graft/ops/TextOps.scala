@@ -195,11 +195,25 @@ object TextOps {
       .otherwise(raise_error(concat(
         lit(s"lshBands: signature shorter than bands*rows=$need: "),
         size(col(sigCol)).cast("string"))))
-    docs.where(col(sigCol).isNotNull).select(col(idCol), explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band_idx"),
-            aggregate(slice(sig, b * rows + 1, lit(rows)), lit(0L),
-              (acc, m) => shiftleft(acc, 31).bitwiseXOR(m)).as("band_sig")))))
+    // r21 (guide §4, expressions/codegen): bands and rows are Scala
+    // Ints, so the band structs unroll at PLAN time into plain
+    // element_at/shift/xor expressions — whole-stage-codegen'd — in
+    // place of the old transform(sequence)/aggregate(slice) chain,
+    // whose higher-order lambdas evaluate INTERPRETED per band per
+    // row (measured: the banding stage dominated everything around it
+    // in DevPrefixStages; the unrolled form folds the same
+    // acc → (acc << 31) ⊕ m arithmetic, bit-identical output).
+    // element_at is 1-based and only reached under the size guard, so
+    // no out-of-bounds path exists (ANSI-safe).
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        (1 to rows).foldLeft(lit(0L).as("z"): org.apache.spark.sql.Column) {
+          (acc, j) => shiftleft(acc, 31).bitwiseXOR(
+            element_at(sig, b * rows + j))
+        }.as("band_sig"))
+    }
+    docs.where(col(sigCol).isNotNull).select(col(idCol),
+        explode(array(bandStructs: _*)))
       .select(col(idCol), col("col.band_idx"), col("col.band_sig"))
   }
 
@@ -504,16 +518,23 @@ object TextOps {
     */
   def simhashSignatures(df: DataFrame, idCol: String, toksCol: String,
                         out: String): DataFrame = {
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("_h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"_v$i")
+    // r21 (guide §4): per-bit SET-BIT COUNTS instead of ±1 votes — the
+    // aggregate update is a branchless shift/and/add per bit where the
+    // when(...±1) form compiled to a branch per bit per token. The
+    // ±1 vote sum is 2·ones − n, so "votes > 0" ⟺ "2·ones > n":
+    // bit-identical fingerprints for every row (TextOpsSpec pins the
+    // column-form equivalence).
+    val ones = (0 until 64).map { i =>
+      sum(shiftright(col("_h"), i).bitwiseAND(1)).as(s"_v$i")
     }
     df.select(col(idCol), explode(col(toksCol)).as("_t"))
       .select(col(idCol), xxhash64(col("_t")).as("_h"))
-      .groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .groupBy(col(idCol)).agg(ones.head, (ones.tail :+
+        count(lit(1)).as("_n")): _*)
       .select(col(idCol),
         (0 until 64).map { i =>
-          when(col(s"_v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+          when(col(s"_v$i") * 2 > col("_n"), shiftleft(lit(1L), i))
+            .otherwise(lit(0L))
         }.reduce(_.bitwiseOR(_)).as(out))
   }
 
