@@ -21,6 +21,16 @@ object FsOps {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(): Unit
   }
 
+  /** Total bytes of regular files under a tree — filesystem metadata
+    * only, no Spark job, so builders may call it at query-construction
+    * time (LazyRegistrySpec's no-job contract). Used to derive
+    * scale-adaptive partition counts from data actually on disk
+    * (q100's state-store sizing); a missing path sizes as 0.
+    */
+  def treeBytes(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).map(_.map(treeBytes).sum).getOrElse(0L)
+
   /** Recursive delete that fails LOUDLY if the tree still stands
     * afterwards (held handle, permissions, NFS residue) — for callers
     * whose next step silently corrupts state when the delete quietly

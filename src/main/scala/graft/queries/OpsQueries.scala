@@ -62,19 +62,24 @@ object OpsQueries {
       // commit each) — at the session's 32 partitions × ~5 batches
       // that fixed cost dominates the whole pipeline for a ~4k-group
       // state and is the most session-load-sensitive thing in the
-      // suite (the r8/r9 in-context inflation). 8 partitions carry
-      // the same state with 4× less fixed machinery; scoped to this
-      // pipeline and restored in finally. (At real scale the state
-      // partition count is sized to state volume, not left at the
-      // join/agg default — this IS the 100 TB posture, not a test
-      // shortcut.)
+      // suite (the r8/r9 in-context inflation). r21 (guide §2, scale-
+      // adaptive partitioning): the count is DERIVED from the staged
+      // input's actual bytes — 64 MB of input per state partition,
+      // floor 2 (multi-partition state stays exercised) — instead of
+      // a constant tuned for either environment. Filesystem metadata
+      // only (no Spark job); at sf0.1 this yields 2 (measured best:
+      // DevTimeQ100AB interleaved mins 2.69/2.48/2.42 s for 8/4/2),
+      // and a production-sized backfill derives thousands. Scoped to
+      // this pipeline and restored in finally.
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
         // 4 arrival files via round-robin repartition (no pre-count
         // scan); the staging write converts the ns-long ts to a proper
         // timestamp so the stream schema is self-describing
         ev.repartition(4).write.mode("overwrite").parquet(staged)
+        val stagedBytes = graft.ops.FsOps.treeBytes(new java.io.File(staged))
+        val stateParts = math.max(2L, (stagedBytes + (64L << 20) - 1) / (64L << 20))
+        s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
         val stream = s.readStream.schema(s.read.parquet(staged).schema)
           .option("maxFilesPerTrigger", "1").parquet(staged)
         val agg = stream
