@@ -1,11 +1,9 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import java.util.concurrent.atomic.AtomicInteger
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.NightlyRun
@@ -100,24 +98,12 @@ object DevNightlySoak {
           (n.contains(".stage.") || n.contains(".trash.")))
     val residues0 = residues()
 
-    // FIFO-settled job counter (NightlyRunSpec's technique): count jobs
-    // started during `body`, settling via a sentinel job so async
-    // listener delivery can't undercount.
-    val jobStarts = new AtomicInteger(0)
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = {
-        jobStarts.incrementAndGet(); ()
-      }
-    })
-    def settle(): Int = {
-      val before = jobStarts.get()
-      spark.sparkContext.parallelize(Seq(1)).count()
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (jobStarts.get() == before && System.nanoTime() < deadline)
-        Thread.sleep(5)
-      require(jobStarts.get() > before, "sentinel job event never arrived")
-      jobStarts.get()
-    }
+    // Shared sentinel-tagged FIFO-settled job counter (JobCounter —
+    // r20 ADVICE item 4: the previous local copy could return before
+    // the sentinel's own event was counted, flaking the zero-tolerance
+    // steady-night drift assertion).
+    val jc = new JobCounter(spark.sparkContext)
+    def settle(): Int = jc.settle()
 
     /** Expected mart rows after `night`: (id, store_id, sale_d, k). */
     def oracle(night: Int): Set[(Long, Long, String, Long)] =

@@ -1,8 +1,6 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 
 /** The registry's laziness contract (round-8 VERDICT item: q105's
   * builder ran a `count()` job at query-CONSTRUCTION time, silently
@@ -68,12 +66,6 @@ class LazyRegistrySpec extends SparkSpec {
   )
 
   test("constructing every non-materializing query frame launches zero Spark jobs") {
-    val jobStarts = new AtomicInteger(0)
-    val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = {
-        jobStarts.incrementAndGet(); ()
-      }
-    }
     // one-time session warm-up OUTSIDE the count: the first read of a
     // table pays parquet listing/footer jobs, memoized in Tables.load —
     // the per-build contract under test is what a LONG-LIVED session
@@ -86,31 +78,21 @@ class LazyRegistrySpec extends SparkSpec {
     // lookup)
     SparkEntry.queries("q45_bucketed_join")(spark, sfDir)
     SparkEntry.queries("q99_dpp_prune")(spark, sfDir): Unit
-    spark.sparkContext.addSparkListener(listener)
+    // Shared sentinel-tagged FIFO-settled job counter (JobCounter —
+    // r20 ADVICE item 4 replaced three local copies of this helper).
+    val jc = new JobCounter(spark.sparkContext)
     try {
-      // Listener delivery is async but FIFO: once a sentinel job's own
-      // start event has been counted, every job started before it has
-      // been counted too. The RDD count is exactly ONE job (no AQE).
-      def settle(): Int = {
-        val before = jobStarts.get()
-        spark.sparkContext.parallelize(Seq(1)).count()
-        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-        while (jobStarts.get() == before && System.nanoTime() < deadline)
-          Thread.sleep(5)
-        assert(jobStarts.get() > before, "sentinel job event never arrived")
-        jobStarts.get()
-      }
-      var mark = settle()
+      var mark = jc.settle()
       val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) =>
           fn(spark, sfDir) // build ONLY — no action on the frame
-          val now = settle()
+          val now = jc.settle()
           val jobs = now - mark - 1 // minus this settle's sentinel
           mark = now
           if (jobs > 0) Some(name -> jobs) else None
       }
       assert(offenders.map(_._1).toSet === materializing,
         s"builders-that-run-jobs drifted; measured: ${offenders.toMap}")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally jc.close()
   }
 }

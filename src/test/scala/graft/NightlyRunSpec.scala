@@ -1,11 +1,9 @@
 package graft
 
 import java.nio.file.{Files, Path, Paths}
-import java.util.concurrent.atomic.AtomicInteger
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.NightlyRun
@@ -61,32 +59,12 @@ class NightlyRunSpec extends SparkSpec {
         Files.getLastModifiedTime(p).toMillis)
       .toMap
 
-  /** LazyRegistrySpec's FIFO-settled job counter: count every job
-    * started during `body`, settling via a sentinel job so async
-    * listener delivery can't undercount. */
+  /** Count every job started during `body` via the shared
+    * [[JobCounter]] (sentinel-tagged FIFO settle — r20 ADVICE item 4
+    * replaced three local copies of this helper). */
   private def countJobs[A](body: => A): (A, Int) = {
-    val jobStarts = new AtomicInteger(0)
-    val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = {
-        jobStarts.incrementAndGet(); ()
-      }
-    }
-    def settle(): Int = {
-      val before = jobStarts.get()
-      spark.sparkContext.parallelize(Seq(1)).count()
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (jobStarts.get() == before && System.nanoTime() < deadline)
-        Thread.sleep(5)
-      assert(jobStarts.get() > before, "sentinel job event never arrived")
-      jobStarts.get()
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      val mark = settle()
-      val a = body
-      val after = settle()
-      (a, after - mark - 1) // minus the closing settle's sentinel
-    } finally spark.sparkContext.removeSparkListener(listener)
+    val jc = new JobCounter(spark.sparkContext)
+    try jc.counted(body) finally jc.close()
   }
 
   test("a slice date emptied by the merge retires its partition dir (no stale duplicates)") {
