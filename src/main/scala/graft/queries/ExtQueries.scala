@@ -73,20 +73,26 @@ object ExtQueries {
     // every bucket of a user carries the same code — so the decoded
     // row set is unchanged and the oracle still certifies it.
     "q38_envelope_decode" -> ((s, d) => {
+      // r21 (guide §2.3, project before the exchange): only the three
+      // narrow columns (user_id, event_id, k:bigint) cross the window
+      // exchange; the per-record JSON text is assembled AFTER it, in
+      // the same stage as the window/groupBy — identical string, same
+      // single get_json_object parse, ~40% fewer shuffle bytes (the
+      // assembled rec is ~2x the raw fields) and a narrower sort.
       val recs = Tables.events(s, d).select(col("user_id"), col("event_id"),
-        concat(lit("{\"id\":"), col("event_id").cast("string"),
-          lit(",\"k\":"),
-          // the envelope contract types k as a NUMBER: embed it
-          // numeric-or-null. Splicing the raw extracted text produced
-          // `"k":v` — malformed JSON — for any non-numeric source
-          // value, and the whole envelope then silently failed decode
-          // (r13 edge sweep); try_cast mirrors the oracle's TRY_CAST.
-          coalesce(expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
-            .cast("string"), lit("null")),
-          lit("}")).as("rec"))
+        // the envelope contract types k as a NUMBER: embed it
+        // numeric-or-null. Splicing the raw extracted text produced
+        // `"k":v` — malformed JSON — for any non-numeric source
+        // value, and the whole envelope then silently failed decode
+        // (r13 edge sweep); try_cast mirrors the oracle's TRY_CAST.
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("_k"))
       val wb = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       val env = recs
         .withColumn("_bkt", floor((row_number().over(wb) - 1) / lit(500)))
+        .withColumn("rec",
+          concat(lit("{\"id\":"), col("event_id").cast("string"),
+            lit(",\"k\":"),
+            coalesce(col("_k").cast("string"), lit("null")), lit("}")))
         .groupBy(col("user_id"), col("_bkt"))
         .agg(concat_ws(",", collect_list(col("rec"))).as("_recs"))
         .select(concat(lit("{\"ret_code\":\""),
