@@ -72,7 +72,13 @@ object SparkEntry {
     val sink = graft.ops.AppScratch.path(spark, "entry_mart")
     val mart = filled.withColumn("sale_month",
       date_format(col("sale_dy"), "yyyy-MM"))
-    mart.write.partitionBy("sale_month").mode("overwrite").parquet(sink)
+    // co-partition by the partition column BEFORE the write (r21,
+    // guide §6 — the q41 posture): without it every upstream task
+    // writes a file into every month directory it holds rows for —
+    // tasks×months small files at scale. One exchange buys one file
+    // per partition dir; the served read-back is unchanged.
+    mart.repartition(col("sale_month"))
+      .write.partitionBy("sale_month").mode("overwrite").parquet(sink)
     // writer-schema read-back (r13 edge sweep): an empty slice writes
     // zero partition dirs and inference would throw instead of
     // serving an empty mart
